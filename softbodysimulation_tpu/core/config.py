@@ -1,0 +1,164 @@
+"""Solver configuration.
+
+TPU-native reimagining of the reference's three config tiers
+(``SoftBodySettings.cs:5-47``, per-component inspector fields e.g.
+``SoftBodyGPU.cs:42-71`` / ``SoftBodyCPU.cs:12-39``, and ``SOs/SoftBodyPreset.cs``):
+a single frozen dataclass that is hashable, so it can be passed to ``jax.jit``
+as a static argument — every knob is a compile-time constant and XLA folds it
+into the compiled substep program.  No reflection, no mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class LambdaMode(enum.Enum):
+    """How accumulated Lagrange multipliers are treated across steps.
+
+    RESET  — zeroed at the start of every physics step / substep
+             (CPU solvers: ``SoftBodyCPU.cs:283-290``; substep GPU engine
+             zeroes its lagrange buffer per substep, ``SoftBodyGPU.cs:240``).
+    DECAY  — multiplied by ``lambda_decay`` at substep start and persisted
+             across steps (flagship engine: ``XPBDSoftBody.compute:200-207``,
+             host loop ``SoftBodySimulator.cs:582``).
+    """
+
+    RESET = "reset"
+    DECAY = "decay"
+
+
+class DampingMode(enum.Enum):
+    """PER_STEP — v *= (1 - damping) each substep (``SoftBodyCPU.cs:299``).
+    PER_DT   — v *= (1 - damping * dt) (flagship ``XPBDSoftBody.compute:95``)."""
+
+    PER_STEP = "per_step"
+    PER_DT = "per_dt"
+
+
+class FloorMode(enum.Enum):
+    """NONE            — no ground plane.
+    XPBD_INEQUALITY — position-level inequality constraint with position-level
+                      tangential friction (``SoftBodyCPU.cs:352-400``).
+    VELOCITY_REFLECT— projection + restitution + penetration-proportional
+                      velocity kick + velocity-level friction (flagship
+                      ``XPBDSoftBody.compute:272-316``)."""
+
+    NONE = "none"
+    XPBD_INEQUALITY = "xpbd_inequality"
+    VELOCITY_REFLECT = "velocity_reflect"
+
+
+class SolveMode(enum.Enum):
+    """JACOBI  — all constraints projected simultaneously, corrections merged by
+                 segment-sum with under-relaxation ``omega`` (the TPU-native
+                 replacement for the racy free-for-all of
+                 ``XPBDSimulatorCS.compute:128-182``).
+    COLORED — exact parallel Gauss-Seidel: constraints pre-partitioned into
+              conflict-free color groups (reference semantics:
+              ``XPBDSoftBody.compute:115`` + host loop
+              ``SoftBodySimulator.cs:600-609``); within a color no particle is
+              shared, so the batched update is bit-identical to a sequential
+              sweep."""
+
+    JACOBI = "jacobi"
+    COLORED = "colored"
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Every physical/solver knob of the reference, unified.
+
+    Mirrors the union of ``SoftBodySettings.cs:5-47``, ``SoftBodyCPU.cs:12-39``
+    and ``SoftBodyGPU.cs:42-71``.  Frozen + hashable => usable as a jit-static.
+    """
+
+    # --- time stepping ---
+    substeps: int = 1                 # SoftBodyGPU.cs:44 (1..200); flagship <=4
+    iterations: int = 10              # solverIterations (SoftBodyCPU.cs:13)
+
+    # --- integration ---
+    gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0)
+    damping: float = 0.01
+    damping_mode: DampingMode = DampingMode.PER_STEP
+    max_velocity: float = 0.0         # 0 disables; XPBDSimulatorCS.compute:83 uses 20
+    max_force: float = 0.0            # 0 disables; XPBDSimulatorCS.compute:91 uses 100
+    world_bounds: float = 0.0         # 0 disables; XPBDSimulatorCS.compute:64 uses 1000
+
+    # --- constraint solve ---
+    solve_mode: SolveMode = SolveMode.JACOBI
+    omega: float = 0.0                # scale on the degree-averaged Jacobi
+                                      # update; 0 => 1.0 (GS-matched)
+    # Chebyshev semi-iterative acceleration of the Jacobi iterations
+    # (classic accelerated-PBD recurrence); rho = spectral-radius estimate,
+    # 0 disables.  gamma under-relaxes the inner update for contact safety.
+    jacobi_rho: float = 0.9
+    jacobi_gamma: float = 1.0
+    jacobi_cheby_delay: int = 2       # plain iterations before accelerating
+    lambda_mode: LambdaMode = LambdaMode.RESET
+    lambda_decay: float = 0.99        # SoftBodySettings.cs:20-21 (used when DECAY)
+    max_dlambda: float = 0.0          # abs clamp on delta-lambda; 0 disables
+                                      # (CPUDistanceConstraint.cs:98 uses 1e-3)
+    max_dlambda_rel: float = 0.0      # clamp = rel * rest_length; 0 disables
+                                      # (XPBDSoftBody.compute:153 uses 0.1)
+    lambda_clamp: float = 0.0         # abs clamp on accumulated lambda; 0 disables
+                                      # (XPBDSoftBody.compute:160 uses 100)
+    min_alpha_tilde: float = 0.0      # floor on alpha~; XPBDSoftBody.compute:139 uses 1e-10
+
+    # --- bending (dihedral) ---
+    enable_bending: bool = False
+    bend_soften_sin_eps: float = 0.01   # CPUBendingConstraint.cs:92 stability band
+    bend_skip_sin_eps: float = 1e-5     # CPUBendingConstraint.cs:93 hard skip
+    bend_soften_factor: float = 100.0   # CPUBendingConstraint.cs:105
+
+    # --- volume / pressure (BASELINE config 3; seeded by the unused
+    #     CalculateVolume helper XPBDSimulatorCS.compute:220-223 and the
+    #     commented AddVolumeConstraints SoftBodySimulator.cs:187-212) ---
+    enable_volume: bool = False
+    volume_compliance: float = 0.0
+    pressure: float = 1.0             # target volume multiplier (>1 inflates)
+
+    # --- collisions ---
+    floor_mode: FloorMode = FloorMode.XPBD_INEQUALITY
+    ground_height: float = 0.0        # SoftBodyCPU.cs:31
+    collision_compliance: float = 0.0 # SoftBodyCPU.cs:32
+    friction: float = 0.1             # SoftBodyCPU.cs:33
+    restitution: float = 0.1          # XPBDSoftBody.compute:294
+    floor_offset: float = 0.0         # XPBDSoftBody.compute:288 uses 1e-3
+    penetration_kick: float = 10.0    # XPBDSoftBody.compute:295
+    normal_force_scale: float = 100.0 # XPBDSoftBody.compute:298
+    floor_friction_coeff: float = 0.5 # XPBDSoftBody.compute:299
+
+    # sphere SDF colliders: static scene spheres; count fixed at trace time.
+    # Each entry: (cx, cy, cz, radius). Friction shared with `friction`.
+    sphere_colliders: Tuple[Tuple[float, float, float, float], ...] = ()
+
+    # --- self-collision (BASELINE config 4; seed: SphereCollision helper
+    #     XPBDSimulatorCS.compute:213-217) ---
+    enable_self_collision: bool = False
+    particle_radius: float = 0.05
+    hash_grid_dim: int = 32           # cells per axis of the bounded hash grid
+    hash_cell_capacity: int = 8       # max particles examined per cell
+    self_collision_omega: float = 0.5
+
+    # --- numerical guards ---
+    eps_length: float = 1e-5          # CPUDistanceConstraint.cs:64 degenerate length
+    eps_denominator: float = 1e-5     # CPUDistanceConstraint.cs:94
+    static_inv_mass_eps: float = 1e-5 # CPUDistanceConstraint.cs:48 'both static'
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def gravity3(self):
+        return self.gravity
+
+    def __post_init__(self):
+        if self.substeps < 1:
+            raise ValueError("substeps must be >= 1")
+        if self.iterations < 1:
+            raise ValueError("iterations must be >= 1")
+        if not (0.0 <= self.damping <= 1.0):
+            raise ValueError("damping must be in [0, 1]")

@@ -1,0 +1,242 @@
+"""SimState / Topology pytrees.
+
+The functional heart of the rebuild: the reference's mutable MonoBehaviour +
+ComputeBuffer state (``SoftBodySimulator.cs:33-42``, ``Models/Particle.cs``,
+``Models/DistanceConstraint.cs``, ``SoftBodyParticleCPU.cs``) collapses into
+two immutable pytrees:
+
+* ``SimState``  — everything that evolves in time (positions, velocities,
+  inverse masses, external-force accumulator, accumulated Lagrange
+  multipliers).  Advanced purely functionally by the solvers; lives on device
+  for the whole simulation (zero per-step host round-trips, deleting the
+  SetData/GetData chatter catalogued in SURVEY.md §2.5).
+* ``Topology``  — everything static: edge list, rest lengths, compliances,
+  color buckets, bending hinges, surface triangles.  Built once on host by
+  ``topology/``, then uploaded.
+
+Both are registered dataclasses, so they are checkpointable for free
+(``io/checkpoint.py``) and compose with jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class SimState:
+    """Dynamic simulation state.
+
+    Field mapping to the reference:
+      positions / velocities / inv_mass  -> SoftBodyParticleCPU.cs:5-21 and the
+                                            GPU Particle struct (XPBDSoftBody.compute:11-17)
+      ext_force                          -> ExternalForceAccumulator
+                                            (SoftBodyParticleCPU.cs:12, cleared each step)
+      lambda_dist / lambda_bend / lambda_volume
+                                         -> per-constraint accumulated XPBD multipliers
+                                            (Constraint.lambda, XPBDSoftBody.compute:25;
+                                            _lagrangeBuffer, SoftBodyGPU.cs:144)
+    ``inv_mass == 0`` marks a pinned particle (SoftBodySimulator.cs:953).
+    """
+
+    positions: jax.Array          # (N, 3) f32
+    velocities: jax.Array         # (N, 3) f32
+    inv_mass: jax.Array           # (N,)   f32; 0 = pinned
+    ext_force: jax.Array          # (N, 3) f32; consumed & zeroed on first substep
+    lambda_dist: jax.Array        # (E,)   f32
+    lambda_bend: jax.Array        # (H,)   f32 (H may be 0)
+    lambda_volume: jax.Array      # ()     f32
+
+    @property
+    def n_particles(self) -> int:
+        return self.positions.shape[0]
+
+    def replace(self, **kw) -> "SimState":
+        return dataclasses.replace(self, **kw)
+
+    def block_until_ready(self) -> "SimState":
+        jax.block_until_ready(self.positions)
+        return self
+
+
+_register(
+    SimState,
+    data_fields=(
+        "positions",
+        "velocities",
+        "inv_mass",
+        "ext_force",
+        "lambda_dist",
+        "lambda_bend",
+        "lambda_volume",
+    ),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Topology:
+    """Static constraint topology (device arrays; shapes fixed at trace time).
+
+    edges / rest_lengths / compliance — distance constraints
+      (built from mesh edges ``SoftBodyCPU.cs:160-201`` or lattice generators
+      ``SoftBodySimulator.cs:214-290``).
+    colors — per-edge color id from graph coloring
+      (``SoftBodySimulator.cs:292-364``, ``GraphClustering.cs``); used by the
+      COLORED solve mode.  ``num_colors`` is static metadata.
+    col_* — padded per-color buckets (num_colors, max_per_color): edge indices
+      and validity mask, precomputed so each color pass is a fixed-shape
+      gather/scatter with no shared particles inside a pass.
+    hinges / rest_angles / bend_compliance — dihedral bending constraints
+      (``SoftBodyCPU.cs:203-266``; hinge = [A, B, C, D], hinge edge A-B,
+      opposite tips C, D).
+    bend_colors / bcol_* — same coloring machinery for hinges.
+    triangles — surface triangles (for normals, volume constraint, export).
+    rest_volume — signed volume of the closed surface at rest.
+    degree — per-particle constraint degree (for Jacobi auto-relaxation).
+    """
+
+    edges: jax.Array              # (E, 2) i32
+    rest_lengths: jax.Array       # (E,)   f32
+    compliance: jax.Array         # (E,)   f32
+    colors: jax.Array             # (E,)   i32
+    col_edge_ids: jax.Array       # (C, M) i32 — indices into edges
+    col_valid: jax.Array          # (C, M) f32 — 1.0 valid / 0.0 padding
+    hinges: jax.Array             # (H, 4) i32
+    rest_angles: jax.Array        # (H,)   f32
+    bend_compliance: jax.Array    # (H,)   f32
+    bend_colors: jax.Array        # (H,)   i32
+    bcol_hinge_ids: jax.Array     # (Cb, Mb) i32
+    bcol_valid: jax.Array         # (Cb, Mb) f32
+    triangles: jax.Array          # (T, 3) i32
+    rest_volume: jax.Array        # ()     f32
+    degree: jax.Array             # (N,)   f32
+    bend_degree: jax.Array        # (N,)   f32 — per-particle hinge incidence
+    num_colors: int               # static
+    num_bend_colors: int          # static
+    n_particles: int              # static
+
+    @property
+    def n_edges(self) -> int:
+        return self.edges.shape[0]
+
+    @property
+    def n_hinges(self) -> int:
+        return self.hinges.shape[0]
+
+    def replace(self, **kw) -> "Topology":
+        return dataclasses.replace(self, **kw)
+
+
+_register(
+    Topology,
+    data_fields=(
+        "edges",
+        "rest_lengths",
+        "compliance",
+        "colors",
+        "col_edge_ids",
+        "col_valid",
+        "hinges",
+        "rest_angles",
+        "bend_compliance",
+        "bend_colors",
+        "bcol_hinge_ids",
+        "bcol_valid",
+        "triangles",
+        "rest_volume",
+        "degree",
+        "bend_degree",
+    ),
+    meta_fields=("num_colors", "num_bend_colors", "n_particles"),
+)
+
+
+def make_state(
+    positions,
+    inv_mass=None,
+    velocities=None,
+    n_edges: Optional[int] = None,
+    n_hinges: int = 0,
+    mass: float = 1.0,
+    dtype=jnp.float32,
+) -> SimState:
+    """Construct an initial SimState.
+
+    ``mass`` mirrors particle construction ``SoftBodyParticleCPU.cs:14-23``:
+    uniform particle mass, inv_mass = 1/mass, with mass <= 1e-4 meaning pinned.
+    """
+    positions = jnp.asarray(positions, dtype=dtype)
+    n = positions.shape[0]
+    if velocities is None:
+        velocities = jnp.zeros_like(positions)
+    else:
+        velocities = jnp.asarray(velocities, dtype=dtype)
+    if inv_mass is None:
+        inv = 0.0 if mass <= 1e-4 else 1.0 / mass
+        inv_mass = jnp.full((n,), inv, dtype=dtype)
+    else:
+        inv_mass = jnp.asarray(inv_mass, dtype=dtype)
+    if n_edges is None:
+        raise ValueError("n_edges required (pass topology.n_edges)")
+    return SimState(
+        positions=positions,
+        velocities=velocities,
+        inv_mass=inv_mass,
+        ext_force=jnp.zeros_like(positions),
+        lambda_dist=jnp.zeros((n_edges,), dtype=dtype),
+        lambda_bend=jnp.zeros((n_hinges,), dtype=dtype),
+        lambda_volume=jnp.zeros((), dtype=dtype),
+    )
+
+
+def state_from_topology(topology: Topology, positions, **kw) -> SimState:
+    return make_state(
+        positions,
+        n_edges=topology.n_edges,
+        n_hinges=topology.n_hinges,
+        **kw,
+    )
+
+
+def is_finite(state: SimState) -> jax.Array:
+    """Device-side health check: True iff every dynamic quantity is finite.
+
+    Replaces the reference's three NaN/Inf choke points (GPU scrub
+    ``XPBDSoftBody.compute:191-195``, readback scan
+    ``SoftBodySimulator.cs:841-847``, init try/catch) with one reduction.
+    """
+    ok = jnp.isfinite(state.positions).all()
+    ok &= jnp.isfinite(state.velocities).all()
+    ok &= jnp.isfinite(state.lambda_dist).all()
+    if state.lambda_bend.shape[0]:
+        ok &= jnp.isfinite(state.lambda_bend).all()
+    return ok
+
+
+def snapshot(state: SimState):
+    """Host-side deep copy for restart (SoftBodyGPU.cs:126-127)."""
+    return jax.tree.map(lambda x: np.asarray(x).copy(), state)
+
+
+def restore(state_like: SimState) -> SimState:
+    """Re-upload a (possibly host) snapshot; zero the multipliers
+    (RestartSimulation, SoftBodyGPU.cs:188-212)."""
+    dev = jax.tree.map(jnp.asarray, state_like)
+    return dev.replace(
+        lambda_dist=jnp.zeros_like(dev.lambda_dist),
+        lambda_bend=jnp.zeros_like(dev.lambda_bend),
+        lambda_volume=jnp.zeros_like(dev.lambda_volume),
+        ext_force=jnp.zeros_like(dev.ext_force),
+    )

@@ -1,0 +1,84 @@
+"""Collision projections: ground plane (two semantics) + sphere SDFs (jnp).
+
+Replaces the reference's PhysX-raycast floor discovery
+(``SoftBodySimulator.cs:777-788``) with a static scene description — the
+ground height and sphere colliders are solver-config constants baked into the
+compiled program, so collision handling never leaves the device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import SolverConfig
+
+
+def floor_project_xpbd(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
+    """Position-level inequality ground constraint + positional friction
+    (``SoftBodyCPU.cs:352-400``).  Applied to predicted positions during
+    solver iterations."""
+    gh = cfg.ground_height
+    pen = gh - pred[:, 1]                       # >0 when below ground
+    alpha = cfg.collision_compliance / (dt * dt)
+    denom = inv_mass + alpha
+    dl = pen / jnp.maximum(denom, 1e-30)
+    active = (pen > 0) & (inv_mass >= cfg.static_inv_mass_eps) \
+        & (jnp.abs(denom) >= cfg.eps_denominator)
+    dy = jnp.where(active, inv_mass * dl, 0.0)
+    pred = pred.at[:, 1].add(dy)
+
+    # positional friction on the tangential motion since step start
+    vel = (pred - prev_pos) / dt
+    vt = vel.at[:, 1].set(0.0)
+    fr = jnp.clip(cfg.friction, 0.0, 1.0)
+    pred = pred - jnp.where(active[:, None], vt * (dt * fr), 0.0)
+    return pred
+
+
+def floor_velocity_reflect(pos, vel, inv_mass, dt, cfg: SolverConfig):
+    """Velocity-level floor response of the flagship kernel
+    ``ApplyFloorConstraint`` (``XPBDSoftBody.compute:272-316``): project to
+    floor + offset, restitution plus penetration-proportional kick, and
+    velocity-level friction scaled by a pseudo normal force."""
+    gh = cfg.ground_height
+    pen = gh - pos[:, 1]
+    hit = (pen > 0) & (inv_mass > 0)
+
+    new_y = jnp.where(hit, gh + cfg.floor_offset, pos[:, 1])
+    pos = pos.at[:, 1].set(new_y)
+
+    falling = hit & (vel[:, 1] < 0)
+    vy = jnp.abs(vel[:, 1]) * cfg.restitution + pen * cfg.penetration_kick
+    vel_y = jnp.where(falling, vy, vel[:, 1])
+
+    normal_force = jnp.abs(vel_y) + pen * cfg.normal_force_scale
+    h_vel = jnp.stack([vel[:, 0], vel[:, 2]], axis=-1)
+    h_speed = jnp.linalg.norm(h_vel, axis=-1)
+    moving = h_speed > 1e-3
+    fdir = h_vel / jnp.maximum(h_speed, 1e-12)[:, None]
+    fmag = jnp.minimum(h_speed, normal_force * cfg.floor_friction_coeff * dt)
+    dv = jnp.where((falling & moving)[:, None], fdir * fmag[:, None], 0.0)
+
+    vel = jnp.stack([vel[:, 0] - dv[:, 0], vel_y, vel[:, 2] - dv[:, 1]], axis=-1)
+    return pos, vel
+
+
+def sphere_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
+    """Project predicted positions out of static sphere colliders with
+    positional friction (BASELINE config 3; the reference only sketched this
+    via the unused ``SphereCollision`` helper, ``XPBDSimulatorCS.compute:213-217``)."""
+    for cx, cy, cz, radius in cfg.sphere_colliders:
+        center = jnp.array([cx, cy, cz], dtype=pred.dtype)
+        d = pred - center
+        dist = jnp.linalg.norm(d, axis=-1)
+        n = d / jnp.maximum(dist, 1e-12)[:, None]
+        pen = radius - dist
+        active = (pen > 0) & (inv_mass >= cfg.static_inv_mass_eps)
+        pred = pred + jnp.where(active[:, None], n * pen[:, None], 0.0)
+        # positional friction in the contact tangent plane
+        vel = (pred - prev_pos) / dt
+        vn = jnp.sum(vel * n, axis=-1, keepdims=True) * n
+        vt = vel - vn
+        fr = jnp.clip(cfg.friction, 0.0, 1.0)
+        pred = pred - jnp.where(active[:, None], vt * (dt * fr), 0.0)
+    return pred

@@ -1,0 +1,85 @@
+"""Self-collision via a fixed-capacity spatial hash grid, fully jit-able.
+
+BASELINE config 4 capability.  The reference only carried the unused
+``SphereCollision`` helper (``XPBDSimulatorCS.compute:213-217``); this is a
+proper particle-particle resolver designed for XLA's static-shape regime:
+
+  1. quantize predicted positions to a bounded G^3 grid (dynamic *values*,
+     static *shapes*);
+  2. sort particle ids by cell id (one argsort);
+  3. each particle searches its 27 neighbor cells via vectorized
+     ``searchsorted`` and inspects up to ``hash_cell_capacity`` entries per
+     cell — a fixed (N, 27, K) gather block, masked;
+  4. overlapping pairs are separated by a Jacobi position correction with
+     under-relaxation (each pair discovered symmetrically, so per-particle
+     accumulation needs no scatter at all).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import SolverConfig
+
+_NEIGHBOR_OFFSETS = None
+
+
+def _offsets():
+    global _NEIGHBOR_OFFSETS
+    if _NEIGHBOR_OFFSETS is None:
+        import numpy as np
+
+        o = np.array(
+            [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+             for dz in (-1, 0, 1)],
+            dtype=np.int32,
+        )
+        _NEIGHBOR_OFFSETS = o
+    return _NEIGHBOR_OFFSETS
+
+
+def self_collision_project(pred, inv_mass, cfg: SolverConfig):
+    """One Jacobi separation pass.  Returns corrected predicted positions."""
+    n = pred.shape[0]
+    radius = cfg.particle_radius
+    cell = 2.0 * radius
+    g = cfg.hash_grid_dim
+    k = cfg.hash_cell_capacity
+
+    origin = pred.min(axis=0)
+    coords = jnp.clip(
+        jnp.floor((pred - origin) / cell).astype(jnp.int32), 0, g - 1
+    )
+    cid = (coords[:, 0] * g + coords[:, 1]) * g + coords[:, 2]
+
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+
+    offs = jnp.asarray(_offsets())  # (27, 3)
+    ncoords = coords[:, None, :] + offs[None, :, :]          # (N, 27, 3)
+    in_grid = ((ncoords >= 0) & (ncoords < g)).all(axis=-1)  # (N, 27)
+    ncid = (ncoords[..., 0] * g + ncoords[..., 1]) * g + ncoords[..., 2]
+
+    starts = jnp.searchsorted(sorted_cid, ncid.reshape(-1)).reshape(n, 27)
+    slot = starts[:, :, None] + jnp.arange(k)[None, None, :]  # (N, 27, K)
+    slot_ok = slot < n
+    slot_c = jnp.minimum(slot, n - 1)
+    cand_cid = sorted_cid[slot_c]
+    cand_idx = order[slot_c]
+    valid = slot_ok & (cand_cid == ncid[:, :, None]) & in_grid[:, :, None]
+
+    pj = pred[cand_idx]                       # (N, 27, K, 3)
+    wj = inv_mass[cand_idx]                   # (N, 27, K)
+    d = pred[:, None, None, :] - pj
+    dist = jnp.linalg.norm(d, axis=-1)
+    not_self = cand_idx != jnp.arange(n)[:, None, None]
+    overlap = 2.0 * radius - dist
+    wi = inv_mass[:, None, None]
+    wsum = wi + wj
+    touch = valid & not_self & (overlap > 0) & (dist > 1e-9) & (wsum > 1e-12)
+    ndir = d / jnp.maximum(dist, 1e-12)[..., None]
+    push = jnp.where(
+        touch, (wi / jnp.maximum(wsum, 1e-12)) * overlap, 0.0
+    )
+    corr = (ndir * push[..., None]).sum(axis=(1, 2))
+    return pred + cfg.self_collision_omega * corr

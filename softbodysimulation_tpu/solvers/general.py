@@ -1,0 +1,313 @@
+"""General-topology XPBD engine (arbitrary meshes) — one compiled program.
+
+The TPU-native replacement for ALL of the reference's per-kernel dispatch
+choreography: the flagship host loop (decay -> integrate -> per-color solve x
+iterations -> floor -> mesh update, ``SoftBodySimulator.cs:547-632``), the
+substep engine loop (predict -> zero lambdas -> N x solve -> collide ->
+finalize, ``SoftBodyGPU.cs:237-249``) and the canonical CPU loop
+(``SoftBodyCPU.cs:269-325``).  The entire step — substeps, solver iterations,
+every constraint family, collisions — is traced once and compiled into a
+single XLA program; interaction impulses ride in as state, so there are no
+host round-trips at all (deleting the SetData/GetData traffic of SURVEY §2.5).
+
+Two solve modes (``SolverConfig.solve_mode``):
+
+* COLORED — exact parallel Gauss-Seidel.  Host-side graph coloring
+  (``topology/coloring.py``) partitions constraints into conflict-free
+  groups; a ``lax.fori_loop`` over colors does one batched gather ->
+  project -> scatter per group.  Because no particle repeats within a group,
+  the batched update is arithmetically identical to the reference's
+  sequential sweep in color order — this is the oracle-matching mode.
+* JACOBI — all constraints projected simultaneously; corrections merged by
+  ``segment_sum`` under under-relaxation omega (default 1/avg-degree).  One
+  fused pass, no sequential color sweeps: the throughput mode, and the
+  deterministic, well-behaved answer to the racy free-for-all solver
+  (``XPBDSimulatorCS.compute:128-182``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import FloorMode, LambdaMode, SolveMode, SolverConfig
+from ..core.state import SimState, Topology
+from ..ops import bending as _bending
+from ..ops import collision as _collision
+from ..ops import distance as _distance
+from ..ops import integrate as _integrate
+from ..ops import spatial_hash as _spatial_hash
+from ..ops import volume as _volume
+
+
+# --------------------------------------------------------------- distance
+def _solve_distance_colored(pred, lam, inv_mass, topo: Topology,
+                            cfg: SolverConfig, dt):
+    edges = topo.edges
+    rest = topo.rest_lengths
+    comp = topo.compliance
+
+    def color_pass(c, carry):
+        pred, lam = carry
+        ids = topo.col_edge_ids[c]
+        validity = topo.col_valid[c]
+        ea = edges[ids, 0]
+        eb = edges[ids, 1]
+        pa = pred[ea]
+        pb = pred[eb]
+        wa = inv_mass[ea]
+        wb = inv_mass[eb]
+        dl, n = _distance.distance_delta_lambda(
+            pa, pb, wa, wb, rest[ids], comp[ids], lam[ids], dt, cfg)
+        dl = dl * validity
+        lam = lam.at[ids].add(dl)
+        if cfg.lambda_clamp > 0:
+            lam = jnp.clip(lam, -cfg.lambda_clamp, cfg.lambda_clamp)
+        dp = dl[:, None] * n
+        pred = pred.at[ea].add(-wa[:, None] * dp)
+        pred = pred.at[eb].add(wb[:, None] * dp)
+        return pred, lam
+
+    return lax.fori_loop(0, topo.num_colors, color_pass, (pred, lam))
+
+
+def _solve_distance_jacobi(pred, lam, inv_mass, topo: Topology,
+                           cfg: SolverConfig, dt, omega):
+    # Jacobi with per-particle degree averaging: every constraint is projected
+    # at full strength, then each particle applies the MEAN of the corrections
+    # targeting it (scaled by omega, default 1).  This matches Gauss-Seidel
+    # stiffness far better than a global 1/avg-degree damping — the
+    # north-star's "under-relaxation at matched stiffness" conversion —
+    # and is unconditionally race-free unlike XPBDSimulatorCS.compute:128-182.
+    edges = topo.edges
+    ea = edges[:, 0]
+    eb = edges[:, 1]
+    pa = pred[ea]
+    pb = pred[eb]
+    wa = inv_mass[ea]
+    wb = inv_mass[eb]
+    dl, n = _distance.distance_delta_lambda(
+        pa, pb, wa, wb, topo.rest_lengths, topo.compliance, lam, dt, cfg)
+    # per-edge under-relaxation 1/max(deg_a, deg_b): scales delta-lambda
+    # BEFORE both the multiplier update and the position correction, so the
+    # XPBD feedback term stays consistent with what was actually applied
+    # (scaling only positions would stall iterations at large C).
+    edge_scale = omega / jnp.maximum(
+        jnp.maximum(topo.degree[ea], topo.degree[eb]), 1.0)
+    dl = dl * edge_scale
+    lam = _distance.accumulate_lambda(lam, dl, cfg)
+    dp = dl[:, None] * n
+    contrib = jnp.concatenate([-wa[:, None] * dp, wb[:, None] * dp], axis=0)
+    idx = jnp.concatenate([ea, eb], axis=0)
+    delta = jax.ops.segment_sum(contrib, idx, num_segments=topo.n_particles)
+    return pred + delta, lam
+
+
+# ---------------------------------------------------------------- bending
+def _solve_bending_colored(pred, lam, inv_mass, topo: Topology,
+                           cfg: SolverConfig, dt):
+    hinges = topo.hinges
+
+    def color_pass(c, carry):
+        pred, lam = carry
+        ids = topo.bcol_hinge_ids[c]
+        validity = topo.bcol_valid[c]
+        ia, ib, ic, idd = (hinges[ids, k] for k in range(4))
+        dl, ga, gb, gc, gd = _bending.bending_delta_lambda(
+            pred[ia], pred[ib], pred[ic], pred[idd],
+            inv_mass[ia], inv_mass[ib], inv_mass[ic], inv_mass[idd],
+            topo.rest_angles[ids], topo.bend_compliance[ids], lam[ids],
+            dt, cfg)
+        dl = dl * validity
+        lam = lam.at[ids].add(dl)
+        dlb = dl[:, None]
+        pred = pred.at[ia].add(inv_mass[ia][:, None] * dlb * ga)
+        pred = pred.at[ib].add(inv_mass[ib][:, None] * dlb * gb)
+        pred = pred.at[ic].add(inv_mass[ic][:, None] * dlb * gc)
+        pred = pred.at[idd].add(inv_mass[idd][:, None] * dlb * gd)
+        return pred, lam
+
+    return lax.fori_loop(0, topo.num_bend_colors, color_pass, (pred, lam))
+
+
+def _solve_bending_jacobi(pred, lam, inv_mass, topo: Topology,
+                          cfg: SolverConfig, dt, omega):
+    hinges = topo.hinges
+    ia, ib, ic, idd = (hinges[:, k] for k in range(4))
+    dl, ga, gb, gc, gd = _bending.bending_delta_lambda(
+        pred[ia], pred[ib], pred[ic], pred[idd],
+        inv_mass[ia], inv_mass[ib], inv_mass[ic], inv_mass[idd],
+        topo.rest_angles, topo.bend_compliance, lam, dt, cfg)
+    bd = topo.bend_degree
+    hinge_scale = omega / jnp.maximum(
+        jnp.maximum(jnp.maximum(bd[ia], bd[ib]),
+                    jnp.maximum(bd[ic], bd[idd])), 1.0)
+    dl = dl * hinge_scale
+    lam = lam + dl
+    dlb = dl[:, None]
+    contrib = jnp.concatenate([
+        inv_mass[ia][:, None] * dlb * ga,
+        inv_mass[ib][:, None] * dlb * gb,
+        inv_mass[ic][:, None] * dlb * gc,
+        inv_mass[idd][:, None] * dlb * gd,
+    ], axis=0)
+    idx = jnp.concatenate([ia, ib, ic, idd], axis=0)
+    delta = jax.ops.segment_sum(contrib, idx, num_segments=topo.n_particles)
+    return pred + delta, lam
+
+
+# ---------------------------------------------------------------- substep
+def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
+             apply_ext):
+    # lambda lifecycle (LambdaMode docstring)
+    if cfg.lambda_mode == LambdaMode.RESET:
+        lam_d = jnp.zeros_like(state.lambda_dist)
+        lam_b = jnp.zeros_like(state.lambda_bend)
+        lam_v = jnp.zeros_like(state.lambda_volume)
+    else:
+        lam_d = state.lambda_dist * cfg.lambda_decay
+        lam_b = state.lambda_bend * cfg.lambda_decay
+        lam_v = state.lambda_volume * cfg.lambda_decay
+
+    pred, vel = _integrate.predict(
+        state.positions, state.velocities, state.inv_mass, state.ext_force,
+        dt, cfg, apply_ext=apply_ext)
+
+    # omega scales the degree-averaged Jacobi update; 1.0 (the default) gives
+    # GS-matched stiffness, <1 softens, >1 over-relaxes.
+    omega = jnp.asarray(cfg.omega if cfg.omega > 0 else 1.0, pred.dtype)
+
+    has_bending = cfg.enable_bending and topo.n_hinges > 0
+    has_volume = cfg.enable_volume and topo.triangles.shape[0] > 0
+
+    def project_all(pred, lam_d, lam_b, lam_v):
+        """One full projection sweep over every constraint family."""
+        if cfg.solve_mode == SolveMode.COLORED:
+            pred, lam_d = _solve_distance_colored(
+                pred, lam_d, state.inv_mass, topo, cfg, dt)
+        else:
+            pred, lam_d = _solve_distance_jacobi(
+                pred, lam_d, state.inv_mass, topo, cfg, dt, omega)
+        if has_bending:
+            if cfg.solve_mode == SolveMode.COLORED:
+                pred, lam_b = _solve_bending_colored(
+                    pred, lam_b, state.inv_mass, topo, cfg, dt)
+            else:
+                pred, lam_b = _solve_bending_jacobi(
+                    pred, lam_b, state.inv_mass, topo, cfg, dt, omega)
+        if has_volume:
+            pred, lam_v = _volume.volume_project(
+                pred, state.inv_mass, topo.triangles, topo.rest_volume,
+                lam_v, dt, cfg)
+        if cfg.enable_self_collision:
+            pred = _spatial_hash.self_collision_project(
+                pred, state.inv_mass, cfg)
+        if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
+            pred = _collision.floor_project_xpbd(
+                pred, state.positions, state.inv_mass, dt, cfg)
+        if cfg.sphere_colliders:
+            pred = _collision.sphere_sdf_project(
+                pred, state.positions, state.inv_mass, dt, cfg)
+        return pred, lam_d, lam_b, lam_v
+
+    accelerate = (cfg.solve_mode == SolveMode.JACOBI and cfg.jacobi_rho > 0
+                  and cfg.iterations > cfg.jacobi_cheby_delay)
+    if accelerate:
+        # Chebyshev semi-iterative acceleration (the standard accelerated-PBD
+        # recurrence): Jacobi is all-parallel but propagates information one
+        # edge per iteration; the momentum term restores Gauss-Seidel-class
+        # convergence while keeping the solver a single fused data-parallel
+        # pass — the TPU answer to the reference's sequential color sweeps.
+        rho2 = cfg.jacobi_rho ** 2
+        gamma = cfg.jacobi_gamma
+
+        def iteration(k, carry):
+            pred_prev, pred, lam_d, lam_b, lam_v, om = carry
+            new, lam_d, lam_b, lam_v = project_all(pred, lam_d, lam_b, lam_v)
+            om_next = jnp.where(
+                k < cfg.jacobi_cheby_delay, 1.0,
+                jnp.where(k == cfg.jacobi_cheby_delay, 2.0 / (2.0 - rho2),
+                          4.0 / (4.0 - rho2 * om)))
+            acc = om_next * (gamma * (new - pred) + pred - pred_prev) \
+                + pred_prev
+            return pred, acc, lam_d, lam_b, lam_v, om_next
+
+        _, pred, lam_d, lam_b, lam_v, _ = lax.fori_loop(
+            0, cfg.iterations, iteration,
+            (pred, pred, lam_d, lam_b, lam_v, jnp.ones((), pred.dtype)))
+    else:
+        def iteration(_, carry):
+            return project_all(*carry)
+
+        pred, lam_d, lam_b, lam_v = lax.fori_loop(
+            0, cfg.iterations, iteration, (pred, lam_d, lam_b, lam_v))
+
+    # finalize with the velocities produced by predict (reference keeps
+    # velocity purely derived from positions: SoftBodyCPU.cs:314-324)
+    x, v = _integrate.finalize(state.positions, pred, state.inv_mass, dt)
+
+    if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
+        # flagship-style velocity-level floor response, applied post-substep
+        # (XPBDSoftBody.compute:272-316; the flagship has no predict/finalize
+        # split, so 'after finalize' is the faithful placement here)
+        x, v = _collision.floor_velocity_reflect(x, v, state.inv_mass, dt, cfg)
+
+    return state.replace(
+        positions=x,
+        velocities=v,
+        lambda_dist=lam_d,
+        lambda_bend=lam_b,
+        lambda_volume=lam_v,
+    )
+
+
+def step_fn(state: SimState, topo: Topology, cfg: SolverConfig,
+            dt: float) -> SimState:
+    """One physics step = ``cfg.substeps`` substeps under lax.scan.
+
+    External forces (``state.ext_force``) are consumed on the first substep
+    and zeroed afterwards, matching the reference's accumulate-then-clear
+    force lifecycle (``SoftBodyParticleCPU.cs:25-33``,
+    ``XPBDSoftBody.compute:100-101``).
+    """
+    dt_sub = dt / cfg.substeps
+    if cfg.substeps == 1:
+        state = _substep(state, topo, cfg, dt_sub, apply_ext=True)
+    else:
+        state = _substep(state, topo, cfg, dt_sub, apply_ext=True)
+
+        def body(carry, _):
+            return _substep(carry, topo, cfg, dt_sub, apply_ext=False), None
+
+        state, _ = lax.scan(body, state, None, length=cfg.substeps - 1)
+    return state.replace(ext_force=jnp.zeros_like(state.ext_force))
+
+
+def multi_step_fn(state: SimState, topo: Topology, cfg: SolverConfig,
+                  dt: float, n_steps: int) -> SimState:
+    """n_steps physics steps fused into one device program (for benchmarks
+    and long offline rollouts — zero host involvement)."""
+    def body(carry, _):
+        return step_fn(carry, topo, cfg, dt), None
+
+    state, _ = lax.scan(body, state, None, length=n_steps)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dt"))
+def step(state: SimState, topo: Topology, cfg: SolverConfig,
+         dt: float) -> SimState:
+    return step_fn(state, topo, cfg, dt)
+
+
+def make_step(topo: Topology, cfg: SolverConfig, dt: float, n_steps: int = 1):
+    """Build a jitted ``state -> state`` advancing ``n_steps`` steps."""
+    @jax.jit
+    def fn(state: SimState) -> SimState:
+        return multi_step_fn(state, topo, cfg, dt, n_steps)
+
+    return fn

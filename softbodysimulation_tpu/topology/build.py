@@ -1,0 +1,137 @@
+"""Assemble a device-resident ``Topology`` from host-side mesh/lattice data.
+
+This is the boundary between the host preprocessing layer (NumPy, runs once —
+the analog of the reference's Start()/GenerateMesh() path,
+``SoftBodySimulator.cs:51-153``) and the compiled device program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import Topology
+from . import coloring as _coloring
+from . import edges as _edges
+from . import mesh as _mesh
+
+
+def build_topology(
+    positions: np.ndarray,
+    edges: np.ndarray,
+    compliance,
+    hinges: Optional[np.ndarray] = None,
+    bend_compliance=0.1,
+    triangles: Optional[np.ndarray] = None,
+    color: bool = True,
+    color_strategy: str = "greedy",
+    rest_lengths: Optional[np.ndarray] = None,
+    rest_angles: Optional[np.ndarray] = None,
+) -> Topology:
+    """Build the static constraint topology.
+
+    positions  — (N,3) rest positions (rest lengths/angles measured here,
+                 as in ``SoftBodyCPU.cs:182`` / ``:256``).
+    edges      — (E,2) int distance constraints.
+    compliance — scalar or (E,) XPBD compliance per edge.
+    hinges     — (H,4) dihedral bending constraints or None.
+    triangles  — (T,3) surface triangles (normals/volume/export) or None.
+    """
+    positions = np.asarray(positions, dtype=np.float64)
+    n = positions.shape[0]
+    edges = np.asarray(edges, dtype=np.int32).reshape(-1, 2)
+    e = edges.shape[0]
+    comp = np.broadcast_to(np.asarray(compliance, np.float32), (e,)).copy()
+    if rest_lengths is None:
+        rest_lengths = _edges.edge_rest_lengths(positions, edges)
+    else:
+        rest_lengths = np.asarray(rest_lengths, np.float32)
+
+    if hinges is None:
+        hinges = np.zeros((0, 4), np.int32)
+    hinges = np.asarray(hinges, dtype=np.int32).reshape(-1, 4)
+    h = hinges.shape[0]
+    bcomp = np.broadcast_to(np.asarray(bend_compliance, np.float32), (h,)).copy()
+    if rest_angles is None:
+        rest_angles = _edges.hinge_rest_angles(positions, hinges)
+    else:
+        rest_angles = np.asarray(rest_angles, np.float32)
+
+    if triangles is None:
+        triangles = np.zeros((0, 3), np.int32)
+    triangles = np.asarray(triangles, dtype=np.int32).reshape(-1, 3)
+    rest_volume = (
+        _mesh.signed_volume(positions, triangles) if triangles.shape[0] else 0.0
+    )
+
+    color_fn = {
+        "greedy": _coloring.greedy_color,
+        "cluster": _coloring.cluster_color,
+    }[color_strategy]
+    if color and e:
+        colors = color_fn(edges, n)
+    else:
+        colors = np.zeros((e,), np.int32)
+    col_ids, col_valid, num_colors = _coloring.color_buckets(colors)
+
+    if color and h:
+        bcolors = color_fn(hinges, n)
+    else:
+        bcolors = np.zeros((h,), np.int32)
+    bcol_ids, bcol_valid, num_bcolors = _coloring.color_buckets(bcolors)
+
+    deg = np.bincount(edges.reshape(-1), minlength=n).astype(np.float32)
+    bdeg = np.bincount(hinges.reshape(-1), minlength=n).astype(np.float32)
+
+    return Topology(
+        edges=jnp.asarray(edges),
+        rest_lengths=jnp.asarray(rest_lengths),
+        compliance=jnp.asarray(comp),
+        colors=jnp.asarray(colors),
+        col_edge_ids=jnp.asarray(col_ids),
+        col_valid=jnp.asarray(col_valid),
+        hinges=jnp.asarray(hinges),
+        rest_angles=jnp.asarray(rest_angles),
+        bend_compliance=jnp.asarray(bcomp),
+        bend_colors=jnp.asarray(bcolors),
+        bcol_hinge_ids=jnp.asarray(bcol_ids),
+        bcol_valid=jnp.asarray(bcol_valid),
+        triangles=jnp.asarray(triangles),
+        rest_volume=jnp.asarray(rest_volume, dtype=jnp.float32),
+        degree=jnp.asarray(deg),
+        bend_degree=jnp.asarray(bdeg),
+        num_colors=num_colors,
+        num_bend_colors=num_bcolors,
+        n_particles=n,
+    )
+
+
+def topology_from_mesh(
+    mesh: "_mesh.TriMesh",
+    compliance: float = 0.01,
+    bending: bool = False,
+    bend_compliance: float = 0.1,
+    weld_eps: float = 0.0,
+    **kw,
+):
+    """Mesh -> particles + edge/hinge constraints, the
+    ``InitializeSoftBodyFromMesh`` path (``SoftBodyCPU.cs:121-157``).
+    Returns (positions, Topology).  ``weld_eps > 0`` welds first
+    (``SoftBodyGPU.cs:121``)."""
+    verts, tris = mesh.vertices, mesh.triangles
+    if weld_eps > 0:
+        verts, tris, _ = _edges.weld(verts, tris, weld_eps)
+    e = _edges.unique_edges(tris)
+    hn = _edges.hinges(tris) if bending else None
+    topo = build_topology(
+        verts,
+        e,
+        compliance,
+        hinges=hn,
+        bend_compliance=bend_compliance,
+        triangles=tris,
+        **kw,
+    )
+    return verts.astype(np.float32), topo

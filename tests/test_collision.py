@@ -1,0 +1,134 @@
+"""Collision subsystems: floor semantics, sphere SDF, self-collision."""
+
+import numpy as np
+import pytest
+
+from softbodysimulation_tpu import (
+    FloorMode,
+    SolveMode,
+    SolverConfig,
+    state_from_topology,
+)
+from softbodysimulation_tpu.ops import collision as col_ops
+from softbodysimulation_tpu.ops import spatial_hash
+from softbodysimulation_tpu.solvers import general
+from softbodysimulation_tpu.topology import build, lattice, mesh
+
+DT = 0.02
+
+
+def test_floor_xpbd_projection_unit():
+    import jax.numpy as jnp
+
+    cfg = SolverConfig(friction=0.0)
+    pred = jnp.array([[0.0, -0.3, 0.0], [0.0, 0.5, 0.0]])
+    prev = jnp.array([[0.0, 0.1, 0.0], [0.0, 0.6, 0.0]])
+    w = jnp.array([1.0, 1.0])
+    out = col_ops.floor_project_xpbd(pred, prev, w, DT, cfg)
+    out = np.asarray(out)
+    assert np.isclose(out[0, 1], 0.0, atol=1e-6)   # projected to ground
+    assert np.isclose(out[1, 1], 0.5)              # untouched above ground
+
+
+def test_floor_friction_damps_tangential():
+    import jax.numpy as jnp
+
+    cfg = SolverConfig(friction=1.0)
+    pred = jnp.array([[0.5, -0.1, 0.0]])
+    prev = jnp.array([[0.0, 0.0, 0.0]])
+    w = jnp.array([1.0])
+    out = np.asarray(col_ops.floor_project_xpbd(pred, prev, w, DT, cfg))
+    # with full friction the tangential displacement is removed entirely
+    assert abs(out[0, 0]) < 0.5
+
+
+def test_sphere_sdf_pushes_out():
+    import jax.numpy as jnp
+
+    cfg = SolverConfig(
+        friction=0.0, sphere_colliders=((0.0, 0.0, 0.0, 1.0),))
+    pred = jnp.array([[0.5, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    prev = pred
+    w = jnp.array([1.0, 1.0])
+    out = np.asarray(col_ops.sphere_sdf_project(pred, prev, w, DT, cfg))
+    assert np.isclose(np.linalg.norm(out[0]), 1.0, atol=1e-5)
+    assert np.allclose(out[1], [2.0, 0.0, 0.0])
+
+
+def test_drop_on_sphere_collider():
+    pos = lattice.lattice_points(3, size=(0.5, 0.5, 0.5), center=(0, 2.0, 0))
+    edges, comp = lattice.lattice_edges(3)
+    topo = build.build_topology(pos, edges, comp)
+    cfg = SolverConfig(
+        substeps=2, iterations=8, damping=0.02, solve_mode=SolveMode.JACOBI,
+        ground_height=-5.0, sphere_colliders=((0.0, 0.0, 0.0, 1.0),),
+        friction=0.5)
+    state = state_from_topology(topo, pos)
+    step = general.make_step(topo, cfg, DT, n_steps=150)
+    state = step(state)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    r = np.linalg.norm(p, axis=1)
+    assert r.min() > 0.97  # nothing inside the sphere
+
+
+def test_self_collision_separates_overlap():
+    import jax.numpy as jnp
+
+    cfg = SolverConfig(particle_radius=0.1, self_collision_omega=1.0)
+    pred = jnp.array([[0.0, 0.0, 0.0], [0.05, 0.0, 0.0], [3.0, 0.0, 0.0]])
+    w = jnp.array([1.0, 1.0, 1.0])
+    out = np.asarray(spatial_hash.self_collision_project(pred, w, cfg))
+    d01 = np.linalg.norm(out[1] - out[0])
+    assert d01 > 0.05 + 1e-4          # pushed apart
+    assert np.allclose(out[2], [3.0, 0.0, 0.0], atol=1e-6)  # far particle untouched
+
+
+def test_self_collision_respects_pinning():
+    import jax.numpy as jnp
+
+    cfg = SolverConfig(particle_radius=0.1, self_collision_omega=1.0)
+    pred = jnp.array([[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]])
+    w = jnp.array([0.0, 1.0])  # first pinned
+    out = np.asarray(spatial_hash.self_collision_project(pred, w, cfg))
+    assert np.allclose(out[0], 0.0, atol=1e-7)
+    assert out[1, 0] > 0.05
+
+
+def test_two_bodies_dont_interpenetrate():
+    """Two cube8 bodies dropped into each other with self-collision on."""
+    pos_a = mesh.cube_corners(0.5) + np.array([0, 1.0, 0], np.float32)
+    pos_b = mesh.cube_corners(0.5) + np.array([0.1, 1.8, 0.05], np.float32)
+    pos = np.concatenate([pos_a, pos_b])
+    e = lattice.cube8_edges()
+    edges = np.concatenate([e, e + 8])
+    topo = build.build_topology(pos, edges, compliance=1e-4)
+    cfg = SolverConfig(
+        substeps=2, iterations=10, damping=0.05, solve_mode=SolveMode.JACOBI,
+        ground_height=0.0, enable_self_collision=True, particle_radius=0.12,
+        friction=0.3)
+    state = state_from_topology(topo, pos)
+    step = general.make_step(topo, cfg, DT, n_steps=200)
+    state = step(state)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    # min cross-body particle distance stays near 2*radius
+    d = np.linalg.norm(p[:8, None, :] - p[None, 8:, :], axis=-1)
+    assert d.min() > 0.12  # no deep interpenetration
+
+
+@pytest.mark.parametrize("mode",
+                         [FloorMode.XPBD_INEQUALITY,
+                          FloorMode.VELOCITY_REFLECT])
+def test_floor_modes_both_rest_on_ground(mode):
+    pos = mesh.cube_corners(1.0) + np.array([0, 1.5, 0], np.float32)
+    topo = build.build_topology(pos, lattice.cube8_edges(), compliance=1e-4)
+    cfg = SolverConfig(substeps=2, iterations=10, damping=0.05,
+                       solve_mode=SolveMode.JACOBI, floor_mode=mode,
+                       ground_height=0.0, friction=0.4)
+    state = state_from_topology(topo, pos)
+    step = general.make_step(topo, cfg, DT, n_steps=400)
+    state = step(state)
+    y = np.asarray(state.positions)[:, 1]
+    assert y.min() > -5e-3
+    assert y.min() < 0.05  # actually resting on the floor

@@ -1,0 +1,170 @@
+"""Cross-implementation oracle tests (SURVEY §4.3): device engines validated
+against the frozen NumPy sequential Gauss-Seidel oracle — the same shape as
+the reference's trusted-CPU-vs-GPU scheme (``SoftBodySimulator.cs:640-775``,
+auto-fallback on NaN), but with numbers.
+
+The headline accuracy metric (BASELINE.md): 10k-step position drift <= 1e-3.
+The full 10k run lives in the slow marker / bench; here we verify tight drift
+over shorter horizons on several scenes plus a medium-length settle-to-rest
+run, which bounds the 10k number since both trajectories reach the same
+fixed point.
+"""
+
+import numpy as np
+import pytest
+
+from softbodysimulation_tpu import (
+    FloorMode,
+    SolveMode,
+    SolverConfig,
+    state_from_topology,
+)
+from softbodysimulation_tpu.solvers import general, reference_cpu
+from softbodysimulation_tpu.topology import build, lattice, mesh
+
+DT = 0.02
+
+
+def make_scene(kind: str):
+    if kind == "cube8":
+        pos = mesh.cube_corners(1.0) + np.array([0, 2.0, 0], np.float32)
+        edges = lattice.cube8_edges()
+        topo = build.build_topology(pos, edges, compliance=0.01)
+        cfg = SolverConfig(substeps=1, iterations=10, damping=0.01,
+                           solve_mode=SolveMode.COLORED, ground_height=0.0)
+    elif kind == "lattice3":
+        pos = lattice.lattice_points(3, center=(0, 1.5, 0))
+        edges, comp = lattice.lattice_edges(3)
+        topo = build.build_topology(pos, edges, comp)
+        cfg = SolverConfig(substeps=2, iterations=8, damping=0.02,
+                           solve_mode=SolveMode.COLORED, ground_height=0.0,
+                           friction=0.3)
+    elif kind == "bending_plane":
+        m = mesh.grid_plane(1.0, 4)
+        pos, topo = build.topology_from_mesh(
+            m, compliance=1e-4, bending=True, bend_compliance=1e-3)
+        pos = pos + np.array([0, 1.0, 0], np.float32)
+        cfg = SolverConfig(substeps=1, iterations=6, damping=0.02,
+                           solve_mode=SolveMode.COLORED, ground_height=0.0,
+                           enable_bending=True)
+    elif kind == "clamped":
+        # exercises the reference's clamp knobs (max_dlambda from
+        # CPUDistanceConstraint, per Scenes/CpuMesh.unity lambda clamp 1e-3)
+        pos = mesh.cube_corners(1.0) + np.array([0, 1.0, 0], np.float32)
+        edges = lattice.cube8_edges()
+        topo = build.build_topology(pos, edges, compliance=1e-6)
+        cfg = SolverConfig(substeps=1, iterations=15, damping=0.01,
+                           solve_mode=SolveMode.COLORED, ground_height=0.0,
+                           max_dlambda=1e-3)
+    else:
+        raise KeyError(kind)
+    return pos, topo, cfg
+
+
+def make_oracle(pos, topo, cfg, inv_mass):
+    hinges = np.asarray(topo.hinges)
+    return reference_cpu.ReferenceSolver(
+        pos, np.asarray(topo.edges), np.asarray(topo.rest_lengths),
+        np.asarray(topo.compliance), inv_mass, cfg,
+        hinges=hinges if len(hinges) and cfg.enable_bending else None,
+        rest_angles=np.asarray(topo.rest_angles),
+        bend_compliance=np.asarray(topo.bend_compliance),
+        colors=np.asarray(topo.colors),
+        bend_colors=np.asarray(topo.bend_colors),
+    )
+
+
+@pytest.mark.parametrize(
+    # lattice3 bounces chaotically at contact, which amplifies f32 rounding
+    # differences before both settle to the same rest state — hence the wider
+    # (still < 1e-3 headline) bound there.
+    "kind,steps,tol",
+    [("cube8", 150, 5e-5), ("lattice3", 300, 1e-3),
+     ("bending_plane", 150, 5e-5), ("clamped", 150, 5e-5)])
+def test_colored_engine_matches_oracle(kind, steps, tol):
+    pos, topo, cfg = make_scene(kind)
+    state = state_from_topology(topo, pos)
+    oracle = make_oracle(pos, topo, cfg, np.asarray(state.inv_mass))
+    step = general.make_step(topo, cfg, DT)
+    for _ in range(steps):
+        state = step(state)
+        oracle.step(DT)
+    drift = np.abs(np.asarray(state.positions) - oracle.x).max()
+    assert drift < tol, f"drift {drift} on {kind}"
+
+
+def test_colored_engine_drift_after_settling():
+    """Settle-to-rest run: cube dropped on the floor; both implementations
+    must land on the same rest state (this is what bounds the 10k metric)."""
+    pos, topo, cfg = make_scene("cube8")
+    state = state_from_topology(topo, pos)
+    oracle = make_oracle(pos, topo, cfg, np.asarray(state.inv_mass))
+    step = general.make_step(topo, cfg, DT, n_steps=10)
+    for _ in range(100):  # 1000 steps
+        state = step(state)
+    for _ in range(1000):
+        oracle.step(DT)
+    drift = np.abs(np.asarray(state.positions) - oracle.x).max()
+    assert drift < 1e-3, f"settled drift {drift}"
+    # settled: velocities near zero in both
+    assert np.abs(np.asarray(state.velocities)).max() < 1e-3
+    assert np.abs(oracle.v).max() < 1e-3
+
+
+def test_jacobi_reaches_same_rest_state():
+    """Jacobi with under-relaxation must settle to the same constraint
+    manifold as Gauss-Seidel (equilibria coincide even though trajectories
+    differ) — the north star's GS->Jacobi conversion requirement."""
+    pos, topo, cfg = make_scene("cube8")
+    cfg_j = cfg.replace(solve_mode=SolveMode.JACOBI, iterations=20)
+    state = state_from_topology(topo, pos)
+    oracle = make_oracle(pos, topo, cfg, np.asarray(state.inv_mass))
+    step = general.make_step(topo, cfg_j, DT, n_steps=10)
+    for _ in range(100):
+        state = step(state)
+    for _ in range(1000):
+        oracle.step(DT)
+    p = np.asarray(state.positions)
+    # same resting height and same edge lengths
+    err_edge = np.abs(
+        np.linalg.norm(p[np.asarray(topo.edges)[:, 1]]
+                       - p[np.asarray(topo.edges)[:, 0]], axis=1)
+        - np.asarray(topo.rest_lengths))
+    oracle_err = np.abs(
+        np.linalg.norm(oracle.x[np.asarray(topo.edges)[:, 1]]
+                       - oracle.x[np.asarray(topo.edges)[:, 0]], axis=1)
+        - np.asarray(topo.rest_lengths))
+    assert err_edge.max() < max(2 * oracle_err.max(), 2e-3)
+    assert abs(p[:, 1].min() - oracle.x[:, 1].min()) < 2e-3
+
+
+def test_pinned_scene_matches_oracle():
+    pos, topo, cfg = make_scene("lattice3")
+    state = state_from_topology(topo, pos)
+    inv = np.asarray(state.inv_mass).copy()
+    inv[:3] = 0.0  # pin a few lattice corners
+    state = state.replace(positions=state.positions,
+                          inv_mass=state.inv_mass.at[:3].set(0.0))
+    oracle = make_oracle(pos, topo, cfg, inv)
+    step = general.make_step(topo, cfg, DT)
+    for _ in range(100):
+        state = step(state)
+        oracle.step(DT)
+    drift = np.abs(np.asarray(state.positions) - oracle.x).max()
+    assert drift < 5e-5
+    assert np.allclose(np.asarray(state.positions)[:3], pos[:3], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_drift_10k_steps():
+    """The full headline metric (BASELINE.md): 10k steps, drift <= 1e-3."""
+    pos, topo, cfg = make_scene("cube8")
+    state = state_from_topology(topo, pos)
+    oracle = make_oracle(pos, topo, cfg, np.asarray(state.inv_mass))
+    step = general.make_step(topo, cfg, DT, n_steps=100)
+    for _ in range(100):
+        state = step(state)
+    for _ in range(10000):
+        oracle.step(DT)
+    drift = np.abs(np.asarray(state.positions) - oracle.x).max()
+    assert drift <= 1e-3, f"10k-step drift {drift}"
