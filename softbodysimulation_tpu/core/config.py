@@ -23,11 +23,20 @@ class LambdaMode(enum.Enum):
              zeroes its lagrange buffer per substep, ``SoftBodyGPU.cs:240``).
     DECAY  — multiplied by ``lambda_decay`` at substep start and persisted
              across steps (flagship engine: ``XPBDSoftBody.compute:200-207``,
-             host loop ``SoftBodySimulator.cs:582``).
+             host loop ``SoftBodySimulator.cs:582``).  NB: faithful to the
+             reference including its flaw — carried lambda enters the XPBD
+             feedback term as if already applied this substep, so constraints
+             WEAKEN under sustained load.  Use WARM_START for the corrected
+             behavior.
+    WARM_START — carried lambda (times ``lambda_decay``) is PRE-APPLIED as a
+             position impulse at substep start, then iterations refine it.
+             Consistent XPBD warm starting: near-converged stiffness with as
+             little as 1 iteration per substep (the high-throughput regime).
     """
 
     RESET = "reset"
     DECAY = "decay"
+    WARM_START = "warm_start"
 
 
 class DampingMode(enum.Enum):

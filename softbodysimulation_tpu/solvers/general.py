@@ -161,11 +161,43 @@ def _solve_bending_jacobi(pred, lam, inv_mass, topo: Topology,
 
 
 # ---------------------------------------------------------------- substep
+def _warm_apply_distance(pred, lam, inv_mass, topo: Topology):
+    """Pre-apply carried distance impulses along current edge directions.
+
+    Applied with the same per-edge 1/max-degree relaxation as the Jacobi
+    pass — simultaneous full-strength application over-corrects shared
+    particles (degree-6 mesh vertices explode within a few steps) — and the
+    carried multiplier is scaled identically so the XPBD feedback term stays
+    consistent with what was actually applied.  Returns (pred, lam)."""
+    ea = topo.edges[:, 0]
+    eb = topo.edges[:, 1]
+    scale = 1.0 / jnp.maximum(
+        jnp.maximum(topo.degree[ea], topo.degree[eb]), 1.0)
+    lam = lam * scale
+    d = pred[eb] - pred[ea]
+    length = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    n = d / length[:, None]
+    dp = lam[:, None] * n
+    wa = inv_mass[ea]
+    wb = inv_mass[eb]
+    contrib = jnp.concatenate([-wa[:, None] * dp, wb[:, None] * dp], axis=0)
+    idx = jnp.concatenate([ea, eb], axis=0)
+    pred = pred + jax.ops.segment_sum(contrib, idx,
+                                      num_segments=topo.n_particles)
+    return pred, lam
+
+
 def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
              apply_ext):
     # lambda lifecycle (LambdaMode docstring)
     if cfg.lambda_mode == LambdaMode.RESET:
         lam_d = jnp.zeros_like(state.lambda_dist)
+        lam_b = jnp.zeros_like(state.lambda_bend)
+        lam_v = jnp.zeros_like(state.lambda_volume)
+    elif cfg.lambda_mode == LambdaMode.WARM_START:
+        # only distance impulses are pre-applied; bending/volume restart
+        # fresh (carrying them un-applied would weaken them, see LambdaMode)
+        lam_d = state.lambda_dist * cfg.lambda_decay
         lam_b = jnp.zeros_like(state.lambda_bend)
         lam_v = jnp.zeros_like(state.lambda_volume)
     else:
@@ -176,6 +208,11 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     pred, vel = _integrate.predict(
         state.positions, state.velocities, state.inv_mass, state.ext_force,
         dt, cfg, apply_ext=apply_ext)
+
+    if cfg.lambda_mode == LambdaMode.WARM_START:
+        # consistent warm start: the carried impulse is applied up front, so
+        # the XPBD feedback term (-C - alpha~*lambda) remains truthful
+        pred, lam_d = _warm_apply_distance(pred, lam_d, state.inv_mass, topo)
 
     # omega scales the degree-averaged Jacobi update; 1.0 (the default) gives
     # GS-matched stiffness, <1 softens, >1 over-relaxes.

@@ -27,6 +27,7 @@ def build_topology(
     triangles: Optional[np.ndarray] = None,
     color: bool = True,
     color_strategy: str = "greedy",
+    colors: Optional[np.ndarray] = None,
     rest_lengths: Optional[np.ndarray] = None,
     rest_angles: Optional[np.ndarray] = None,
 ) -> Topology:
@@ -70,7 +71,11 @@ def build_topology(
         "greedy": _coloring.greedy_color,
         "cluster": _coloring.cluster_color,
     }[color_strategy]
-    if color and e:
+    if colors is not None:
+        colors = np.asarray(colors, np.int32)
+        if not _coloring.validate_coloring(edges, colors):
+            raise ValueError("provided edge coloring has conflicts")
+    elif color and e:
         colors = color_fn(edges, n)
     else:
         colors = np.zeros((e,), np.int32)

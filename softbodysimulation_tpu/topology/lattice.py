@@ -36,6 +36,51 @@ OFFSET_FAMILIES: Tuple[Tuple[int, int, int, int], ...] = (
     (1, 1, 1, 2),
 )
 
+# Fully-braced variant: BOTH diagonals of every face + all 4 cube diagonals.
+# The reference's single-diagonal bracing leaves free fold hinges (a square
+# with one diagonal folds about it isometrically), so its lattice crumples
+# under sustained load — unnoticed upstream because the flagship scene runs
+# gravity=0.  13 families removes every hinge DOF.
+BRACED_FAMILIES: Tuple[Tuple[int, int, int, int], ...] = (
+    (1, 0, 0, 0),
+    (0, 1, 0, 0),
+    (0, 0, 1, 0),
+    (1, 1, 0, 1),
+    (1, -1, 0, 1),
+    (1, 0, 1, 1),
+    (1, 0, -1, 1),
+    (0, 1, 1, 1),
+    (0, 1, -1, 1),
+    (1, 1, 1, 2),
+    (1, 1, -1, 2),
+    (1, -1, 1, 2),
+    (1, -1, -1, 2),
+)
+
+
+def family_anchor_ranges(res: int, family, reference_bounds: bool):
+    """Valid anchor index ranges (xs, ys, zs) for a family's edges.
+
+    reference_bounds=True replicates the reference quirk of anchoring all
+    shear/bend diagonals at x,y,z < res-1 (SoftBodySimulator.cs:240-288).
+    """
+    dx, dy, dz, kind = family
+    r = np.arange(res)
+
+    def axis_range(d):
+        if d > 0:
+            return r[: res - d]
+        if d < 0:
+            return r[-d:]
+        return r
+
+    if reference_bounds and kind != 0:
+        if min(dx, dy, dz) < 0:
+            raise ValueError("reference bounds only defined for the 7 "
+                             "non-negative reference families")
+        return (r[: res - 1],) * 3
+    return axis_range(dx), axis_range(dy), axis_range(dz)
+
 
 def lattice_points(res: int, size=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0)) -> np.ndarray:
     """Particle grid, x-major ordering index = x*res^2 + y*res + z
@@ -63,30 +108,23 @@ def lattice_edges(
     structural_compliance: float = 1e-4,
     shear_compliance: float = 1e-3,
     bend_compliance: float = 1e-2,
+    braced: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Explicit (E,2) edge list + per-edge compliance for the 7 families.
+    """Explicit (E,2) edge list + per-edge compliance.
 
-    Counts match the reference generators: 3*res^2*(res-1) structural,
-    3*(res-1)^3 shear, (res-1)^3 bend.
+    braced=False (default): the reference's 7 families with its quirky
+    shear/bend anchor bounds — counts match the reference generators exactly:
+    3*res^2*(res-1) structural, 3*(res-1)^3 shear, (res-1)^3 bend
+    (SoftBodySimulator.cs:214-290).  braced=True: 13 families, exact bounds,
+    hinge-free (see BRACED_FAMILIES).
     """
     comp_by_kind = (structural_compliance, shear_compliance, bend_compliance)
+    families = BRACED_FAMILIES if braced else OFFSET_FAMILIES
     edges: List[np.ndarray] = []
     comps: List[np.ndarray] = []
-    r = np.arange(res)
-    for dx, dy, dz, kind in OFFSET_FAMILIES:
-        if kind == 0:
-            # structural: anchors span the full grid along untouched axes
-            xs = r[: res - dx] if dx else r
-            ys = r[: res - dy] if dy else r
-            zs = r[: res - dz] if dz else r
-        else:
-            # shear/bend: the reference anchors ALL diagonals at cell corners
-            # x,y,z in [0, res-1) (GenerateShearConstraints loops every axis
-            # over res-1 even for diagonals that do not span it,
-            # SoftBodySimulator.cs:240-268), omitting the three far boundary
-            # planes.  Replicated for exact count parity:
-            # shear = 3*(res-1)^3, bend = (res-1)^3.
-            xs = ys = zs = r[: res - 1]
+    for fam in families:
+        dx, dy, dz, kind = fam
+        xs, ys, zs = family_anchor_ranges(res, fam, reference_bounds=not braced)
         gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
         a = _lin(res, gx, gy, gz).reshape(-1)
         b = _lin(res, gx + dx, gy + dy, gz + dz).reshape(-1)
@@ -95,6 +133,23 @@ def lattice_edges(
     e = np.concatenate(edges, axis=0).astype(np.int32)
     c = np.concatenate(comps, axis=0)
     return e, c
+
+
+def lattice_family_colors(res: int, braced: bool = False) -> np.ndarray:
+    """Per-edge colors for ``lattice_edges`` output matching the stencil
+    engine's pass order: color = 2*family + parity of the anchor coordinate
+    along the family's leading offset axis.  Lets the general COLORED engine
+    replay the stencil engine's exact Gauss-Seidel ordering for
+    cross-validation."""
+    families = BRACED_FAMILIES if braced else OFFSET_FAMILIES
+    colors: List[np.ndarray] = []
+    for fi, fam in enumerate(families):
+        dx, dy, dz, _ = fam
+        xs, ys, zs = family_anchor_ranges(res, fam, reference_bounds=not braced)
+        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+        lead = gx if dx else (gy if dy else gz)
+        colors.append((2 * fi + (lead.reshape(-1) % 2)).astype(np.int32))
+    return np.concatenate(colors)
 
 
 def lattice_surface_triangles(res: int) -> np.ndarray:
@@ -139,18 +194,24 @@ def lattice_surface_triangles(res: int) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class LatticeSpec:
-    """Static description consumed by the stencil solver: resolution, rest
-    lengths and compliances per offset family (uniform within a family for a
-    uniform grid)."""
+    """Static description consumed by the stencil solver: resolution, the
+    offset-family set, and rest length / compliance per family (uniform
+    within a family for a uniform grid).  Hashable => jit-static."""
 
     res: int
     size: Tuple[float, float, float]
+    families: Tuple[Tuple[int, int, int, int], ...]
     rest_lengths: Tuple[float, ...]      # per family
     compliances: Tuple[float, ...]       # per family
+    reference_bounds: bool               # reference's shear-anchor quirk
 
     @property
     def n_particles(self) -> int:
         return self.res ** 3
+
+    @property
+    def n_families(self) -> int:
+        return len(self.families)
 
 
 def lattice_spec(
@@ -159,15 +220,20 @@ def lattice_spec(
     structural_compliance: float = 1e-4,
     shear_compliance: float = 1e-3,
     bend_compliance: float = 1e-2,
+    braced: bool = False,
 ) -> LatticeSpec:
     size = tuple(float(s) for s in size)
     spacing = np.asarray(size) / (res - 1)
     comp_by_kind = (structural_compliance, shear_compliance, bend_compliance)
+    families = BRACED_FAMILIES if braced else OFFSET_FAMILIES
     rests, comps = [], []
-    for dx, dy, dz, kind in OFFSET_FAMILIES:
-        rests.append(float(np.linalg.norm(spacing * np.array([dx, dy, dz]))))
+    for dx, dy, dz, kind in families:
+        rests.append(float(np.linalg.norm(
+            spacing * np.abs(np.array([dx, dy, dz])))))
         comps.append(float(comp_by_kind[kind]))
-    return LatticeSpec(res=res, size=size, rest_lengths=tuple(rests), compliances=tuple(comps))
+    return LatticeSpec(res=res, size=size, families=families,
+                       rest_lengths=tuple(rests), compliances=tuple(comps),
+                       reference_bounds=not braced)
 
 
 def cube8_edges(

@@ -1,0 +1,61 @@
+"""The five BASELINE example configs run end-to-end (scaled down)."""
+
+import numpy as np
+
+from softbodysimulation_tpu.examples import (
+    config1_cube_drop,
+    config2_icosphere_pinned,
+    config3_inflated_ball,
+    config4_interactive_poke,
+    config5_batch_1024,
+)
+
+
+def test_config1_cube_drop():
+    state = config1_cube_drop.run(res=4, steps=150, verbose=False)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > -5e-3
+    assert p[:, 1].max() - p[:, 1].min() > 0.9
+
+
+def test_config2_icosphere_pinned():
+    state, topo = config2_icosphere_pinned.run(
+        subdivisions=1, steps=150, verbose=False)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    # hangs from pinned cap: top stays at ~2.0, nothing below ground
+    assert p[:, 1].max() > 1.8
+    assert p[:, 1].min() > -1e-3
+
+
+def test_config3_inflated_ball():
+    from softbodysimulation_tpu.ops.volume import enclosed_volume
+
+    state, topo = config3_inflated_ball.run(
+        subdivisions=1, steps=200, pressure=1.15, verbose=False)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    v0 = float(np.asarray(topo.rest_volume))
+    v = float(enclosed_volume(state.positions, topo.triangles))
+    assert v > 1.05 * v0              # actually inflated
+    r = np.linalg.norm(p, axis=1)
+    assert r.min() > 0.75             # resting on the sphere collider
+
+
+def test_config4_interactive_poke():
+    state, topo = config4_interactive_poke.run(
+        res=3, steps=150, verbose=False)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > -5e-3
+
+
+def test_config5_batch():
+    batched, normals = config5_batch_1024.run(
+        n_bodies=16, res=3, steps=60, verbose=False)
+    p = np.asarray(batched.positions)
+    assert p.shape[0] == 16
+    assert np.isfinite(p).all()
+    n = np.asarray(normals)
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-3)

@@ -1,0 +1,90 @@
+"""Batching (vmap) and multi-chip sharding (shard_map over the 8-device CPU
+mesh) — the capability axis the reference lacks entirely (SURVEY §2.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from softbodysimulation_tpu import LambdaMode, SolveMode, SolverConfig
+from softbodysimulation_tpu.parallel import batch as pbatch
+from softbodysimulation_tpu.solvers import lattice as lat_engine
+from softbodysimulation_tpu.topology import lattice
+
+DT = 0.02
+
+
+def cfg_default(**kw):
+    base = dict(substeps=2, iterations=2, damping=0.02,
+                solve_mode=SolveMode.JACOBI, ground_height=0.0, friction=0.3,
+                lambda_mode=LambdaMode.WARM_START, lambda_decay=1.0)
+    base.update(kw)
+    return SolverConfig(**base)
+
+
+def make_ensemble(n_bodies, res=3, braced=True):
+    spec = lattice.lattice_spec(res, braced=braced)
+    states = []
+    rng = np.random.RandomState(0)
+    for i in range(n_bodies):
+        center = (rng.uniform(-1, 1), 1.0 + 0.5 * i, rng.uniform(-1, 1))
+        states.append(lat_engine.make_lattice_state(spec, center=center))
+    return spec, pbatch.stack_states(states)
+
+
+def test_vmap_matches_loop():
+    spec, batched = make_ensemble(4)
+    cfg = cfg_default()
+    step1 = lat_engine.make_step(spec, cfg, DT, n_steps=20)
+    stepB = pbatch.make_batched_lattice_step(spec, cfg, DT, n_steps=20)
+    out_b = stepB(batched)
+    for i in range(4):
+        single = step1(pbatch.body_slice(batched, i))
+        got = np.asarray(pbatch.body_slice(out_b, i).positions)
+        want = np.asarray(single.positions)
+        assert np.allclose(got, want, atol=1e-5), f"body {i}"
+
+
+def test_replicate_state():
+    spec, _ = make_ensemble(1)
+    s = lat_engine.make_lattice_state(spec, center=(0, 1, 0))
+    b = pbatch.replicate_state(s, 5)
+    assert b.positions.shape == (5,) + s.positions.shape
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+class TestSharded:
+    def test_sharded_matches_single_device(self):
+        spec, batched = make_ensemble(16)
+        cfg = cfg_default()
+        mesh = pbatch.make_mesh(8)
+        sharded = pbatch.shard_batched_state(batched, mesh)
+        step_sharded = pbatch.make_sharded_lattice_step(
+            spec, cfg, DT, mesh, n_steps=10)
+        step_local = pbatch.make_batched_lattice_step(spec, cfg, DT,
+                                                      n_steps=10)
+        out_s = step_sharded(sharded)
+        out_l = step_local(batched)
+        assert np.allclose(np.asarray(out_s.positions),
+                           np.asarray(out_l.positions), atol=1e-5)
+
+    def test_sharded_ensemble_diagnostics(self):
+        spec, batched = make_ensemble(16)
+        mesh = pbatch.make_mesh(8)
+        sharded = pbatch.shard_batched_state(batched, mesh)
+        diag = pbatch.make_sharded_ensemble_diagnostics(mesh)
+        vmax, bad, height, ground = diag(sharded)
+        assert float(vmax) == 0.0       # initial ensemble at rest
+        assert int(bad) == 0
+        assert np.isfinite(float(height))
+
+    def test_sharded_detects_nan_on_any_chip(self):
+        spec, batched = make_ensemble(16)
+        mesh = pbatch.make_mesh(8)
+        # poison one body that lives on the last chip
+        batched = batched.replace(
+            positions=batched.positions.at[15, 0, 0].set(np.nan))
+        sharded = pbatch.shard_batched_state(batched, mesh)
+        diag = pbatch.make_sharded_ensemble_diagnostics(mesh)
+        _, bad, _, _ = diag(sharded)
+        assert int(bad) == 1
