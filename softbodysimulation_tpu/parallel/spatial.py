@@ -1,0 +1,288 @@
+"""Spatial sharding of ONE large lattice across chips (halo exchange).
+
+The TP/ring analog from SURVEY §2.4/§5: when a single body exceeds one chip,
+partition the lattice along its x-axis over a 1-D device mesh.  Each chip
+owns a slab of ``res/D`` x-planes; the stencil families with an x-component
+need exactly one plane of halo, exchanged with ``lax.ppermute`` over ICI:
+
+  * before a pass: each chip receives its right neighbor's FIRST x-plane of
+    predicted positions (the gather halo);
+  * after computing corrections: each chip's correction for its last
+    anchor-plane's partner is sent RIGHT and added to the neighbor's first
+    plane (the scatter halo).
+
+All y/z-offset components stay chip-local (those axes are unsharded).  The
+parity-split Gauss-Seidel semantics are preserved exactly: masks are built
+on GLOBAL coordinates and sharded alongside the state, so the distributed
+step is arithmetically identical to the single-chip stencil engine — tested
+on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import FloorMode, LambdaMode, SolveMode, SolverConfig
+from ..core.state import SimState
+from ..ops import collision as _collision
+from ..ops import integrate as _integrate
+from ..solvers.lattice import _family_masks, n_lambda
+from ..topology.lattice import LatticeSpec
+
+
+def _right_perm(d: int):
+    """perm for: device i receives from device i+1 (fetch right halo)."""
+    return [(i + 1, i) for i in range(d - 1)]
+
+
+def _left_perm(d: int):
+    """perm for: device i+1 receives from device i (push correction right)."""
+    return [(i, i + 1) for i in range(d - 1)]
+
+
+def _sharded_family_pass(pred, w, w_halo, lam_f, family, mask, rest, comp,
+                         dt, cfg: SolverConfig, axis: str, n_shards: int,
+                         relax=None):
+    """One constraint pass on a slab.  ``mask`` already folds validity and
+    (for GS) parity, built from global coordinates.  ``relax`` None => GS
+    semantics (mask must be conflict-free); float => Jacobi scaling."""
+    dx, dy, dz, _ = family
+    yz_fwd = (-dy, -dz)
+    yz_bwd = (dy, dz)
+
+    if dx:
+        halo = lax.ppermute(pred[0], axis, _right_perm(n_shards))
+        pb = jnp.concatenate([pred[1:], halo[None]], axis=0)
+        wb = w_halo
+    else:
+        pb = pred
+        wb = w
+    pb = jnp.roll(pb, yz_fwd, axis=(1, 2))
+    wb = jnp.roll(wb, yz_fwd, axis=(1, 2))
+
+    d = pb - pred
+    length = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    nrm = d / length[..., None]
+    c = length - rest
+    alpha = comp / (dt * dt)
+    if cfg.min_alpha_tilde > 0:
+        alpha = max(alpha, cfg.min_alpha_tilde)
+    denom = w + wb + alpha
+    dl = (-c - alpha * lam_f) / jnp.maximum(denom, 1e-30)
+    if cfg.max_dlambda > 0:
+        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
+    if cfg.max_dlambda_rel > 0:
+        m = cfg.max_dlambda_rel * rest
+        dl = jnp.clip(dl, -m, m)
+    active = (
+        mask
+        & (length >= cfg.eps_length)
+        & (jnp.abs(denom) >= cfg.eps_denominator)
+        & ((w >= cfg.static_inv_mass_eps) | (wb >= cfg.static_inv_mass_eps))
+    )
+    dl = jnp.where(active, dl if relax is None else dl * relax, 0.0)
+
+    lam_f = lam_f + dl
+    if cfg.lambda_clamp > 0:
+        lam_f = jnp.clip(lam_f, -cfg.lambda_clamp, cfg.lambda_clamp)
+
+    dp = dl[..., None] * nrm
+    pred = pred - w[..., None] * dp
+    corr = jnp.roll(wb[..., None] * dp, yz_bwd, axis=(1, 2))
+    if dx:
+        # partner of anchor-plane i is plane i+1; the last plane's partner
+        # lives on the right neighbor
+        pred = pred.at[1:].add(corr[:-1])
+        spill = lax.ppermute(corr[-1], axis, _left_perm(n_shards))
+        pred = pred.at[0].add(spill)
+    else:
+        pred = pred + corr
+    return pred, lam_f
+
+
+def _apply_warm(pred, w, w_halo, lam_f, family, valid, axis, n_shards):
+    dx, dy, dz, _ = family
+    if dx:
+        halo = lax.ppermute(pred[0], axis, _right_perm(n_shards))
+        pb = jnp.concatenate([pred[1:], halo[None]], axis=0)
+        wb = w_halo
+    else:
+        pb = pred
+        wb = w
+    pb = jnp.roll(pb, (-dy, -dz), axis=(1, 2))
+    wb = jnp.roll(wb, (-dy, -dz), axis=(1, 2))
+    d = pb - pred
+    length = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+    nrm = d / length[..., None]
+    dl = jnp.where(valid, lam_f, 0.0)
+    dp = dl[..., None] * nrm
+    pred = pred - w[..., None] * dp
+    corr = jnp.roll(wb[..., None] * dp, (dy, dz), axis=(1, 2))
+    if dx:
+        pred = pred.at[1:].add(corr[:-1])
+        spill = lax.ppermute(corr[-1], axis, _left_perm(n_shards))
+        pred = pred.at[0].add(spill)
+    else:
+        pred = pred + corr
+    return pred
+
+
+def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
+                              dt: float, mesh: Mesh, n_steps: int = 1,
+                              axis: str = "x"):
+    """Compile a sharded ``SimState -> SimState`` step for one large lattice
+    split over ``mesh``'s devices along the lattice x-axis."""
+    res = spec.res
+    n_shards = mesh.devices.size
+    if res % n_shards != 0:
+        raise ValueError(f"res {res} not divisible by {n_shards} shards")
+    nfam = spec.n_families
+
+    host_masks = _family_masks(spec)
+    valid_np = np.stack([v for v, _ in host_masks])
+    par0_np = np.stack([p for _, p in host_masks])
+
+    def local_substep(x, v, w, f, lam, valid, par0, apply_ext):
+        # x,v,f: (P,res,res,3); w: (P,res,res); lam: (nfam,P,res,res)
+        p = x.shape[0]
+        pred, vel = _integrate.predict(
+            x.reshape(-1, 3), v.reshape(-1, 3), w.reshape(-1),
+            f.reshape(-1, 3), dt_sub, cfg, apply_ext=apply_ext)
+        pred = pred.reshape(p, res, res, 3)
+
+        # inv-mass halo is static within the substep: fetch once
+        w_halo_plane = lax.ppermute(w[0], axis, _right_perm(n_shards))
+        w_halo = jnp.concatenate([w[1:], w_halo_plane[None]], axis=0)
+
+        if cfg.lambda_mode == LambdaMode.RESET:
+            lam = jnp.zeros_like(lam)
+        else:
+            lam = lam * cfg.lambda_decay
+
+        if cfg.lambda_mode == LambdaMode.WARM_START:
+            for fi, fam in enumerate(spec.families):
+                pred = _apply_warm(pred, w, w_halo, lam[fi], fam,
+                                   valid[fi], axis, n_shards)
+
+        def iteration(_, carry):
+            pred, lam = carry
+            lam_parts = []
+            for fi, fam in enumerate(spec.families):
+                lam_f = lam[fi]
+                if cfg.solve_mode == SolveMode.COLORED:
+                    pred, lam_f = _sharded_family_pass(
+                        pred, w, w_halo, lam_f, fam, valid[fi] & par0[fi],
+                        spec.rest_lengths[fi], spec.compliances[fi], dt_sub,
+                        cfg, axis, n_shards)
+                    pred, lam_f = _sharded_family_pass(
+                        pred, w, w_halo, lam_f, fam, valid[fi] & ~par0[fi],
+                        spec.rest_lengths[fi], spec.compliances[fi], dt_sub,
+                        cfg, axis, n_shards)
+                else:
+                    pred, lam_f = _sharded_family_pass(
+                        pred, w, w_halo, lam_f, fam, valid[fi],
+                        spec.rest_lengths[fi], spec.compliances[fi], dt_sub,
+                        cfg, axis, n_shards,
+                        relax=cfg.omega if cfg.omega > 0 else 0.5)
+                lam_parts.append(lam_f)
+            lam = jnp.stack(lam_parts)
+            if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
+                pf = _collision.floor_project_xpbd(
+                    pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
+                    dt_sub, cfg)
+                pred = pf.reshape(p, res, res, 3)
+            if cfg.sphere_colliders:
+                pf = _collision.sphere_sdf_project(
+                    pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
+                    dt_sub, cfg)
+                pred = pf.reshape(p, res, res, 3)
+            return pred, lam
+
+        pred, lam = lax.fori_loop(0, cfg.iterations, iteration, (pred, lam))
+
+        xf, vf = _integrate.finalize(
+            x.reshape(-1, 3), pred.reshape(-1, 3), w.reshape(-1), dt_sub)
+        if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
+            xf, vf = _collision.floor_velocity_reflect(
+                xf, vf, w.reshape(-1), dt_sub, cfg)
+        return (xf.reshape(p, res, res, 3), vf.reshape(p, res, res, 3), lam)
+
+    dt_sub = dt / cfg.substeps
+
+    def local_fn(x, v, w, f, lam, valid, par0):
+        def one_step(x, v, lam, f, apply_ext):
+            x, v, lam = local_substep(x, v, w, f, lam, valid, par0,
+                                      apply_ext)
+            if cfg.substeps > 1:
+                def body(carry, _):
+                    x, v, lam = carry
+                    return local_substep(x, v, w, f, lam, valid, par0,
+                                         False), None
+
+                (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                          length=cfg.substeps - 1)
+            return x, v, lam
+
+        x, v, lam = one_step(x, v, lam, f, True)
+        if n_steps > 1:
+            def body(carry, _):
+                x, v, lam = carry
+                return one_step(x, v, lam, jnp.zeros_like(f), False), None
+
+            (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                      length=n_steps - 1)
+        return x, v, lam
+
+    sx = P(axis)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(sx, sx, sx, sx, P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=(sx, sx, P(None, axis)),
+        check_rep=False)
+    jfn = jax.jit(fn)
+
+    valid_dev = jnp.asarray(valid_np)
+    par0_dev = jnp.asarray(par0_np)
+
+    def step(state: SimState) -> SimState:
+        x = state.positions.reshape(res, res, res, 3)
+        v = state.velocities.reshape(res, res, res, 3)
+        w = state.inv_mass.reshape(res, res, res)
+        f = state.ext_force.reshape(res, res, res, 3)
+        lam = state.lambda_dist.reshape(nfam, res, res, res)
+        x, v, lam = jfn(x, v, w, f, lam, valid_dev, par0_dev)
+        return state.replace(
+            positions=x.reshape(-1, 3),
+            velocities=v.reshape(-1, 3),
+            lambda_dist=lam.reshape(-1),
+            ext_force=jnp.zeros_like(state.ext_force),
+        )
+
+    return step
+
+
+def shard_lattice_state(state: SimState, spec: LatticeSpec, mesh: Mesh,
+                        axis: str = "x") -> SimState:
+    """Place a lattice SimState so its x-planes are split across the mesh.
+
+    Positions are (res^3, 3) x-major, so sharding leading-dim blocks of the
+    flat array IS sharding x-plane slabs."""
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return SimState(
+        positions=jax.device_put(state.positions, sh),
+        velocities=jax.device_put(state.velocities, sh),
+        inv_mass=jax.device_put(state.inv_mass, sh),
+        ext_force=jax.device_put(state.ext_force, sh),
+        lambda_dist=jax.device_put(state.lambda_dist, rep),
+        lambda_bend=jax.device_put(state.lambda_bend, rep),
+        lambda_volume=jax.device_put(state.lambda_volume, rep),
+    )

@@ -1,0 +1,92 @@
+"""Spatial sharding of one lattice across chips with halo exchange — must be
+arithmetically equivalent to the single-device stencil engine."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from softbodysimulation_tpu import (
+    FloorMode,
+    LambdaMode,
+    SolveMode,
+    SolverConfig,
+)
+from softbodysimulation_tpu.parallel import batch as pbatch
+from softbodysimulation_tpu.parallel import spatial
+from softbodysimulation_tpu.solvers import lattice as lat_engine
+from softbodysimulation_tpu.topology import lattice
+
+DT = 0.02
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs >=4 devices")
+
+
+def run_pair(cfg, res=8, n_shards=4, steps=30, center=(0, 1.2, 0)):
+    spec = lattice.lattice_spec(res, braced=True)
+    state0 = lat_engine.make_lattice_state(spec, center=center)
+    mesh = pbatch.make_mesh(n_shards, axis="x")
+
+    sharded = spatial.shard_lattice_state(state0, spec, mesh)
+    step_sh = spatial.make_spatial_lattice_step(spec, cfg, DT, mesh,
+                                                n_steps=steps)
+    out_sh = step_sh(sharded)
+
+    step_1 = lat_engine.make_step(spec, cfg, DT, n_steps=steps)
+    out_1 = step_1(state0)
+    return out_sh, out_1
+
+
+@pytest.mark.parametrize("mode", [SolveMode.COLORED, SolveMode.JACOBI])
+def test_sharded_matches_single_device(mode):
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.02,
+                       solve_mode=mode, ground_height=0.0, friction=0.3)
+    out_sh, out_1 = run_pair(cfg)
+    d = np.abs(np.asarray(out_sh.positions)
+               - np.asarray(out_1.positions)).max()
+    assert d < 1e-5, f"halo-exchange step diverges from single-chip: {d}"
+    dl = np.abs(np.asarray(out_sh.lambda_dist)
+                - np.asarray(out_1.lambda_dist)).max()
+    assert dl < 1e-4
+
+
+def test_sharded_warm_start_matches():
+    cfg = SolverConfig(substeps=4, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.WARM_START, lambda_decay=1.0,
+                       ground_height=0.0, friction=0.3)
+    out_sh, out_1 = run_pair(cfg, steps=50)
+    d = np.abs(np.asarray(out_sh.positions)
+               - np.asarray(out_1.positions)).max()
+    assert d < 1e-5, f"warm-start sharded drift {d}"
+
+
+def test_sharded_pinned_and_floor():
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.05,
+                       solve_mode=SolveMode.COLORED,
+                       floor_mode=FloorMode.XPBD_INEQUALITY,
+                       ground_height=0.0, friction=0.5)
+    spec = lattice.lattice_spec(8, braced=True)
+    state0 = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0))
+    # pin particles living on TWO different shards
+    pins = np.array([0, spec.n_particles - 1])
+    state0 = state0.replace(inv_mass=state0.inv_mass.at[pins].set(0.0))
+    mesh = pbatch.make_mesh(4, axis="x")
+    sharded = spatial.shard_lattice_state(state0, spec, mesh)
+    step_sh = spatial.make_spatial_lattice_step(spec, cfg, DT, n_steps=60,
+                                                mesh=mesh)
+    out = step_sh(sharded)
+    p = np.asarray(out.positions)
+    p0 = np.asarray(state0.positions)
+    assert np.allclose(p[pins], p0[pins], atol=1e-6)
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > -5e-3
+
+
+def test_res_not_divisible_raises():
+    spec = lattice.lattice_spec(6, braced=True)
+    mesh = pbatch.make_mesh(4, axis="x")
+    cfg = SolverConfig()
+    with pytest.raises(ValueError, match="divisible"):
+        spatial.make_spatial_lattice_step(spec, cfg, DT, mesh)
