@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Headline benchmark: particle-substeps/sec at 64k particles, one chip.
 
-Workload: braced res=40 lattice cube (40^3 = 64,000 particles, 13 offset
-families ~ 800k distance constraints) resting/settling on a ground plane,
-stencil engine, warm-started XPBD (1 iteration x 8 substeps per 1/60 s frame
-— the 'small steps' regime, which at matched cost is MORE accurate than the
-reference's 9-iteration loop).
+Workload: braced res-40 lattice cube (40^3 = 64,000 particles, 13 offset
+families ~ 790k distance constraints, particle mass 1 g so column loads are
+physical) settling on a ground plane; warm-started XPBD, 1 iteration x 8
+substeps per 1/60 s frame (the 'small steps' regime).
+
+Engine: the fused Pallas kernel (whole substep loop VMEM-resident) when it
+compiles on this backend, else the XLA stencil engine.  Timing is
+synchronised by fetching data to host — ``block_until_ready`` alone is not a
+reliable barrier on remote-execution backends.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -29,6 +33,7 @@ from softbodysimulation_tpu import (  # noqa: E402
     SolveMode,
     SolverConfig,
 )
+from softbodysimulation_tpu.kernels import lattice_pallas  # noqa: E402
 from softbodysimulation_tpu.solvers import lattice as lat_engine  # noqa: E402
 from softbodysimulation_tpu.topology import lattice  # noqa: E402
 
@@ -37,11 +42,12 @@ BASELINE = 1.0e9  # particle-substeps/sec target on one v5e chip
 RES = int(os.environ.get("BENCH_RES", "40"))
 DT = 1.0 / 60.0
 SUBSTEPS = int(os.environ.get("BENCH_SUBSTEPS", "8"))
-SUBSTEPS_PER_CALL = int(os.environ.get("BENCH_SUBSTEPS_PER_CALL", "400"))
+SUBSTEPS_PER_CALL = int(os.environ.get("BENCH_SUBSTEPS_PER_CALL", "1000"))
 TARGET_SECONDS = float(os.environ.get("BENCH_SECONDS", "5.0"))
+FORCE_ENGINE = os.environ.get("BENCH_ENGINE", "")  # "", "pallas", "xla"
 
 
-def main():
+def build():
     spec = lattice.lattice_spec(RES, braced=True)
     cfg = SolverConfig(
         substeps=SUBSTEPS,
@@ -53,36 +59,58 @@ def main():
         ground_height=0.0,
         friction=0.3,
     )
-    state = lat_engine.make_lattice_state(spec, center=(0.0, 0.6, 0.0))
-    # flat substep scan: one scan level keeps (remote) compile time flat
-    step = lat_engine.make_substep_runner(
-        spec, cfg, DT / SUBSTEPS, SUBSTEPS_PER_CALL)
+    state = lat_engine.make_lattice_state(spec, center=(0.0, 0.6, 0.0),
+                                          mass=0.001)
+    return spec, cfg, state
 
-    # compile + warmup
-    state = step(state)
-    jax.block_until_ready(state.positions)
+
+def pick_engine(spec, cfg, state):
+    dt_sub = DT / SUBSTEPS
+    if FORCE_ENGINE != "xla":
+        try:
+            fn = lattice_pallas.make_pallas_substep_runner(
+                spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
+            out = fn(state)
+            np.asarray(out.positions)  # force compile + execute
+            return fn, "pallas"
+        except Exception as e:  # noqa: BLE001 — any compile/runtime failure
+            if FORCE_ENGINE == "pallas":
+                raise
+            print(f"# pallas engine unavailable ({type(e).__name__}); "
+                  f"falling back to XLA", file=sys.stderr)
+    fn = lat_engine.make_substep_runner(spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
+    out = fn(state)
+    np.asarray(out.positions)
+    return fn, "xla"
+
+
+def main():
+    spec, cfg, state = build()
+    step, engine = pick_engine(spec, cfg, state)
 
     calls = 0
     t0 = time.perf_counter()
     while True:
         state = step(state)
         calls += 1
-        jax.block_until_ready(state.positions)
-        elapsed = time.perf_counter() - t0
-        if elapsed >= TARGET_SECONDS:
+        np.asarray(state.positions[0, 0])  # sync (host fetch)
+        if time.perf_counter() - t0 >= TARGET_SECONDS:
             break
+    p = np.asarray(state.positions)  # full fetch + final sync
+    elapsed = time.perf_counter() - t0
 
     n = spec.n_particles
     substeps_done = calls * SUBSTEPS_PER_CALL
     particle_substeps_per_sec = n * substeps_done / elapsed
 
     # sanity: simulation must have stayed healthy or the number is void
-    p = np.asarray(state.positions)
     assert np.isfinite(p).all(), "non-finite state after benchmark"
     assert p[:, 1].min() > -1e-2, "floor violated after benchmark"
+    height = p[:, 1].max() - p[:, 1].min()
+    assert height > 0.5, f"cube degenerated during benchmark: {height}"
 
     print(json.dumps({
-        "metric": "particle_substeps_per_sec_64k_1chip",
+        "metric": f"particle_substeps_per_sec_64k_1chip_{engine}",
         "value": float(f"{particle_substeps_per_sec:.4g}"),
         "unit": "particle-substeps/s",
         "vs_baseline": float(f"{particle_substeps_per_sec / BASELINE:.4g}"),

@@ -1,0 +1,111 @@
+"""Command-line runner — the headless analog of the reference's scene
+selection + editor tooling (``SoftBodySetupWizard``, scene files as
+workloads):
+
+    python -m softbodysimulation_tpu list
+    python -m softbodysimulation_tpu run flagship --steps 300
+    python -m softbodysimulation_tpu run cpu_cube --steps 500 \
+        --export /tmp/frame.obj --checkpoint /tmp/state.npz
+    python -m softbodysimulation_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="softbodysimulation_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list available scenes")
+
+    runp = sub.add_parser("run", help="run a scene headless")
+    runp.add_argument("scene", help="scene name (see `list`)")
+    runp.add_argument("--steps", type=int, default=300)
+    runp.add_argument("--dt", type=float, default=None,
+                      help="override scene dt")
+    runp.add_argument("--export", default=None,
+                      help="write final frame as OBJ (needs triangles)")
+    runp.add_argument("--checkpoint", default=None,
+                      help="write final SimState as npz")
+    runp.add_argument("--log-every", type=int, default=60)
+    runp.add_argument("--platform", default=None,
+                      help="force a jax platform (e.g. cpu)")
+
+    sub.add_parser("bench", help="run the headline benchmark")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "list":
+        from .core.scenes import SCENES
+
+        for name, fn in SCENES.items():
+            doc = (fn.__doc__ or "").strip().splitlines()[0]
+            print(f"{name:15s} {doc}")
+        return 0
+
+    if args.cmd == "bench":
+        import runpy
+
+        runpy.run_module("bench", run_name="__main__")
+        return 0
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .core.scenes import SCENES
+
+    if args.scene not in SCENES:
+        print(f"unknown scene {args.scene!r}; available: "
+              f"{', '.join(SCENES)}", file=sys.stderr)
+        return 2
+
+    import numpy as np
+
+    kw = {"dt": args.dt} if args.dt else {}
+    state, step, info = SCENES[args.scene](**kw)
+    from .diag.profiling import StepTimer
+
+    timer = StepTimer()
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state = step(state)
+        if args.log_every and (i + 1) % args.log_every == 0:
+            p = np.asarray(state.positions)
+            rate = timer.tick(args.log_every)
+            print(f"step {i + 1:6d}  ymin={p[:, 1].min():+.4f} "
+                  f"ymean={p[:, 1].mean():+.4f} "
+                  f"finite={bool(np.isfinite(p).all())} "
+                  f"steps/s={rate:.1f}")
+    np.asarray(state.positions)
+    elapsed = time.perf_counter() - t0
+    n = state.positions.shape[0]
+    print(f"done: {args.steps} steps x {n} particles in {elapsed:.2f}s "
+          f"({args.steps * n / elapsed:.3e} particle-steps/s)")
+
+    if args.checkpoint:
+        from .io import checkpoint
+
+        checkpoint.save(args.checkpoint, state,
+                        metadata={"steps": args.steps})
+        print(f"checkpoint -> {args.checkpoint}")
+    if args.export:
+        topo = info.get("topology")
+        if topo is None or topo.triangles.shape[0] == 0:
+            print("scene has no surface triangles; export skipped",
+                  file=sys.stderr)
+        else:
+            from .io import export
+
+            export.export_obj(args.export, state, topo)
+            print(f"export -> {args.export}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,149 @@
+"""Scene catalogue — the reference's five .unity scenes as build functions.
+
+Scene = workload selection (SURVEY L9).  Each builder returns
+``(state, stepper, info)`` ready to run, with the same physical setup as the
+corresponding reference scene (constraint counts, iterations, compliances
+from the serialized scene values, SURVEY §4.4):
+
+  cpu_cube            <- Scenes/CpuCube.unity      (8 particles, 28
+                         constraints, 30 iters, compliance 0.01)
+  cpu_mesh            <- Scenes/CpuMesh.unity      (LowResBunny ~2.5k verts,
+                         15 iters, compliance 1e-10, bending off, gravity -1)
+  basic_micro         <- Scenes/Basic.unity        (micro InitializationMode
+                         fixtures; see tests/test_micro_fixtures.py)
+  gpu_substep         <- Scenes/GPUTest.unity      (welded mesh, 15 substeps
+                         x 15 iterations, separate lambda buffer semantics)
+  flagship            <- Scenes/SoftBodySimulator.unity (res-4 lattice, 9
+                         iters, gravity 0, lambda decay 0.99, compliance
+                         1e-4/1e-3/1e-2)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from ..solvers import general as _general
+from ..solvers import lattice as _lat_engine
+from ..topology import build as _build
+from ..topology import lattice as _lattice
+from ..topology import mesh as _mesh
+from ..topology.objloader import load_obj
+from .config import DampingMode, FloorMode, LambdaMode, SolveMode, SolverConfig
+from .state import state_from_topology
+
+# OBJ assets are data, not code; the reference's bunny is used when present.
+BUNNY_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "assets",
+                 "LowResBunny.obj"),
+    "/root/reference/Assets/_Project/Art/Models/LowResBunny.obj",
+)
+
+
+def cpu_cube(dt: float = 0.02):
+    """8-corner cube with 28 hand-built constraints (SoftBodyCubeCPU +
+    Scenes/CpuCube.unity: 30 iterations, compliance 0.01)."""
+    pos = _mesh.cube_corners(1.0) + np.array([0, 2.0, 0], np.float32)
+    topo = _build.build_topology(pos, _lattice.cube8_edges(), compliance=0.01,
+                                 triangles=_lattice.cube8_triangles())
+    cfg = SolverConfig(substeps=1, iterations=30, damping=0.01,
+                       solve_mode=SolveMode.COLORED, ground_height=0.0,
+                       friction=0.1)
+    state = state_from_topology(topo, pos)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt}
+
+
+def cpu_mesh(dt: float = 0.02, fallback_subdiv: int = 3):
+    """Bunny-mesh scene (Scenes/CpuMesh.unity: 15 iterations, compliance
+    1e-10, gravity (0,-1,0), bending off, lambda clamp 1e-3).  Falls back to
+    a dense icosphere when the bunny OBJ asset is absent."""
+    m = None
+    for p in BUNNY_PATHS:
+        if os.path.exists(p):
+            m = load_obj(p)
+            break
+    if m is None:
+        m = _mesh.icosphere(fallback_subdiv, radius=0.5)
+    pos, topo = _build.topology_from_mesh(m, compliance=1e-10, bending=False)
+    pos = pos + np.array([0, 1.0, 0], np.float32)
+    cfg = SolverConfig(substeps=1, iterations=15, damping=0.01,
+                       gravity=(0.0, -1.0, 0.0),
+                       solve_mode=SolveMode.COLORED, max_dlambda=1e-3,
+                       ground_height=0.0, friction=0.1)
+    state = state_from_topology(topo, pos)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt,
+                         "mesh": m}
+
+
+def gpu_substep(dt: float = 0.02, primitive: str = "cube"):
+    """Welded-primitive substep scene (SoftBodyGPU + Scenes/GPUTest.unity:
+    15 substeps x 15 iterations, per-substep lambda reset, edge + opposite
+    -vertex bending distance constraints, SoftBodyGPU.cs:334-356)."""
+    from ..topology import edges as _edges
+
+    m = _mesh.cube(1.0) if primitive == "cube" else _mesh.plane(1.0)
+    verts, tris, _ = _edges.weld(m.vertices, m.triangles)
+    e = _edges.unique_edges(tris)
+    opp = _edges.opposite_vertex_pairs(tris)
+    all_edges = np.concatenate([e, opp]) if len(opp) else e
+    comp = np.concatenate([
+        np.zeros(len(e), np.float32),          # distanceCompliance = 0
+        np.full(len(opp), 0.05, np.float32),   # bendingCompliance = 0.05
+    ]) if len(opp) else np.zeros(len(e), np.float32)
+    pos = verts + np.array([0, 1.5, 0], np.float32)
+    topo = _build.build_topology(pos, all_edges, comp, triangles=tris)
+    cfg = SolverConfig(substeps=15, iterations=15, damping=0.05,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.RESET,
+                       ground_height=0.0, friction=0.2)
+    state = state_from_topology(topo, pos)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt}
+
+
+def flagship(dt: float = 1 / 60, res: int = 4, gravity_on: bool = False):
+    """Flagship lattice scene (Scenes/SoftBodySimulator.unity: res 4, 9
+    iterations, lambda decay 0.99, structural/shear/bend compliance
+    1e-4/1e-3/1e-2; the scene serializes gravity 0)."""
+    spec = _lattice.lattice_spec(res)
+    cfg = SolverConfig(
+        substeps=4, iterations=9, damping=0.01,
+        damping_mode=DampingMode.PER_DT,
+        gravity=(0.0, -9.81, 0.0) if gravity_on else (0.0, 0.0, 0.0),
+        solve_mode=SolveMode.COLORED,
+        lambda_mode=LambdaMode.DECAY, lambda_decay=0.99,
+        max_dlambda_rel=0.1, lambda_clamp=100.0, min_alpha_tilde=1e-10,
+        floor_mode=FloorMode.VELOCITY_REFLECT, ground_height=-5.0)
+    state = _lat_engine.make_lattice_state(spec, center=(0.0, 0.0, 0.0))
+    step = _lat_engine.make_step(spec, cfg, dt)
+    return state, step, {"spec": spec, "config": cfg, "dt": dt}
+
+
+def flagship_perf(dt: float = 1 / 60, res: int = 40):
+    """The performance workload (bench.py): braced res-40 lattice, warm-
+    started small-steps solve."""
+    spec = _lattice.lattice_spec(res, braced=True)
+    cfg = SolverConfig(
+        substeps=8, iterations=1, damping=0.02,
+        solve_mode=SolveMode.JACOBI,
+        lambda_mode=LambdaMode.WARM_START, lambda_decay=1.0,
+        ground_height=0.0, friction=0.3)
+    # particle mass 1 g: a 40-high stack of unit masses would exceed 100%
+    # strain at structural compliance 1e-4 (it would pancake — physically)
+    state = _lat_engine.make_lattice_state(spec, center=(0.0, 0.6, 0.0),
+                                           mass=0.001)
+    step = _lat_engine.make_step(spec, cfg, dt)
+    return state, step, {"spec": spec, "config": cfg, "dt": dt}
+
+
+SCENES: Dict[str, Callable] = {
+    "cpu_cube": cpu_cube,
+    "cpu_mesh": cpu_mesh,
+    "gpu_substep": gpu_substep,
+    "flagship": flagship,
+    "flagship_perf": flagship_perf,
+}

@@ -67,8 +67,15 @@ def build_topology(
         _mesh.signed_volume(positions, triangles) if triangles.shape[0] else 0.0
     )
 
+    from . import native as _native
+
+    def _greedy(cons, n_particles):
+        # native C++ colorer when available (identical deterministic
+        # algorithm, tested bit-equal); NumPy/Python fallback otherwise
+        return _native.greedy_color(cons, n_particles)
+
     color_fn = {
-        "greedy": _coloring.greedy_color,
+        "greedy": _greedy,
         "cluster": _coloring.cluster_color,
     }[color_strategy]
     if colors is not None:

@@ -236,6 +236,24 @@ def lattice_spec(
                        reference_bounds=not braced)
 
 
+def cube8_triangles() -> np.ndarray:
+    """Surface triangles over the 8 ``cube_corners``-ordered particles (the
+    analog of SoftBodyCubeCPU's display mesh, which drives 24 render verts
+    from the 8 particles, ``SoftBodyCubeCPU.cs:351-411``)."""
+    quads = [
+        (0, 1, 2, 3),   # -z face
+        (5, 4, 7, 6),   # +z face
+        (4, 0, 3, 7),   # -x face
+        (1, 5, 6, 2),   # +x face
+        (4, 5, 1, 0),   # -y face
+        (3, 2, 6, 7),   # +y face
+    ]
+    tris = []
+    for a, b, c, d in quads:
+        tris += [[a, c, b], [a, d, c]]
+    return np.asarray(tris, dtype=np.int32)
+
+
 def cube8_edges(
     with_face_diagonals: bool = True, with_internal_diagonals: bool = True
 ) -> np.ndarray:

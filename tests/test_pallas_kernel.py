@@ -1,0 +1,69 @@
+"""Fused Pallas lattice kernel vs the XLA stencil engine (interpret mode on
+CPU; the same comparison runs on real TPU hardware via bench tooling)."""
+
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from softbodysimulation_tpu import LambdaMode, SolveMode, SolverConfig
+from softbodysimulation_tpu.kernels import lattice_pallas as lp
+from softbodysimulation_tpu.solvers import lattice as lat_engine
+from softbodysimulation_tpu.topology import lattice
+
+
+def run_pair(cfg, res=6, n_substeps=12, mass=0.01):
+    spec = lattice.lattice_spec(res, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0),
+                                          mass=mass)
+    ref_fn = lat_engine.make_substep_runner(spec, cfg, 1 / 480, n_substeps)
+    with pltpu.force_tpu_interpret_mode():
+        pal_fn = lp.make_pallas_substep_runner(spec, cfg, 1 / 480,
+                                               n_substeps)
+        out_p = pal_fn(state)
+    out_r = ref_fn(state)
+    return out_p, out_r
+
+
+@pytest.mark.parametrize(
+    "mode,lmode,decay",
+    [
+        (SolveMode.COLORED, LambdaMode.RESET, 0.99),
+        (SolveMode.COLORED, LambdaMode.DECAY, 0.99),
+        (SolveMode.JACOBI, LambdaMode.WARM_START, 1.0),
+    ],
+)
+def test_pallas_matches_xla_engine(mode, lmode, decay):
+    cfg = SolverConfig(substeps=8, iterations=2, damping=0.02,
+                       solve_mode=mode, lambda_mode=lmode,
+                       lambda_decay=decay, ground_height=0.0, friction=0.3)
+    out_p, out_r = run_pair(cfg)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    dlam = np.abs(np.asarray(out_p.lambda_dist)
+                  - np.asarray(out_r.lambda_dist)).max()
+    assert dpos < 1e-5, f"pallas/xla position mismatch {dpos}"
+    assert dlam < 1e-6
+
+
+def test_pallas_pinned_particles():
+    cfg = SolverConfig(substeps=4, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.COLORED, ground_height=0.0)
+    spec = lattice.lattice_spec(4, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.5, 0))
+    pins = np.array([0, 63])
+    state = state.replace(inv_mass=state.inv_mass.at[pins].set(0.0))
+    p0 = np.asarray(state.positions)[pins].copy()
+    with pltpu.force_tpu_interpret_mode():
+        fn = lp.make_pallas_substep_runner(spec, cfg, 1 / 240, 10)
+        out = fn(state)
+    p = np.asarray(out.positions)
+    assert np.allclose(p[pins], p0, atol=1e-6)
+    assert np.isfinite(p).all()
+
+
+def test_pallas_rejects_unsupported_config():
+    spec = lattice.lattice_spec(4, braced=True)
+    cfg = SolverConfig(sphere_colliders=((0, 0, 0, 1.0),))
+    with pytest.raises(NotImplementedError):
+        lp.make_pallas_substep_runner(spec, cfg, 1 / 240, 4)

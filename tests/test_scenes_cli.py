@@ -1,0 +1,67 @@
+"""Scene catalogue + CLI runner (the reference's scenes-as-workloads, L9)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from softbodysimulation_tpu.core.scenes import SCENES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("name", ["cpu_cube", "gpu_substep", "flagship"])
+def test_scene_runs_and_stays_finite(name):
+    state, step, info = SCENES[name]()
+    for _ in range(5):
+        state = step(state)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+
+
+def test_cpu_mesh_scene_builds():
+    # uses the bunny OBJ when present, else icosphere fallback
+    state, step, info = SCENES["cpu_mesh"](fallback_subdiv=1)
+    state = step(state)
+    assert np.isfinite(np.asarray(state.positions)).all()
+    assert info["topology"].n_edges > 0
+
+
+def test_flagship_scene_matches_reference_workload():
+    state, step, info = SCENES["flagship"]()
+    assert state.positions.shape == (64, 3)          # res=4 -> 64 particles
+    # lambda field covers the 7 reference families
+    assert info["config"].iterations == 9
+
+
+def _run_cli(*args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "softbodysimulation_tpu", *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+
+
+def test_cli_list():
+    r = _run_cli("list")
+    assert r.returncode == 0
+    for name in SCENES:
+        assert name in r.stdout
+
+
+def test_cli_run_with_export_and_checkpoint(tmp_path):
+    obj = os.path.join(tmp_path, "f.obj")
+    ckpt = os.path.join(tmp_path, "s.npz")
+    r = _run_cli("run", "cpu_cube", "--steps", "30", "--platform", "cpu",
+                 "--log-every", "0", "--export", obj, "--checkpoint", ckpt)
+    assert r.returncode == 0, r.stderr
+    assert "done: 30 steps" in r.stdout
+    assert os.path.exists(obj) and os.path.exists(ckpt)
+
+
+def test_cli_unknown_scene_fails_cleanly():
+    r = _run_cli("run", "nope", "--platform", "cpu")
+    assert r.returncode == 2
+    assert "unknown scene" in r.stderr
