@@ -31,6 +31,8 @@ def main(argv=None):
                       help="write final frame as OBJ (needs triangles)")
     runp.add_argument("--checkpoint", default=None,
                       help="write final SimState as npz")
+    runp.add_argument("--svg", default=None,
+                      help="write a wireframe debug snapshot (SVG)")
     runp.add_argument("--log-every", type=int, default=60)
     runp.add_argument("--platform", default=None,
                       help="force a jax platform (e.g. cpu)")
@@ -94,6 +96,14 @@ def main(argv=None):
         checkpoint.save(args.checkpoint, state,
                         metadata={"steps": args.steps})
         print(f"checkpoint -> {args.checkpoint}")
+    if args.svg:
+        from .io import wireframe
+
+        cfg = info.get("config")
+        wireframe.render_svg(
+            args.svg, state, info.get("topology"),
+            ground_height=getattr(cfg, "ground_height", None))
+        print(f"svg -> {args.svg}")
     if args.export:
         topo = info.get("topology")
         if topo is None or topo.triangles.shape[0] == 0:

@@ -140,10 +140,37 @@ def flagship_perf(dt: float = 1 / 60, res: int = 40):
     return state, step, {"spec": spec, "config": cfg, "dt": dt}
 
 
+def cloth(dt: float = 1 / 60, res: int = 16):
+    """Hanging cloth: grid plane with edge + dihedral bending constraints,
+    top row pinned (the canonical mesh-driven workload of the
+    InitializeSoftBodyFromMesh path, exercised as cloth)."""
+    from ..interact import forces as _forces
+
+    m = _mesh.grid_plane(1.0, res)
+    # stand the plane up vertically (x stays, y <- z)
+    verts = m.vertices[:, [0, 2, 1]].copy()
+    verts[:, 2] *= 0.0
+    mm = _mesh.TriMesh(verts, m.triangles)
+    pos, topo = _build.topology_from_mesh(
+        mm, compliance=1e-5, bending=True, bend_compliance=1e-3)
+    pos = pos + np.array([0.0, 1.2, 0.0], np.float32)
+    cfg = SolverConfig(substeps=4, iterations=2, damping=0.03,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.WARM_START, lambda_decay=1.0,
+                       enable_bending=True,
+                       ground_height=0.0, friction=0.4)
+    state = state_from_topology(topo, pos)
+    top = np.flatnonzero(pos[:, 1] > pos[:, 1].max() - 1e-4)
+    state = _forces.pin_indices(state, top, pinned=True)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt}
+
+
 SCENES: Dict[str, Callable] = {
     "cpu_cube": cpu_cube,
     "cpu_mesh": cpu_mesh,
     "gpu_substep": gpu_substep,
     "flagship": flagship,
     "flagship_perf": flagship_perf,
+    "cloth": cloth,
 }

@@ -101,11 +101,17 @@ def _roll_bwd(a, fam, res):
 
 
 def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
-                               dt_sub: float, n_substeps: int):
+                               dt_sub: float, n_substeps: int,
+                               loop_inside: bool = True):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
-    raw substeps entirely inside one Pallas kernel (external forces are not
-    applied — bench/rollout semantics, matching
-    ``solvers.lattice.make_substep_runner``)."""
+    raw substeps (external forces are not applied — bench/rollout semantics,
+    matching ``solvers.lattice.make_substep_runner``).
+
+    loop_inside=True: the whole substep loop runs inside ONE kernel with
+    state VMEM-resident (fastest; biggest Mosaic compile).  False: the
+    kernel advances one substep and a lax.scan outside loops it — state
+    round-trips HBM once per substep (~10 MB) but the kernel is ~S x smaller
+    to compile."""
     _check_supported(cfg, spec)
     res = spec.res
     r2 = res * res
@@ -279,8 +285,9 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             x = jnp.where(pinned[None], x, pred)
             return x, v, lam
 
+        inner = n_substeps if loop_inside else 1
         x, v, lam = lax.fori_loop(
-            0, n_substeps, substep, (x_ref[:], v_ref[:], lam_ref[:]))
+            0, inner, substep, (x_ref[:], v_ref[:], lam_ref[:]))
         xo_ref[:] = x
         vo_ref[:] = v
         lamo_ref[:] = lam
@@ -304,7 +311,15 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         v = state.velocities.T.reshape(3, res, r2)
         w = state.inv_mass.reshape(res, r2)
         lam = state.lambda_dist.reshape(nfam, res, r2)
-        xo, vo, lamo = call(x, v, w, lam)
+        if loop_inside:
+            xo, vo, lamo = call(x, v, w, lam)
+        else:
+            def body(carry, _):
+                xc, vc, lamc = carry
+                return call(xc, vc, w, lamc), None
+
+            (xo, vo, lamo), _ = lax.scan(
+                body, (x, v, lam), None, length=n_substeps)
         return state.replace(
             positions=xo.reshape(3, -1).T,
             velocities=vo.reshape(3, -1).T,
