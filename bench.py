@@ -54,8 +54,12 @@ def build():
         iterations=1,
         damping=0.02,
         solve_mode=SolveMode.JACOBI,
-        lambda_mode=LambdaMode.WARM_START,
-        lambda_decay=1.0,
+        # light particles make compliance negligible vs inverse masses, so a
+        # single RESET Jacobi pass already closes ~50% of C per family —
+        # warm-starting is unnecessary here (and dynamically unstable in the
+        # near-rigid regime; see SolverConfig.warm_start_clamp)
+        lambda_mode=LambdaMode.RESET,
+        gravity_is_acceleration=True,
         ground_height=0.0,
         friction=0.3,
     )
@@ -93,9 +97,12 @@ def main():
     while True:
         state = step(state)
         calls += 1
-        np.asarray(state.positions[0, 0])  # sync (host fetch)
-        if time.perf_counter() - t0 >= TARGET_SECONDS:
-            break
+        # sync by host fetch, but only every few calls: the relay adds
+        # ~10 ms latency per fetch, which would tax a ~45 ms call by ~20%
+        if calls % 10 == 0:
+            np.asarray(state.positions[0, 0])
+            if time.perf_counter() - t0 >= TARGET_SECONDS:
+                break
     p = np.asarray(state.positions)  # full fetch + final sync
     elapsed = time.perf_counter() - t0
 

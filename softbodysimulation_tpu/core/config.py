@@ -90,6 +90,12 @@ class SolverConfig:
 
     # --- integration ---
     gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0)
+    # The reference adds gravity as a FORCE (AddForce(gravity),
+    # SoftBodyCPU.cs:297; flagship kernel likewise), so acceleration scales
+    # with inverse mass — fine at unit mass, surprising otherwise.  True
+    # applies `gravity` as an acceleration (mass-independent, the physical
+    # convention); False keeps reference-faithful force semantics.
+    gravity_is_acceleration: bool = False
     damping: float = 0.01
     damping_mode: DampingMode = DampingMode.PER_STEP
     max_velocity: float = 0.0         # 0 disables; XPBDSimulatorCS.compute:83 uses 20
@@ -114,6 +120,11 @@ class SolverConfig:
                                       # (XPBDSoftBody.compute:153 uses 0.1)
     lambda_clamp: float = 0.0         # abs clamp on accumulated lambda; 0 disables
                                       # (XPBDSoftBody.compute:160 uses 100)
+    # WARM_START safety: the carried impulse is clamped so its position
+    # correction can never exceed this fraction of the edge rest length per
+    # substep.  Without it, light particles (large inv_mass) amplify
+    # transient lambda noise into positional explosions at contacts.
+    warm_start_clamp: float = 0.5
     min_alpha_tilde: float = 0.0      # floor on alpha~; XPBDSoftBody.compute:139 uses 1e-10
 
     # --- bending (dihedral) ---

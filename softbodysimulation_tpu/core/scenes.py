@@ -130,7 +130,8 @@ def flagship_perf(dt: float = 1 / 60, res: int = 40):
     cfg = SolverConfig(
         substeps=8, iterations=1, damping=0.02,
         solve_mode=SolveMode.JACOBI,
-        lambda_mode=LambdaMode.WARM_START, lambda_decay=1.0,
+        lambda_mode=LambdaMode.RESET,
+        gravity_is_acceleration=True,
         ground_height=0.0, friction=0.3)
     # particle mass 1 g: a 40-high stack of unit masses would exceed 100%
     # strain at structural compliance 1e-4 (it would pancake — physically)

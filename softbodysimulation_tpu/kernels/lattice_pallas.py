@@ -156,7 +156,11 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         pred = pred + _roll_bwd(wb[None] * dp, fam, res)
         return pred, lam_f
 
-    def warm_apply(pred, w, wb_all, lam_f, fam, valid):
+    def warm_apply(pred, w, wb_all, lam_f, fam, valid, rest):
+        if cfg.warm_start_clamp > 0:
+            wmax = jnp.maximum(jnp.maximum(w, wb_all), 1e-12)
+            lim = cfg.warm_start_clamp * rest / wmax
+            lam_f = jnp.clip(lam_f, -lim, lim)
         pb = _roll_fwd(pred, fam, res)
         d = pb - pred
         len_sq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
@@ -165,7 +169,7 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         dp = d * (dl / length)[None]
         pred = pred - w[None] * dp
         pred = pred + _roll_bwd(wb_all[None] * dp, fam, res)
-        return pred
+        return pred, lam_f
 
     def kernel(x_ref, v_ref, w_ref, lam_ref, xo_ref, vo_ref, lamo_ref):
         xx, yy, zz = _coords(res)
@@ -181,13 +185,15 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
 
         def substep(_, carry):
             x, v, lam = carry
-            # predict (gravity as force: v += dt*w*g)
             g = jnp.stack([
                 jnp.full((res, r2), gx, jnp.float32),
                 jnp.full((res, r2), gy, jnp.float32),
                 jnp.full((res, r2), gz, jnp.float32),
             ])
-            v = v + dt * w[None] * g
+            if cfg.gravity_is_acceleration:
+                v = v + dt * jnp.where((w > 0)[None], g, 0.0)
+            else:
+                v = v + dt * w[None] * g
             if cfg.damping_mode.value == "per_step":
                 v = v * (1.0 - min(max(cfg.damping, 0.0), 1.0))
             else:
@@ -201,9 +207,13 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             else:
                 lam = lam * cfg.lambda_decay
             if cfg.lambda_mode == LambdaMode.WARM_START:
+                lam_parts = []
                 for fi, fam in enumerate(spec.families):
-                    pred = warm_apply(pred, w, wb_per_fam[fi], lam[fi], fam,
-                                      masks[fi][0])
+                    pred, lam_f = warm_apply(
+                        pred, w, wb_per_fam[fi], lam[fi], fam,
+                        masks[fi][0], spec.rest_lengths[fi])
+                    lam_parts.append(lam_f)
+                lam = jnp.stack(lam_parts)
 
             def iteration(_, carry):
                 pred, lam = carry

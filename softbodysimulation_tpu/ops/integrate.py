@@ -20,10 +20,19 @@ def predict(positions, velocities, inv_mass, ext_force, dt,
             cfg: SolverConfig, apply_ext: bool = True):
     """Returns (pred_positions, new_velocities)."""
     g = jnp.asarray(cfg.gravity, dtype=positions.dtype)
-    force = g[None, :] + (ext_force if apply_ext else 0.0)
+    ext = ext_force if apply_ext else jnp.zeros_like(ext_force)
     if cfg.max_force > 0:
-        force = jnp.clip(force, -cfg.max_force, cfg.max_force)
-    v = velocities + dt * inv_mass[:, None] * force
+        ext = jnp.clip(ext, -cfg.max_force, cfg.max_force)
+    if cfg.gravity_is_acceleration:
+        active = (inv_mass > 0)[:, None]
+        dv = dt * (jnp.where(active, g[None, :], 0.0)
+                   + inv_mass[:, None] * ext)
+    else:
+        force = g[None, :] + ext
+        if cfg.max_force > 0:
+            force = jnp.clip(force, -cfg.max_force, cfg.max_force)
+        dv = dt * inv_mass[:, None] * force
+    v = velocities + dv
     if cfg.damping_mode == DampingMode.PER_STEP:
         v = v * (1.0 - jnp.clip(cfg.damping, 0.0, 1.0))
     else:

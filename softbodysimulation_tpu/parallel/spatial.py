@@ -107,7 +107,8 @@ def _sharded_family_pass(pred, w, w_halo, lam_f, family, mask, rest, comp,
     return pred, lam_f
 
 
-def _apply_warm(pred, w, w_halo, lam_f, family, valid, axis, n_shards):
+def _apply_warm(pred, w, w_halo, lam_f, family, valid, axis, n_shards,
+                rest, cfg: SolverConfig):
     dx, dy, dz, _ = family
     if dx:
         halo = lax.ppermute(pred[0], axis, _right_perm(n_shards))
@@ -118,6 +119,10 @@ def _apply_warm(pred, w, w_halo, lam_f, family, valid, axis, n_shards):
         wb = w
     pb = jnp.roll(pb, (-dy, -dz), axis=(1, 2))
     wb = jnp.roll(wb, (-dy, -dz), axis=(1, 2))
+    if cfg.warm_start_clamp > 0:
+        wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
+        lim = cfg.warm_start_clamp * rest / wmax
+        lam_f = jnp.clip(lam_f, -lim, lim)
     d = pb - pred
     length = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
     nrm = d / length[..., None]
@@ -131,7 +136,7 @@ def _apply_warm(pred, w, w_halo, lam_f, family, valid, axis, n_shards):
         pred = pred.at[0].add(spill)
     else:
         pred = pred + corr
-    return pred
+    return pred, lam_f
 
 
 def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
@@ -145,9 +150,11 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
         raise ValueError(f"res {res} not divisible by {n_shards} shards")
     nfam = spec.n_families
 
-    host_masks = _family_masks(spec)
-    valid_np = np.stack([v for v, _ in host_masks])
-    par0_np = np.stack([p for _, p in host_masks])
+    host_masks = _family_masks(spec)  # (res, res*res) layout
+    valid_np = np.stack(
+        [v.reshape(res, res, res) for v, _ in host_masks])
+    par0_np = np.stack(
+        [p.reshape(res, res, res) for _, p in host_masks])
 
     def local_substep(x, v, w, f, lam, valid, par0, apply_ext):
         # x,v,f: (P,res,res,3); w: (P,res,res); lam: (nfam,P,res,res)
@@ -167,9 +174,13 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
             lam = lam * cfg.lambda_decay
 
         if cfg.lambda_mode == LambdaMode.WARM_START:
+            lam_parts = []
             for fi, fam in enumerate(spec.families):
-                pred = _apply_warm(pred, w, w_halo, lam[fi], fam,
-                                   valid[fi], axis, n_shards)
+                pred, lam_f = _apply_warm(
+                    pred, w, w_halo, lam[fi], fam, valid[fi], axis,
+                    n_shards, spec.rest_lengths[fi], cfg)
+                lam_parts.append(lam_f)
+            lam = jnp.stack(lam_parts)
 
         def iteration(_, carry):
             pred, lam = carry

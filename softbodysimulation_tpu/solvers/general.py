@@ -161,19 +161,27 @@ def _solve_bending_jacobi(pred, lam, inv_mass, topo: Topology,
 
 
 # ---------------------------------------------------------------- substep
-def _warm_apply_distance(pred, lam, inv_mass, topo: Topology):
+def _warm_apply_distance(pred, lam, inv_mass, topo: Topology,
+                         cfg: SolverConfig):
     """Pre-apply carried distance impulses along current edge directions.
 
     Applied with the same per-edge 1/max-degree relaxation as the Jacobi
     pass — simultaneous full-strength application over-corrects shared
     particles (degree-6 mesh vertices explode within a few steps) — and the
     carried multiplier is scaled identically so the XPBD feedback term stays
-    consistent with what was actually applied.  Returns (pred, lam)."""
+    consistent with what was actually applied.  Additionally clamped so the
+    applied correction never exceeds warm_start_clamp * rest per particle
+    (light particles amplify lambda noise).  Returns (pred, lam)."""
     ea = topo.edges[:, 0]
     eb = topo.edges[:, 1]
     scale = 1.0 / jnp.maximum(
         jnp.maximum(topo.degree[ea], topo.degree[eb]), 1.0)
     lam = lam * scale
+    if cfg.warm_start_clamp > 0:
+        wmax = jnp.maximum(
+            jnp.maximum(inv_mass[ea], inv_mass[eb]), 1e-12)
+        lim = cfg.warm_start_clamp * topo.rest_lengths / wmax
+        lam = jnp.clip(lam, -lim, lim)
     d = pred[eb] - pred[ea]
     length = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
     n = d / length[:, None]
@@ -212,7 +220,8 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     if cfg.lambda_mode == LambdaMode.WARM_START:
         # consistent warm start: the carried impulse is applied up front, so
         # the XPBD feedback term (-C - alpha~*lambda) remains truthful
-        pred, lam_d = _warm_apply_distance(pred, lam_d, state.inv_mass, topo)
+        pred, lam_d = _warm_apply_distance(pred, lam_d, state.inv_mass, topo,
+                                           cfg)
 
     # omega scales the degree-averaged Jacobi update; 1.0 (the default) gives
     # GS-matched stiffness, <1 softens, >1 over-relaxes.

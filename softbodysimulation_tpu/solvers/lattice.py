@@ -3,27 +3,32 @@
 The reference's flagship engine (``SoftBodySimulator`` + ``XPBDSoftBody``)
 spends its life marshalling an explicit constraint list through per-color GPU
 dispatches (``SoftBodySimulator.cs:590-611``).  On a regular lattice that
-machinery is unnecessary: the constraint graph is exactly the 7 offset
-families of ``topology/lattice.py``, so constraint projection becomes dense
-shifted-array arithmetic on a ``(res, res, res, 3)`` grid —
+machinery is unnecessary: the constraint graph is a fixed set of offset
+families (``topology/lattice.py``), so constraint projection becomes dense
+shifted-array arithmetic —
 
   * gather  -> ``jnp.roll`` by the family offset (wraparound killed by a
     precomputed boundary mask),
   * scatter -> the inverse roll of the correction field,
   * graph coloring -> a parity split along the family's leading axis: within
-    one parity class no two constraints share a particle, so 7 families x 2
-    parities = 14 dense passes give EXACT Gauss-Seidel.
+    one parity class no two constraints share a particle, so families x 2
+    parities of dense passes give EXACT Gauss-Seidel.
 
-No edge list, no indices, no segment-sum — pure VPU-shaped elementwise work
-that XLA fuses aggressively and Pallas can hold entirely in VMEM (64k
-particles of state ~ 4 MB << 16 MB).  This is where the 1e9
-particle-steps/sec target is won.
+No edge list, no indices, no segment-sum — pure VPU-shaped elementwise work.
 
-State interop: uses the standard ``SimState`` with x-major flattened
-positions (index = (x*res + y)*res + z, matching
-``SoftBodySimulator.cs:121-144``); ``lambda_dist`` holds the 7 family fields
-flattened to ``(7*res^3,)``.  Checkpointing, interaction and diagnostics all
-work unchanged.
+TPU layout: component-major ``(3, res, res*res)`` — sublane = x-plane,
+lane = y*res + z (a long, well-vectorized minor axis; the naive
+``(res,res,res,3)`` layout leaves a 3-wide minor dim and vectorizes
+terribly).  Offset shifts become rolls on the two minor axes:
+x-shift -> axis 1; y/z-shift -> axis 2 by dy*res+dz (wrap leakage across
+y-rows is exactly the out-of-bounds region the masks already kill).
+The fused Pallas kernel (``kernels/lattice_pallas.py``) uses the identical
+layout and semantics, keeping the two implementations interchangeable.
+
+State interop: standard ``SimState`` with x-major flattened positions
+(index = (x*res + y)*res + z, matching ``SoftBodySimulator.cs:121-144``);
+``lambda_dist`` holds the family fields flattened.  Checkpointing,
+interaction and diagnostics work unchanged.
 """
 
 from __future__ import annotations
@@ -38,8 +43,6 @@ from jax import lax
 
 from ..core.config import FloorMode, LambdaMode, SolveMode, SolverConfig
 from ..core.state import SimState
-from ..ops import collision as _collision
-from ..ops import integrate as _integrate
 from ..topology.lattice import LatticeSpec, lattice_points
 
 
@@ -65,7 +68,7 @@ def make_lattice_state(spec: LatticeSpec, center=(0.0, 0.0, 0.0),
 
 @functools.lru_cache(maxsize=64)
 def _family_masks(spec: LatticeSpec) -> Tuple[np.ndarray, ...]:
-    """Per-family (valid, parity0) boolean masks over anchor coordinates.
+    """Per-family (valid, parity0) boolean masks in (res, res*res) layout.
 
     valid: anchor a has a partner a+d in bounds (with the reference's
     shear/bend anchor quirk when spec.reference_bounds — see
@@ -90,69 +93,40 @@ def _family_masks(spec: LatticeSpec) -> Tuple[np.ndarray, ...]:
                     valid &= coord >= -d
         lead = xx if dx else (yy if dy else zz)
         parity0 = (lead % 2) == 0
-        out.append((valid, parity0))
+        out.append((valid.reshape(res, res * res),
+                    parity0.reshape(res, res * res)))
     return tuple(out)
 
 
-def _family_pass(pred, w, lam_f, family, parity_mask, valid, rest, comp,
-                 dt, cfg: SolverConfig):
-    """One conflict-free half-family Gauss-Seidel pass (dense stencil)."""
-    dx, dy, dz, _ = family
-    shift_fwd = (-dx, -dy, -dz)
-    shift_bwd = (dx, dy, dz)
-    axes = (0, 1, 2)
+def _roll_fwd(a, fam, res):
+    """partner view a[x+dx, y+dy, z+dz] in (..., res, res*res) layout."""
+    dx, dy, dz, _ = fam
+    if dx:
+        a = jnp.roll(a, -dx, axis=a.ndim - 2)
+    k = dy * res + dz
+    if k:
+        a = jnp.roll(a, -k, axis=a.ndim - 1)
+    return a
 
-    pb = jnp.roll(pred, shift_fwd, axis=axes)
-    wb = jnp.roll(w, shift_fwd, axis=axes)
 
+def _roll_bwd(a, fam, res):
+    dx, dy, dz, _ = fam
+    k = dy * res + dz
+    if k:
+        a = jnp.roll(a, k, axis=a.ndim - 1)
+    if dx:
+        a = jnp.roll(a, dx, axis=a.ndim - 2)
+    return a
+
+
+def _family_pass(pred, w, wb, lam_f, fam, mask, rest, comp, dt,
+                 cfg: SolverConfig, res, relax=None):
+    """One constraint pass on (3,res,res^2) pred.  ``mask`` folds validity
+    and (for GS) parity; relax=None => exact GS, float => Jacobi scaling."""
+    pb = _roll_fwd(pred, fam, res)
     d = pb - pred
-    len_sq = jnp.sum(d * d, axis=-1)
+    len_sq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
-    nrm = d / length[..., None]
-
-    c = length - rest
-    alpha = comp / (dt * dt)
-    if cfg.min_alpha_tilde > 0:
-        alpha = max(alpha, cfg.min_alpha_tilde)
-    denom = w + wb + alpha
-    dl = (-c - alpha * lam_f) / jnp.maximum(denom, 1e-30)
-    if cfg.max_dlambda > 0:
-        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
-    if cfg.max_dlambda_rel > 0:
-        m = cfg.max_dlambda_rel * rest
-        dl = jnp.clip(dl, -m, m)
-
-    active = (
-        parity_mask & valid
-        & (length >= cfg.eps_length)
-        & (jnp.abs(denom) >= cfg.eps_denominator)
-        & ((w >= cfg.static_inv_mass_eps) | (wb >= cfg.static_inv_mass_eps))
-    )
-    dl = jnp.where(active, dl, 0.0)
-
-    lam_f = lam_f + dl
-    if cfg.lambda_clamp > 0:
-        lam_f = jnp.clip(lam_f, -cfg.lambda_clamp, cfg.lambda_clamp)
-
-    dp = dl[..., None] * nrm
-    pred = pred - w[..., None] * dp
-    pred = pred + jnp.roll(wb[..., None] * dp, shift_bwd, axis=axes)
-    return pred, lam_f
-
-
-def _family_pass_jacobi(pred, w, lam_f, family, valid, rest, comp, dt,
-                        cfg: SolverConfig, relax):
-    """Whole-family Jacobi pass: both parities at once, under-relaxed.
-
-    Within a family a particle joins at most 2 constraints (one as anchor,
-    one as partner), so ``relax`` ~ 0.5 is the consistent per-edge scale."""
-    dx, dy, dz, _ = family
-    axes = (0, 1, 2)
-    pb = jnp.roll(pred, (-dx, -dy, -dz), axis=axes)
-    wb = jnp.roll(w, (-dx, -dy, -dz), axis=axes)
-    d = pb - pred
-    length = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
-    nrm = d / length[..., None]
     c = length - rest
     alpha = comp / (dt * dt)
     if cfg.min_alpha_tilde > 0:
@@ -165,62 +139,104 @@ def _family_pass_jacobi(pred, w, lam_f, family, valid, rest, comp, dt,
         m = cfg.max_dlambda_rel * rest
         dl = jnp.clip(dl, -m, m)
     active = (
-        valid
+        mask
         & (length >= cfg.eps_length)
         & (jnp.abs(denom) >= cfg.eps_denominator)
         & ((w >= cfg.static_inv_mass_eps) | (wb >= cfg.static_inv_mass_eps))
     )
-    dl = jnp.where(active, dl * relax, 0.0)
+    dl = jnp.where(active, dl if relax is None else dl * relax, 0.0)
     lam_f = lam_f + dl
     if cfg.lambda_clamp > 0:
         lam_f = jnp.clip(lam_f, -cfg.lambda_clamp, cfg.lambda_clamp)
-    dp = dl[..., None] * nrm
-    pred = pred - w[..., None] * dp
-    pred = pred + jnp.roll(wb[..., None] * dp, (dx, dy, dz), axis=axes)
+    dp = d * (dl / length)[None]
+    pred = pred - w[None] * dp
+    pred = pred + _roll_bwd(wb[None] * dp, fam, res)
     return pred, lam_f
 
 
-def _warm_apply_family(pred, w, lam_f, family, valid):
-    """Pre-apply a family's carried impulses along current edge directions."""
-    dx, dy, dz, _ = family
-    axes = (0, 1, 2)
-    pb = jnp.roll(pred, (-dx, -dy, -dz), axis=axes)
-    wb = jnp.roll(w, (-dx, -dy, -dz), axis=axes)
+def _warm_apply_family(pred, w, wb, lam_f, fam, valid, res, rest,
+                       cfg: SolverConfig):
+    """Pre-apply a family's carried impulses along current edge directions.
+
+    The carried multiplier is clamped so the applied correction never
+    exceeds ``warm_start_clamp * rest`` per particle (see SolverConfig —
+    unclamped warm impulses explode for light particles).  Returns
+    (pred, clamped lam) so the feedback term stays consistent."""
+    if cfg.warm_start_clamp > 0:
+        wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
+        lim = cfg.warm_start_clamp * rest / wmax
+        lam_f = jnp.clip(lam_f, -lim, lim)
+    pb = _roll_fwd(pred, fam, res)
     d = pb - pred
-    length = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
-    nrm = d / length[..., None]
+    len_sq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
     dl = jnp.where(valid, lam_f, 0.0)
-    dp = dl[..., None] * nrm
-    pred = pred - w[..., None] * dp
-    pred = pred + jnp.roll(wb[..., None] * dp, (dx, dy, dz), axis=axes)
-    return pred
+    dp = d * (dl / length)[None]
+    pred = pred - w[None] * dp
+    pred = pred + _roll_bwd(wb[None] * dp, fam, res)
+    return pred, lam_f
 
 
-def _substep(state: SimState, spec: LatticeSpec, cfg: SolverConfig, dt,
-             apply_ext: bool):
+def _floor_xpbd(pred, x, w, dt, cfg: SolverConfig):
+    """XPBD inequality floor + positional friction, componentwise on
+    (3,res,res^2) (semantics of ops/collision.floor_project_xpbd)."""
+    gh = cfg.ground_height
+    pen = gh - pred[1]
+    alpha_c = cfg.collision_compliance / (dt * dt)
+    denom = w + alpha_c
+    dl = pen / jnp.maximum(denom, 1e-30)
+    hit = ((pen > 0) & (w >= cfg.static_inv_mass_eps)
+           & (jnp.abs(denom) >= cfg.eps_denominator))
+    p1 = pred[1] + jnp.where(hit, w * dl, 0.0)
+    fr = min(max(cfg.friction, 0.0), 1.0)
+    p0 = pred[0] - jnp.where(hit, (pred[0] - x[0]) * fr, 0.0)
+    p2 = pred[2] - jnp.where(hit, (pred[2] - x[2]) * fr, 0.0)
+    return jnp.stack([p0, p1, p2])
+
+
+def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
+             apply_ext: bool, masks_dev):
+    """One substep in (3,res,res^2) layout.  x,v,f: (3,res,r2); w: (res,r2);
+    lam: (nfam,res,r2)."""
     res = spec.res
-    nfam = spec.n_families
 
     if cfg.lambda_mode == LambdaMode.RESET:
-        lam = jnp.zeros_like(state.lambda_dist)
+        lam = jnp.zeros_like(lam)
     else:
-        lam = state.lambda_dist * cfg.lambda_decay
-    lam = lam.reshape(nfam, res, res, res)
+        lam = lam * cfg.lambda_decay
 
-    pred_flat, vel = _integrate.predict(
-        state.positions, state.velocities, state.inv_mass, state.ext_force,
-        dt, cfg, apply_ext=apply_ext)
-    pred = pred_flat.reshape(res, res, res, 3)
-    w = state.inv_mass.reshape(res, res, res)
+    # predict (reference gravity is a force: v += dt*w*(g + f_ext);
+    # gravity_is_acceleration applies g mass-independently)
+    g = jnp.asarray(cfg.gravity, x.dtype).reshape(3, 1, 1)
+    ext = f if apply_ext else jnp.zeros_like(f)
+    if cfg.gravity_is_acceleration:
+        active = (w > 0)[None]
+        v = v + dt * (jnp.where(active, g, 0.0) + w[None] * ext)
+    else:
+        force = g + ext
+        if cfg.max_force > 0:
+            force = jnp.clip(force, -cfg.max_force, cfg.max_force)
+        v = v + dt * w[None] * force
+    if cfg.damping_mode.value == "per_step":
+        v = v * (1.0 - min(max(cfg.damping, 0.0), 1.0))
+    else:
+        v = v * (1.0 - cfg.damping * dt)
+    if cfg.max_velocity > 0:
+        v = jnp.clip(v, -cfg.max_velocity, cfg.max_velocity)
+    pred = x + dt * v
+    if cfg.world_bounds > 0:
+        pred = jnp.clip(pred, -cfg.world_bounds, cfg.world_bounds)
 
-    masks = _family_masks(spec)
-    masks_dev = tuple(
-        (jnp.asarray(v), jnp.asarray(p)) for (v, p) in masks)
+    wb_per_fam = [_roll_fwd(w, fam, res) for fam in spec.families]
 
     if cfg.lambda_mode == LambdaMode.WARM_START:
+        lam_parts = []
         for fi, fam in enumerate(spec.families):
-            pred = _warm_apply_family(pred, w, lam[fi], fam,
-                                      masks_dev[fi][0])
+            pred, lam_f = _warm_apply_family(
+                pred, w, wb_per_fam[fi], lam[fi], fam, masks_dev[fi][0],
+                res, spec.rest_lengths[fi], cfg)
+            lam_parts.append(lam_f)
+        lam = jnp.stack(lam_parts)
 
     def iteration(_, carry):
         pred, lam = carry
@@ -228,52 +244,116 @@ def _substep(state: SimState, spec: LatticeSpec, cfg: SolverConfig, dt,
         for fi, fam in enumerate(spec.families):
             valid, parity0 = masks_dev[fi]
             lam_f = lam[fi]
+            rest = spec.rest_lengths[fi]
+            comp = spec.compliances[fi]
+            wb = wb_per_fam[fi]
             if cfg.solve_mode == SolveMode.COLORED:
                 pred, lam_f = _family_pass(
-                    pred, w, lam_f, fam, parity0, valid,
-                    spec.rest_lengths[fi], spec.compliances[fi], dt, cfg)
+                    pred, w, wb, lam_f, fam, valid & parity0, rest, comp,
+                    dt, cfg, res)
                 pred, lam_f = _family_pass(
-                    pred, w, lam_f, fam, ~parity0, valid,
-                    spec.rest_lengths[fi], spec.compliances[fi], dt, cfg)
+                    pred, w, wb, lam_f, fam, valid & ~parity0, rest, comp,
+                    dt, cfg, res)
             else:
-                pred, lam_f = _family_pass_jacobi(
-                    pred, w, lam_f, fam, valid,
-                    spec.rest_lengths[fi], spec.compliances[fi], dt, cfg,
-                    relax=cfg.omega if cfg.omega > 0 else 0.5)
+                pred, lam_f = _family_pass(
+                    pred, w, wb, lam_f, fam, valid, rest, comp, dt, cfg,
+                    res, relax=cfg.omega if cfg.omega > 0 else 0.5)
             lam_parts.append(lam_f)
         lam = jnp.stack(lam_parts)
 
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
-            pf = _collision.floor_project_xpbd(
-                pred.reshape(-1, 3), state.positions, state.inv_mass, dt, cfg)
-            pred = pf.reshape(res, res, res, 3)
+            pred = _floor_xpbd(pred, x, w, dt, cfg)
         if cfg.sphere_colliders:
-            pf = _collision.sphere_sdf_project(
-                pred.reshape(-1, 3), state.positions, state.inv_mass, dt, cfg)
-            pred = pf.reshape(res, res, res, 3)
+            for cx, cy, cz, radius in cfg.sphere_colliders:
+                center = jnp.asarray([cx, cy, cz],
+                                     x.dtype).reshape(3, 1, 1)
+                dvec = pred - center
+                dist = jnp.sqrt(jnp.maximum(
+                    dvec[0] ** 2 + dvec[1] ** 2 + dvec[2] ** 2, 1e-24))
+                nrm = dvec / dist[None]
+                penet = radius - dist
+                act = (penet > 0) & (w >= cfg.static_inv_mass_eps)
+                pred = pred + jnp.where(act[None],
+                                        nrm * penet[None], 0.0)
+                vel = (pred - x) / dt
+                vn = (vel[0] * nrm[0] + vel[1] * nrm[1]
+                      + vel[2] * nrm[2])[None] * nrm
+                vt = vel - vn
+                fr = min(max(cfg.friction, 0.0), 1.0)
+                pred = pred - jnp.where(act[None], vt * (dt * fr), 0.0)
         return pred, lam
 
     pred, lam = lax.fori_loop(0, cfg.iterations, iteration, (pred, lam))
 
-    x, v = _integrate.finalize(
-        state.positions, pred.reshape(-1, 3), state.inv_mass, dt)
-    if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
-        x, v = _collision.floor_velocity_reflect(x, v, state.inv_mass, dt, cfg)
+    # finalize
+    pinned = (w == 0.0)[None]
+    v = jnp.where(pinned, 0.0, (pred - x) / dt)
+    x = jnp.where(pinned, x, pred)
 
+    if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
+        # flagship-style velocity-level floor (ops/collision semantics)
+        gh = cfg.ground_height
+        pen = gh - x[1]
+        hit = (pen > 0) & (w > 0)
+        x1 = jnp.where(hit, gh + cfg.floor_offset, x[1])
+        falling = hit & (v[1] < 0)
+        vy = jnp.abs(v[1]) * cfg.restitution + pen * cfg.penetration_kick
+        v1 = jnp.where(falling, vy, v[1])
+        normal_force = jnp.abs(v1) + pen * cfg.normal_force_scale
+        h_speed = jnp.sqrt(jnp.maximum(v[0] ** 2 + v[2] ** 2, 1e-24))
+        moving = h_speed > 1e-3
+        fmag = jnp.minimum(h_speed,
+                           normal_force * cfg.floor_friction_coeff * dt)
+        scalef = jnp.where(falling & moving, fmag / h_speed, 0.0)
+        v0 = v[0] - v[0] * scalef
+        v2 = v[2] - v[2] * scalef
+        x = jnp.stack([x[0], x1, x[2]])
+        v = jnp.stack([v0, v1, v2])
+
+    return x, v, lam
+
+
+def _to_grid(state: SimState, spec: LatticeSpec):
+    res = spec.res
+    r2 = res * res
+    return (state.positions.T.reshape(3, res, r2),
+            state.velocities.T.reshape(3, res, r2),
+            state.inv_mass.reshape(res, r2),
+            state.ext_force.T.reshape(3, res, r2),
+            state.lambda_dist.reshape(spec.n_families, res, r2))
+
+
+def _from_grid(state: SimState, x, v, lam) -> SimState:
     return state.replace(
-        positions=x, velocities=v, lambda_dist=lam.reshape(-1))
+        positions=x.reshape(3, -1).T,
+        velocities=v.reshape(3, -1).T,
+        lambda_dist=lam.reshape(-1),
+        ext_force=jnp.zeros_like(state.ext_force),
+    )
+
+
+def _masks_dev(spec: LatticeSpec):
+    return tuple((jnp.asarray(vv), jnp.asarray(pp))
+                 for (vv, pp) in _family_masks(spec))
 
 
 def step_fn(state: SimState, spec: LatticeSpec, cfg: SolverConfig,
             dt: float) -> SimState:
+    """One physics step = cfg.substeps substeps; external forces consumed on
+    the first substep (SoftBodyParticleCPU force lifecycle)."""
     dt_sub = dt / cfg.substeps
-    state = _substep(state, spec, cfg, dt_sub, apply_ext=True)
+    masks = _masks_dev(spec)
+    x, v, w, f, lam = _to_grid(state, spec)
+    x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub, True, masks)
     if cfg.substeps > 1:
         def body(carry, _):
-            return _substep(carry, spec, cfg, dt_sub, apply_ext=False), None
+            x, v, lam = carry
+            return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
+                            masks), None
 
-        state, _ = lax.scan(body, state, None, length=cfg.substeps - 1)
-    return state.replace(ext_force=jnp.zeros_like(state.ext_force))
+        (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                  length=cfg.substeps - 1)
+    return _from_grid(state, x, v, lam)
 
 
 def multi_step_fn(state, spec, cfg, dt, n_steps: int) -> SimState:
@@ -295,14 +375,21 @@ def make_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
 
 def make_substep_runner(spec: LatticeSpec, cfg: SolverConfig, dt_sub: float,
                         n_substeps: int):
-    """Flat scan over raw substeps (no per-step structure): one scan level,
-    which keeps compile time flat — used by the benchmark."""
+    """Flat scan over raw substeps (no per-step structure, no ext forces):
+    one scan level keeps (remote) compile time flat — used by benchmarks."""
+    masks = _masks_dev(spec)
+
     @jax.jit
     def fn(state: SimState) -> SimState:
-        def body(carry, _):
-            return _substep(carry, spec, cfg, dt_sub, apply_ext=False), None
+        x, v, w, f, lam = _to_grid(state, spec)
 
-        out, _ = lax.scan(body, state, None, length=n_substeps)
-        return out
+        def body(carry, _):
+            x, v, lam = carry
+            return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
+                            masks), None
+
+        (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                  length=n_substeps)
+        return _from_grid(state, x, v, lam)
 
     return fn

@@ -98,10 +98,15 @@ class ReferenceSolver:
             self.blam *= F(cfg.lambda_decay)
 
         # predict (SoftBodyCPU.cs:294-301).  NB the reference adds `gravity`
-        # via AddForce, i.e. gravity is a FORCE: v += dt * w * (g + f_ext).
+        # via AddForce, i.e. gravity is a FORCE: v += dt * w * (g + f_ext);
+        # gravity_is_acceleration applies it mass-independently instead.
         g = np.asarray(cfg.gravity, F)
-        total_force = g[None, :] + (self.f if first else F(0.0))
-        self.v += dt * self.w[:, None] * total_force
+        ext = self.f if first else np.zeros_like(self.f)
+        if cfg.gravity_is_acceleration:
+            self.v += dt * (np.where((self.w > 0)[:, None], g[None, :], 0)
+                            .astype(F) + self.w[:, None] * ext)
+        else:
+            self.v += dt * self.w[:, None] * (g[None, :] + ext)
         if cfg.damping_mode == DampingMode.PER_STEP:
             self.v *= F(1.0 - min(max(cfg.damping, 0.0), 1.0))
         else:
