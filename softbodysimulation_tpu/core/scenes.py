@@ -141,6 +141,21 @@ def flagship_perf(dt: float = 1 / 60, res: int = 40):
     return state, step, {"spec": spec, "config": cfg, "dt": dt}
 
 
+def basic_micro(dt: float = 0.02, mode: str = "butterfly"):
+    """Micro test-scenario scene (Scenes/Basic.unity: SoftBodyCPU driven by
+    an InitializationMode).  ``mode`` picks one of core/fixtures.FIXTURES."""
+    from .fixtures import FIXTURES
+
+    builder = FIXTURES[mode]
+    if mode == "butterfly":
+        pos, topo, cfg = builder(folded=True)
+    else:
+        pos, topo, cfg = builder()
+    state = state_from_topology(topo, pos)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt}
+
+
 def cloth(dt: float = 1 / 60, res: int = 16):
     """Hanging cloth: grid plane with edge + dihedral bending constraints,
     top row pinned (the canonical mesh-driven workload of the
@@ -171,6 +186,7 @@ SCENES: Dict[str, Callable] = {
     "cpu_cube": cpu_cube,
     "cpu_mesh": cpu_mesh,
     "gpu_substep": gpu_substep,
+    "basic_micro": basic_micro,
     "flagship": flagship,
     "flagship_perf": flagship_perf,
     "cloth": cloth,

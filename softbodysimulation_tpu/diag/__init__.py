@@ -1,0 +1,2 @@
+from .diagnostics import diagnostics, format_diagnostics
+from .profiling import StepTimer, measure_throughput, trace

@@ -1,0 +1,2 @@
+from . import animator, forces
+from .session import Session

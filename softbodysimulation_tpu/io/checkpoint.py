@@ -50,12 +50,17 @@ def load_metadata(path: str) -> dict:
     return out
 
 
+def _pad_empty(x):
+    # orbax refuses zero-size arrays (e.g. lambda_bend with no hinges)
+    return jnp.zeros((1,), x.dtype) if x.size == 0 else x
+
+
 def save_orbax(path: str, state: SimState) -> None:
     """Orbax-backed checkpoint (optional dependency path)."""
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.abspath(path), state)
+    ckpt.save(os.path.abspath(path), jax.tree.map(_pad_empty, state))
     ckpt.wait_until_finished()
 
 
@@ -63,5 +68,18 @@ def load_orbax(path: str, like: SimState) -> SimState:
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(os.path.abspath(path), jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like))
+    template = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(_pad_empty(x).shape, x.dtype), like)
+    restored = ckpt.restore(os.path.abspath(path), template)
+    for name in _FIELDS:
+        got = getattr(restored, name)
+        want = getattr(like, name)
+        if want.size > 0 and tuple(got.shape) != tuple(want.shape):
+            raise ValueError(
+                f"checkpoint field {name!r} has shape {tuple(got.shape)}, "
+                f"but the template expects {tuple(want.shape)} — wrong "
+                f"scene/topology for this checkpoint")
+    return jax.tree.map(
+        lambda r, orig: jnp.zeros(orig.shape, orig.dtype)
+        if orig.size == 0 else r,
+        restored, like)

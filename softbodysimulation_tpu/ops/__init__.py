@@ -1,0 +1,1 @@
+from . import bending, collision, distance, integrate, normals, spatial_hash, volume

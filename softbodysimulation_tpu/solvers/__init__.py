@@ -1,0 +1,1 @@
+from . import general, lattice, reference_cpu

@@ -155,6 +155,25 @@ def test_pinned_scene_matches_oracle():
     assert np.allclose(np.asarray(state.positions)[:3], pos[:3], atol=1e-6)
 
 
+def test_acceleration_gravity_matches_oracle():
+    """gravity_is_acceleration parity between the device engine and the
+    oracle (mass-independent gravity, 2x particle mass)."""
+    pos = mesh.cube_corners(1.0) + np.array([0, 1.5, 0], np.float32)
+    edges = lattice.cube8_edges()
+    topo = build.build_topology(pos, edges, compliance=0.01)
+    cfg = SolverConfig(substeps=2, iterations=8, damping=0.02,
+                       solve_mode=SolveMode.COLORED, ground_height=0.0,
+                       gravity_is_acceleration=True)
+    state = state_from_topology(topo, pos, mass=2.0)
+    oracle = make_oracle(pos, topo, cfg, np.asarray(state.inv_mass))
+    step = general.make_step(topo, cfg, DT)
+    for _ in range(150):
+        state = step(state)
+        oracle.step(DT)
+    drift = np.abs(np.asarray(state.positions) - oracle.x).max()
+    assert drift < 1e-4, f"accel-gravity drift {drift}"
+
+
 @pytest.mark.slow
 def test_drift_10k_steps():
     """The full headline metric (BASELINE.md): 10k steps, drift <= 1e-3."""
