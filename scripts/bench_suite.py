@@ -1,0 +1,139 @@
+"""Extended benchmark suite (beyond the driver's single-line bench.py).
+
+Runs several workload families on the current backend and prints a table +
+JSON lines.  Synchronised by host fetch (block_until_ready is not a barrier
+through the axon relay).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+from softbodysimulation_tpu import (  # noqa: E402
+    LambdaMode,
+    SolveMode,
+    SolverConfig,
+    state_from_topology,
+)
+from softbodysimulation_tpu.kernels import lattice_pallas  # noqa: E402
+from softbodysimulation_tpu.parallel import batch as pbatch  # noqa: E402
+from softbodysimulation_tpu.solvers import general, lattice as lat  # noqa: E402
+from softbodysimulation_tpu.topology import build, lattice, mesh  # noqa: E402
+from softbodysimulation_tpu.core.scenes import BUNNY_PATHS  # noqa: E402
+from softbodysimulation_tpu.topology.objloader import load_obj  # noqa: E402
+
+RESULTS = []
+
+
+def measure(name, fn, state, particles, work_per_call, seconds=3.0):
+    out = fn(state)
+    np.asarray(out.positions)  # compile + sync
+    calls = 0
+    t0 = time.perf_counter()
+    while True:
+        out = fn(out)
+        calls += 1
+        if calls % 5 == 0:
+            np.asarray(out.positions.reshape(-1)[0])  # sync barrier
+            elapsed = time.perf_counter() - t0
+            if elapsed >= seconds:
+                break
+    p = np.asarray(out.positions)  # health check only; not timed
+    ps = particles * work_per_call * calls / elapsed
+    finite = bool(np.isfinite(p).all())
+    RESULTS.append({"workload": name, "particle_substeps_per_sec": ps,
+                    "particles": particles, "finite": finite})
+    print(f"{name:42s} {ps:.3e} ps/s  finite={finite}", flush=True)
+
+
+def main():
+    print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
+
+    # 1. 64k lattice — pallas + xla
+    spec = lattice.lattice_spec(40, braced=True)
+    cfg = SolverConfig(substeps=8, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET,
+                       gravity_is_acceleration=True,
+                       ground_height=0.0, friction=0.3)
+    st = lat.make_lattice_state(spec, center=(0, 0.6, 0), mass=0.001)
+    L = 500
+    try:
+        fn = lattice_pallas.make_pallas_substep_runner(
+            spec, cfg, 1 / 480, L)
+        measure("lattice 64k (pallas, VMEM-resident)", fn, st,
+                spec.n_particles, L)
+    except Exception as e:  # noqa: BLE001
+        print(f"pallas unavailable: {type(e).__name__}: {e}", flush=True)
+    fn = lat.make_substep_runner(spec, cfg, 1 / 480, L)
+    measure("lattice 64k (xla stencil)", fn, st, spec.n_particles, L)
+
+    # 2. bunny mesh — general engine (gather/segment-sum), jacobi
+    p = next((q for q in BUNNY_PATHS if os.path.exists(q)), None)
+    m = load_obj(p) if p else mesh.icosphere(4, radius=0.5)
+    pos, topo = build.topology_from_mesh(m, compliance=1e-6)
+    pos = pos + np.array([0, 1.0, 0], np.float32)
+    cfgm = SolverConfig(substeps=4, iterations=4, damping=0.02,
+                        solve_mode=SolveMode.JACOBI,
+                        gravity_is_acceleration=True,
+                        ground_height=0.0, friction=0.3)
+    stm = state_from_topology(topo, pos)
+    steps = 50
+    fnm = general.make_step(topo, cfgm, 1 / 60, n_steps=steps)
+    measure(f"bunny mesh {topo.n_particles}p/{topo.n_edges}e (general)",
+            fnm, stm, topo.n_particles, steps * cfgm.substeps)
+
+    # 3. 1024-body ensemble, res-4 braced lattices, vmapped
+    spec4 = lattice.lattice_spec(4, braced=True)
+    cfg4 = SolverConfig(substeps=4, iterations=1, damping=0.02,
+                        solve_mode=SolveMode.JACOBI,
+                        lambda_mode=LambdaMode.RESET,
+                        gravity_is_acceleration=True,
+                        ground_height=0.0, friction=0.3)
+    base = lat.make_lattice_state(spec4, center=(0, 1.0, 0))
+    batched = pbatch.replicate_state(base, 1024)
+    rng = np.random.RandomState(0)
+    offs = np.stack([rng.uniform(-8, 8, 1024), rng.uniform(0, 2, 1024),
+                     rng.uniform(-8, 8, 1024)], 1).astype(np.float32)
+    batched = batched.replace(positions=batched.positions + offs[:, None, :])
+    steps = 30
+    fnb = pbatch.make_batched_lattice_step(spec4, cfg4, 1 / 60,
+                                           n_steps=steps)
+    measure("ensemble 1024 x 64p (vmap)", fnb, batched,
+            1024 * spec4.n_particles, steps * cfg4.substeps)
+
+    # 4. self-collision spatial hash: two res-8 braced cubes interpenetrating
+    res = 8
+    n1 = res ** 3
+    pa = lattice.lattice_points(res, center=(0, 0.8, 0))
+    pb = lattice.lattice_points(res, center=(0.1, 2.0, 0.05))
+    pos2 = np.concatenate([pa, pb])
+    e, c = lattice.lattice_edges(res, braced=True)
+    edges2 = np.concatenate([e, e + n1])
+    comp2 = np.concatenate([c, c])
+    topo2 = build.build_topology(pos2, edges2, comp2, color=False)
+    spacing = 1.0 / (res - 1)
+    cfg2 = SolverConfig(substeps=4, iterations=2, damping=0.03,
+                        solve_mode=SolveMode.JACOBI,
+                        gravity_is_acceleration=True,
+                        enable_self_collision=True,
+                        particle_radius=0.45 * spacing, hash_grid_dim=32,
+                        ground_height=0.0, friction=0.3)
+    st2 = state_from_topology(topo2, pos2)
+    steps = 20
+    fn2 = general.make_step(topo2, cfg2, 1 / 60, n_steps=steps)
+    measure(f"self-collision 2x{n1}p (spatial hash)", fn2, st2,
+            2 * n1, steps * cfg2.substeps)
+
+    print(json.dumps(RESULTS), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,12 @@ def run(n_bodies: int = 1024, res: int = 4, steps: int = 120,
         step = pbatch.make_sharded_lattice_step(spec, cfg, dt, mesh,
                                                 n_steps=steps)
     else:
-        step = pbatch.make_batched_lattice_step(spec, cfg, dt, n_steps=steps)
+        # lane-folded ensemble: bodies laid out along the vector lanes (a
+        # vmapped res-4 body leaves 16-wide lanes; folding restores full
+        # vector-unit utilisation)
+        from ..solvers.lattice import make_batched_step
+
+        step = make_batched_step(spec, cfg, dt, n_bodies, n_steps=steps)
     batched = step(batched)
 
     # on-device normals for the whole ensemble, export only at the boundary

@@ -21,9 +21,9 @@ def predict(positions, velocities, inv_mass, ext_force, dt,
     """Returns (pred_positions, new_velocities)."""
     g = jnp.asarray(cfg.gravity, dtype=positions.dtype)
     ext = ext_force if apply_ext else jnp.zeros_like(ext_force)
-    if cfg.max_force > 0:
-        ext = jnp.clip(ext, -cfg.max_force, cfg.max_force)
     if cfg.gravity_is_acceleration:
+        if cfg.max_force > 0:
+            ext = jnp.clip(ext, -cfg.max_force, cfg.max_force)
         active = (inv_mass > 0)[:, None]
         dv = dt * (jnp.where(active, g[None, :], 0.0)
                    + inv_mass[:, None] * ext)

@@ -321,11 +321,8 @@ def step_fn(state: SimState, topo: Topology, cfg: SolverConfig,
     ``XPBDSoftBody.compute:100-101``).
     """
     dt_sub = dt / cfg.substeps
-    if cfg.substeps == 1:
-        state = _substep(state, topo, cfg, dt_sub, apply_ext=True)
-    else:
-        state = _substep(state, topo, cfg, dt_sub, apply_ext=True)
-
+    state = _substep(state, topo, cfg, dt_sub, apply_ext=True)
+    if cfg.substeps > 1:
         def body(carry, _):
             return _substep(carry, topo, cfg, dt_sub, apply_ext=False), None
 

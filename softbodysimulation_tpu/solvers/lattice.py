@@ -210,6 +210,8 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
     g = jnp.asarray(cfg.gravity, x.dtype).reshape(3, 1, 1)
     ext = f if apply_ext else jnp.zeros_like(f)
     if cfg.gravity_is_acceleration:
+        if cfg.max_force > 0:
+            ext = jnp.clip(ext, -cfg.max_force, cfg.max_force)
         active = (w > 0)[None]
         v = v + dt * (jnp.where(active, g, 0.0) + w[None] * ext)
     else:
@@ -369,6 +371,85 @@ def make_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
     @jax.jit
     def fn(state: SimState) -> SimState:
         return multi_step_fn(state, spec, cfg, dt, n_steps)
+
+    return fn
+
+
+def make_batched_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
+                      n_bodies: int, n_steps: int = 1):
+    """Ensemble stepper with the body axis folded into the LANE dimension.
+
+    A vmapped res-4 body leaves 16-wide lanes (vector units ~12% utilised);
+    laying the B bodies out as ``(3, res, B*res^2)`` gives full-width lanes
+    while the family masks — tiled per body — kill the roll wrap-around at
+    body boundaries exactly as they do at y-row boundaries.  The substep
+    code is IDENTICAL to the single-body engine; only the layout transform
+    and mask tiling differ.  Input/output: batched SimState with leading
+    body axis (as produced by ``parallel.batch.stack_states``).
+    """
+    res = spec.res
+    r2 = res * res
+    nfam = spec.n_families
+    masks = _family_masks(spec)
+    masks_tiled = tuple(
+        (jnp.asarray(np.tile(v, (1, n_bodies))),
+         jnp.asarray(np.tile(p, (1, n_bodies))))
+        for (v, p) in masks)
+
+    def to_wide(arr_bn3):
+        # (B, N, 3) -> (3, res, B*r2) with lane index = b*r2 + (y*res+z)
+        b = arr_bn3.shape[0]
+        a = arr_bn3.reshape(b, res, r2, 3)
+        a = jnp.transpose(a, (3, 1, 0, 2))  # (3, res, B, r2)
+        return a.reshape(3, res, b * r2)
+
+    def from_wide(a, b):
+        a = a.reshape(3, res, b, r2)
+        a = jnp.transpose(a, (2, 1, 3, 0))  # (B, res, r2, 3)
+        return a.reshape(b, res * r2, 3)
+
+    dt_sub = dt / cfg.substeps
+
+    @jax.jit
+    def fn(batched: SimState) -> SimState:
+        b = batched.positions.shape[0]
+        x = to_wide(batched.positions)
+        v = to_wide(batched.velocities)
+        f = to_wide(batched.ext_force)
+        w = jnp.transpose(
+            batched.inv_mass.reshape(b, res, r2), (1, 0, 2)
+        ).reshape(res, b * r2)
+        lam = jnp.transpose(
+            batched.lambda_dist.reshape(b, nfam, res, r2), (1, 2, 0, 3)
+        ).reshape(nfam, res, b * r2)
+
+        def one_step(carry, step_idx):
+            x, v, lam = carry
+            # external forces are consumed on the very first substep of the
+            # very first step only (matching step_fn's zero-after-step)
+            fi = jnp.where(step_idx == 0, 1.0, 0.0) * f
+            x, v, lam = _substep(x, v, w, fi, lam, spec, cfg, dt_sub, True,
+                                 masks_tiled)
+            if cfg.substeps > 1:
+                def body(c, _):
+                    x, v, lam = c
+                    return _substep(x, v, w, fi, lam, spec, cfg, dt_sub,
+                                    False, masks_tiled), None
+
+                (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                          length=cfg.substeps - 1)
+            return (x, v, lam), None
+
+        (x, v, lam), _ = lax.scan(one_step, (x, v, lam),
+                                  jnp.arange(n_steps))
+        lam_out = jnp.transpose(
+            lam.reshape(nfam, res, b, r2), (2, 0, 1, 3)).reshape(b, -1)
+        return batched.replace(
+            positions=from_wide(x, b),
+            velocities=from_wide(v, b),
+            lambda_dist=lam_out,
+            ext_force=jnp.zeros_like(batched.ext_force),
+        )
 
     return fn
 

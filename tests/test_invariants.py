@@ -153,3 +153,39 @@ def test_kinetic_energy_dissipates():
         state = step(state)
     ke = float(diagnostics(state, topo)["kinetic_energy"])
     assert ke < 1e-3  # settled
+
+
+def test_max_force_clamp_both_gravity_modes():
+    """max_force guard (XPBDSimulatorCS.compute:91-92): a huge external
+    force is clamped identically in force- and acceleration-gravity modes,
+    and consistently between the general and lattice engines."""
+    from softbodysimulation_tpu.interact import forces
+    from softbodysimulation_tpu.solvers import lattice as lat_engine
+    from softbodysimulation_tpu.topology import lattice as lattice_mod
+    from softbodysimulation_tpu import FloorMode
+
+    spec = lattice_mod.lattice_spec(3, braced=True)
+    for accel in (False, True):
+        cfg = SolverConfig(substeps=1, iterations=1,
+                           gravity=(0.0, 0.0, 0.0),
+                           gravity_is_acceleration=accel,
+                           max_force=10.0, damping=0.0,
+                           floor_mode=FloorMode.NONE,
+                           solve_mode=SolveMode.JACOBI)
+        st = lat_engine.make_lattice_state(spec, center=(0, 1, 0))
+        st = st.replace(ext_force=st.ext_force.at[:, 1].set(1e6))
+        out = lat_engine.make_step(spec, cfg, 0.01)(st)
+        vy = np.asarray(out.velocities)[:, 1]
+        # dv = dt * w * clip(1e6) = 0.01 * 1 * 10 = 0.1
+        assert np.allclose(vy.max(), 0.1, atol=0.05), (accel, vy.max())
+
+        # general engine agrees
+        pos = lattice_mod.lattice_points(3, center=(0, 1, 0))
+        e, c = lattice_mod.lattice_edges(3, braced=True)
+        topo = build.build_topology(pos, e, c, color=False)
+        from softbodysimulation_tpu import state_from_topology
+        stg = state_from_topology(topo, pos)
+        stg = stg.replace(ext_force=stg.ext_force.at[:, 1].set(1e6))
+        outg = general.make_step(topo, cfg, 0.01)(stg)
+        assert np.allclose(np.asarray(outg.velocities)[:, 1].max(), 0.1,
+                           atol=0.05)
