@@ -120,6 +120,40 @@ def build_topology(
     )
 
 
+def validate_topology(topo: Topology) -> dict:
+    """Constraint-data validation (the ``ValidateConstraintData`` analog,
+    ``SoftBodySimulator.cs:1018-1044``): index bounds, positive rest
+    lengths, non-negative compliances, coloring validity.  Returns a report
+    dict; raises on hard violations."""
+    edges = np.asarray(topo.edges)
+    n = topo.n_particles
+    report = {"n_particles": n, "n_edges": topo.n_edges,
+              "n_hinges": topo.n_hinges, "num_colors": topo.num_colors}
+    if topo.n_edges:
+        if edges.min() < 0 or edges.max() >= n:
+            raise ValueError("edge indices out of bounds")
+        if (edges[:, 0] == edges[:, 1]).any():
+            raise ValueError("degenerate edge (a == b)")
+        rest = np.asarray(topo.rest_lengths)
+        if not (rest > 0).all():
+            raise ValueError("non-positive rest length")
+        if (np.asarray(topo.compliance) < 0).any():
+            raise ValueError("negative compliance")
+        if not _coloring.validate_coloring(edges, np.asarray(topo.colors)):
+            raise ValueError("edge coloring has conflicts")
+    h = np.asarray(topo.hinges)
+    if topo.n_hinges:
+        if h.min() < 0 or h.max() >= n:
+            raise ValueError("hinge indices out of bounds")
+        if not _coloring.validate_coloring(h, np.asarray(topo.bend_colors)):
+            raise ValueError("hinge coloring has conflicts")
+    t = np.asarray(topo.triangles)
+    if t.shape[0] and (t.min() < 0 or t.max() >= n):
+        raise ValueError("triangle indices out of bounds")
+    report["ok"] = True
+    return report
+
+
 def topology_from_mesh(
     mesh: "_mesh.TriMesh",
     compliance: float = 0.01,
