@@ -123,6 +123,11 @@ class Topology:
     rest_volume: jax.Array        # ()     f32
     degree: jax.Array             # (N,)   f32
     bend_degree: jax.Array        # (N,)   f32 — per-particle hinge incidence
+    incidence: jax.Array          # (N, Dd) i32 — indices into the stacked
+                                  #   2E edge-contribution array (pad = 2E);
+                                  #   scatter-free Jacobi accumulation
+    bend_incidence: jax.Array     # (N, Db) i32 — indices into the 4H hinge
+                                  #   contributions (pad = 4H)
     num_colors: int               # static
     num_bend_colors: int          # static
     n_particles: int              # static
@@ -158,6 +163,8 @@ _register(
         "rest_volume",
         "degree",
         "bend_degree",
+        "incidence",
+        "bend_incidence",
     ),
     meta_fields=("num_colors", "num_bend_colors", "n_particles"),
 )

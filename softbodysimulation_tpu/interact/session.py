@@ -100,6 +100,18 @@ class Session:
         self.play(Squeeze(intensity=intensity))
 
     # ------------------------------------------------------------- lifecycle
+    def enable_failsafe(self, check_every: int = 10,
+                        snapshot_every: int = 50,
+                        on_failure=None) -> None:
+        """Wrap the stepper in automatic NaN detection + snapshot restore
+        (the reference's GPU-failure -> CPU-fallback analog; see
+        diag/health.FailsafeStepper)."""
+        from ..diag.health import FailsafeStepper
+
+        self._step = FailsafeStepper(
+            self._step, check_every=check_every,
+            snapshot_every=snapshot_every, on_failure=on_failure)
+
     def restart(self):
         """Restore the initial snapshot with zeroed multipliers."""
         self.state = restore(self._initial)

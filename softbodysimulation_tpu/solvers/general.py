@@ -101,9 +101,13 @@ def _solve_distance_jacobi(pred, lam, inv_mass, topo: Topology,
     dl = dl * edge_scale
     lam = _distance.accumulate_lambda(lam, dl, cfg)
     dp = dl[:, None] * n
+    # scatter-free accumulation: gather each particle's contributions via
+    # the precomputed incidence lists (XLA scatter is near-serial on TPU;
+    # padded gather + row-sum vectorizes)
     contrib = jnp.concatenate([-wa[:, None] * dp, wb[:, None] * dp], axis=0)
-    idx = jnp.concatenate([ea, eb], axis=0)
-    delta = jax.ops.segment_sum(contrib, idx, num_segments=topo.n_particles)
+    contrib = jnp.concatenate(
+        [contrib, jnp.zeros((1, 3), contrib.dtype)], axis=0)
+    delta = contrib[topo.incidence].sum(axis=1)
     return pred + delta, lam
 
 
@@ -155,8 +159,9 @@ def _solve_bending_jacobi(pred, lam, inv_mass, topo: Topology,
         inv_mass[ic][:, None] * dlb * gc,
         inv_mass[idd][:, None] * dlb * gd,
     ], axis=0)
-    idx = jnp.concatenate([ia, ib, ic, idd], axis=0)
-    delta = jax.ops.segment_sum(contrib, idx, num_segments=topo.n_particles)
+    contrib = jnp.concatenate(
+        [contrib, jnp.zeros((1, 3), contrib.dtype)], axis=0)
+    delta = contrib[topo.bend_incidence].sum(axis=1)
     return pred + delta, lam
 
 
@@ -189,9 +194,9 @@ def _warm_apply_distance(pred, lam, inv_mass, topo: Topology,
     wa = inv_mass[ea]
     wb = inv_mass[eb]
     contrib = jnp.concatenate([-wa[:, None] * dp, wb[:, None] * dp], axis=0)
-    idx = jnp.concatenate([ea, eb], axis=0)
-    pred = pred + jax.ops.segment_sum(contrib, idx,
-                                      num_segments=topo.n_particles)
+    contrib = jnp.concatenate(
+        [contrib, jnp.zeros((1, 3), contrib.dtype)], axis=0)
+    pred = pred + contrib[topo.incidence].sum(axis=1)
     return pred, lam
 
 

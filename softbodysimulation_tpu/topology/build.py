@@ -97,6 +97,14 @@ def build_topology(
     deg = np.bincount(edges.reshape(-1), minlength=n).astype(np.float32)
     bdeg = np.bincount(hinges.reshape(-1), minlength=n).astype(np.float32)
 
+    # Incidence lists: for each particle, the indices of its contributions
+    # in the stacked per-constraint correction arrays.  Turns the Jacobi
+    # accumulation from a scatter (near-serial on TPU) into a padded gather
+    # + row-sum (fully vectorized).  Pad entry = one-past-the-end, pointing
+    # at an appended zero row.
+    incid = _build_incidence(edges, n)
+    bincid = _build_incidence(hinges, n)
+
     return Topology(
         edges=jnp.asarray(edges),
         rest_lengths=jnp.asarray(rest_lengths),
@@ -114,10 +122,37 @@ def build_topology(
         rest_volume=jnp.asarray(rest_volume, dtype=jnp.float32),
         degree=jnp.asarray(deg),
         bend_degree=jnp.asarray(bdeg),
+        incidence=jnp.asarray(incid),
+        bend_incidence=jnp.asarray(bincid),
         num_colors=num_colors,
         num_bend_colors=num_bcolors,
         n_particles=n,
     )
+
+
+def _build_incidence(constraints: np.ndarray, n: int,
+                     pad_multiple: int = 4) -> np.ndarray:
+    """(N, D) indices into the flattened (K*arity) contribution array; for
+    constraint k touching particle p as its a-th endpoint, the contribution
+    index is a*K + k.  Rows padded with K*arity (an appended zero row)."""
+    cons = np.asarray(constraints, dtype=np.int64)
+    k = cons.shape[0]
+    if k == 0:
+        return np.zeros((n, 0), np.int32)
+    arity = cons.shape[1]
+    counts = np.bincount(cons.reshape(-1), minlength=n)
+    d = int(counts.max()) if len(counts) else 0
+    d = max(pad_multiple, ((d + pad_multiple - 1) // pad_multiple)
+            * pad_multiple)
+    out = np.full((n, d), k * arity, dtype=np.int32)
+    flat_p = cons.T.reshape(-1)              # particle of contribution a*k+j
+    contrib_idx = np.arange(arity * k, dtype=np.int64)
+    order = np.argsort(flat_p, kind="stable")
+    sorted_p = flat_p[order]
+    group_start = np.searchsorted(sorted_p, np.arange(n))
+    ranks = np.arange(len(sorted_p)) - group_start[sorted_p]
+    out[sorted_p, ranks] = contrib_idx[order]
+    return out
 
 
 def validate_topology(topo: Topology) -> dict:

@@ -59,3 +59,13 @@ def test_config5_batch():
     assert np.isfinite(p).all()
     n = np.asarray(normals)
     assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-3)
+
+
+def test_config6_diffsim_optimizes():
+    from softbodysimulation_tpu.examples import config6_diffsim
+
+    v0, history = config6_diffsim.run(res=3, steps=40, opt_iters=25,
+                                      verbose=False)
+    assert np.isfinite(v0).all()
+    assert history[-1] < 0.1 * history[0]  # loss actually optimised
+    assert v0[0] > 0.1  # learned to launch toward +x

@@ -98,3 +98,17 @@ def test_presets_catalogue():
                             "reference_cpu"}
     for name, cfg in PRESETS.items():
         assert isinstance(cfg, SolverConfig)
+
+
+def test_session_failsafe():
+    s = make_session()
+    events = []
+    s.enable_failsafe(check_every=2, snapshot_every=4,
+                      on_failure=events.append)
+    s.step(10)
+    # sabotage the state directly, then keep stepping: failsafe recovers
+    s.state = s.state.replace(
+        positions=s.state.positions.at[0, 0].set(np.nan))
+    s.step(4)
+    assert events, "failsafe should have fired"
+    assert np.isfinite(np.asarray(s.state.positions)).all()
