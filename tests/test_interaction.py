@@ -178,3 +178,12 @@ class TestExport:
         m = load_obj(path)
         assert m.n_vertices == topo.n_particles
         assert m.n_triangles == topo.triangles.shape[0]
+
+    def test_export_obj_faceted(self, tmp_path):
+        state, topo, cfg = scene()
+        path = os.path.join(tmp_path, "flat.obj")
+        export.export_obj(path, state, topo, faceted=True)
+        text = open(path).read()
+        n_tris = topo.triangles.shape[0]
+        assert text.count("\nv ") == 3 * n_tris   # per-face vertices
+        assert text.count("\nvn ") == n_tris      # one flat normal per face
