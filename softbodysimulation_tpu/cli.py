@@ -33,6 +33,8 @@ def main(argv=None):
                       help="write final SimState as npz")
     runp.add_argument("--svg", default=None,
                       help="write a wireframe debug snapshot (SVG)")
+    runp.add_argument("--ppm", default=None,
+                      help="write a shaded z-buffered snapshot (binary PPM)")
     runp.add_argument("--log-every", type=int, default=60)
     runp.add_argument("--platform", default=None,
                       help="force a jax platform (e.g. cpu)")
@@ -104,6 +106,19 @@ def main(argv=None):
             args.svg, state, info.get("topology"),
             ground_height=getattr(cfg, "ground_height", None))
         print(f"svg -> {args.svg}")
+    if args.ppm:
+        topo = info.get("topology")
+        if topo is None or topo.triangles.shape[0] == 0:
+            print("scene has no surface triangles; ppm skipped",
+                  file=sys.stderr)
+        else:
+            from .io import raster
+
+            cfgv = info.get("config")
+            raster.render_ppm(
+                args.ppm, state, topo,
+                ground_height=getattr(cfgv, "ground_height", None))
+            print(f"ppm -> {args.ppm}")
     if args.export:
         topo = info.get("topology")
         if topo is None or topo.triangles.shape[0] == 0:

@@ -1,1 +1,1 @@
-from . import checkpoint, export, wireframe
+from . import checkpoint, export, raster, wireframe
