@@ -69,59 +69,72 @@ def build():
     return spec, cfg, state
 
 
-def pick_engine(spec, cfg, state):
-    dt_sub = DT / SUBSTEPS
-    if FORCE_ENGINE != "xla":
-        try:
-            fn = lattice_pallas.make_pallas_substep_runner(
-                spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
-            out = fn(state)
-            np.asarray(out.positions)  # force compile + execute
-            return fn, "pallas"
-        except Exception as e:  # noqa: BLE001 — any compile/runtime failure
-            if FORCE_ENGINE == "pallas":
-                raise
-            print(f"# pallas engine unavailable ({type(e).__name__}); "
-                  f"falling back to XLA", file=sys.stderr)
-    fn = lat_engine.make_substep_runner(spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
-    out = fn(state)
-    np.asarray(out.positions)
-    return fn, "xla"
+# total wall budget: a COLD Mosaic compile of the Pallas kernel can take
+# ~10 min through the remote-compile relay; the XLA engine compiles in
+# ~30 s.  We measure XLA first (a guaranteed result), then spend remaining
+# budget trying to beat it with the Pallas kernel.
+BUDGET_SECONDS = float(os.environ.get("BENCH_BUDGET", "900"))
+PALLAS_COMPILE_ALLOWANCE = 700.0
 
 
-def main():
-    spec, cfg, state = build()
-    step, engine = pick_engine(spec, cfg, state)
-
+def measure(step, state, n):
     calls = 0
     t0 = time.perf_counter()
     while True:
         state = step(state)
         calls += 1
         # sync by host fetch, but only every few calls: the relay adds
-        # ~10 ms latency per fetch, which would tax a ~45 ms call by ~20%
+        # ~10-30 ms latency per fetch
         if calls % 10 == 0:
             np.asarray(state.positions[0, 0])
             if time.perf_counter() - t0 >= TARGET_SECONDS:
                 break
     p = np.asarray(state.positions)  # full fetch + final sync
     elapsed = time.perf_counter() - t0
-
-    n = spec.n_particles
-    substeps_done = calls * SUBSTEPS_PER_CALL
-    particle_substeps_per_sec = n * substeps_done / elapsed
-
     # sanity: simulation must have stayed healthy or the number is void
     assert np.isfinite(p).all(), "non-finite state after benchmark"
     assert p[:, 1].min() > -1e-2, "floor violated after benchmark"
     height = p[:, 1].max() - p[:, 1].min()
     assert height > 0.5, f"cube degenerated during benchmark: {height}"
+    return n * calls * SUBSTEPS_PER_CALL / elapsed
 
+
+def main():
+    t_start = time.perf_counter()
+    spec, cfg, state = build()
+    dt_sub = DT / SUBSTEPS
+    n = spec.n_particles
+
+    results = {}
+    if FORCE_ENGINE != "pallas":
+        fn = lat_engine.make_substep_runner(spec, cfg, dt_sub,
+                                            SUBSTEPS_PER_CALL)
+        warm = fn(state)
+        np.asarray(warm.positions)
+        results["xla"] = measure(fn, warm, n)
+
+    remaining = BUDGET_SECONDS - (time.perf_counter() - t_start)
+    if FORCE_ENGINE != "xla" and (
+            FORCE_ENGINE == "pallas"
+            or remaining > PALLAS_COMPILE_ALLOWANCE):
+        try:
+            fn = lattice_pallas.make_pallas_substep_runner(
+                spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
+            warm = fn(state)
+            np.asarray(warm.positions)  # compile + execute
+            results["pallas"] = measure(fn, warm, n)
+        except Exception as e:  # noqa: BLE001 — compile/runtime failure
+            if FORCE_ENGINE == "pallas":
+                raise
+            print(f"# pallas engine unavailable ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
+    engine, value = max(results.items(), key=lambda kv: kv[1])
     print(json.dumps({
         "metric": f"particle_substeps_per_sec_64k_1chip_{engine}",
-        "value": float(f"{particle_substeps_per_sec:.4g}"),
+        "value": float(f"{value:.4g}"),
         "unit": "particle-substeps/s",
-        "vs_baseline": float(f"{particle_substeps_per_sec / BASELINE:.4g}"),
+        "vs_baseline": float(f"{value / BASELINE:.4g}"),
     }))
 
 

@@ -12,6 +12,7 @@ workloads):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -35,6 +36,9 @@ def main(argv=None):
                       help="write a wireframe debug snapshot (SVG)")
     runp.add_argument("--ppm", default=None,
                       help="write a shaded z-buffered snapshot (binary PPM)")
+    runp.add_argument("--export-every", type=int, default=0, metavar="N",
+                      help="export an OBJ frame every N steps to "
+                           "<export>.NNNN.obj (requires --export)")
     runp.add_argument("--log-every", type=int, default=60)
     runp.add_argument("--platform", default=None,
                       help="force a jax platform (e.g. cpu)")
@@ -75,10 +79,23 @@ def main(argv=None):
     state, step, info = SCENES[args.scene](**kw)
     from .diag.profiling import StepTimer
 
+    seq_topo = info.get("topology")
+    if args.export_every and (args.export is None or seq_topo is None
+                              or seq_topo.triangles.shape[0] == 0):
+        print("--export-every needs --export and a scene with triangles",
+              file=sys.stderr)
+        return 2
+
     timer = StepTimer()
     t0 = time.perf_counter()
     for i in range(args.steps):
         state = step(state)
+        if args.export_every and (i + 1) % args.export_every == 0:
+            from .io import export as _export
+
+            base, ext = os.path.splitext(args.export)
+            _export.export_obj(f"{base}.{i + 1:04d}{ext or '.obj'}",
+                               state, seq_topo)
         if args.log_every and (i + 1) % args.log_every == 0:
             p = np.asarray(state.positions)
             rate = timer.tick(args.log_every)

@@ -94,3 +94,19 @@ def test_res_not_divisible_raises():
     cfg = SolverConfig()
     with pytest.raises(ValueError, match="divisible"):
         spatial.make_spatial_lattice_step(spec, cfg, DT, mesh)
+
+
+def test_sharded_sphere_collider_matches():
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.03,
+                       solve_mode=SolveMode.JACOBI,
+                       gravity_is_acceleration=True,
+                       ground_height=-5.0, friction=0.4,
+                       sphere_colliders=((0.0, 0.0, 0.0, 0.8),))
+    out_sh, out_1 = run_pair(cfg, res=8, steps=40, center=(0, 1.6, 0))
+    p = np.asarray(out_sh.positions)
+    assert np.isfinite(p).all()
+    # body rests on the sphere (or rolled off above the low floor)
+    d = np.abs(p - np.asarray(out_1.positions)).max()
+    assert d < 1e-3, f"sphere-collider sharded drift {d}"
+    r = np.linalg.norm(p, axis=1)
+    assert r.min() > 0.77
