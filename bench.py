@@ -61,6 +61,7 @@ def build():
         # near-rigid regime; see SolverConfig.warm_start_clamp)
         lambda_mode=LambdaMode.RESET,
         gravity_is_acceleration=True,
+        fast_math=True,
         ground_height=0.0,
         friction=0.3,
     )

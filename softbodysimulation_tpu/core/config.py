@@ -167,6 +167,13 @@ class SolverConfig:
     eps_length: float = 1e-5          # CPUDistanceConstraint.cs:64 degenerate length
     eps_denominator: float = 1e-5     # CPUDistanceConstraint.cs:94
     static_inv_mass_eps: float = 1e-5 # CPUDistanceConstraint.cs:48 'both static'
+    # fast_math drops the per-edge degenerate-geometry guards (length /
+    # denominator / both-static epsilon checks) in the LATTICE engines,
+    # folding the static validity+parity masks into a single multiplier.
+    # Safe when edges never collapse (healthy scenes — the sqrt floor still
+    # prevents NaN); ~15-25% fewer VPU ops per pass.  Guards always stay on
+    # in the general engine and the oracle.
+    fast_math: bool = False
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -132,6 +132,7 @@ def flagship_perf(dt: float = 1 / 60, res: int = 40):
         solve_mode=SolveMode.JACOBI,
         lambda_mode=LambdaMode.RESET,
         gravity_is_acceleration=True,
+        fast_math=True,
         ground_height=0.0, friction=0.3)
     # particle mass 1 g: a 40-high stack of unit masses would exceed 100%
     # strain at structural compliance 1e-4 (it would pancake — physically)

@@ -139,14 +139,17 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         if cfg.max_dlambda_rel > 0:
             m = cfg.max_dlambda_rel * rest
             dl = jnp.clip(dl, -m, m)
-        active = (
-            mask
-            & (length >= cfg.eps_length)
-            & (jnp.abs(denom) >= cfg.eps_denominator)
-            & ((w >= cfg.static_inv_mass_eps)
-               | (wb >= cfg.static_inv_mass_eps))
-        )
-        dl = jnp.where(active, dl, 0.0)
+        if cfg.fast_math:
+            dl = dl * mask  # float multiplier; see SolverConfig.fast_math
+        else:
+            active = (
+                mask
+                & (length >= cfg.eps_length)
+                & (jnp.abs(denom) >= cfg.eps_denominator)
+                & ((w >= cfg.static_inv_mass_eps)
+                   | (wb >= cfg.static_inv_mass_eps))
+            )
+            dl = jnp.where(active, dl, 0.0)
         lam_f = lam_f + dl
         if cfg.lambda_clamp > 0:
             lam_f = jnp.clip(lam_f, -cfg.lambda_clamp, cfg.lambda_clamp)
@@ -165,7 +168,10 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         d = pb - pred
         len_sq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
         length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
-        dl = jnp.where(valid, lam_f, 0.0)
+        if cfg.fast_math:
+            dl = lam_f * valid           # float mask multiplier
+        else:
+            dl = jnp.where(valid, lam_f, 0.0)
         dp = d * (dl / length)[None]
         pred = pred - w[None] * dp
         pred = pred + _roll_bwd(wb_all[None] * dp, fam, res)
@@ -177,6 +183,15 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             _family_mask(xx, yy, zz, res, fam, spec.reference_bounds)
             for fam in spec.families
         ]
+        if cfg.fast_math:
+            masks = [
+                ((v & p0).astype(jnp.float32),
+                 (v & ~p0).astype(jnp.float32),
+                 v.astype(jnp.float32))
+                for (v, p0) in masks
+            ]
+        else:
+            masks = [(v & p0, v & ~p0, v) for (v, p0) in masks]
         w = w_ref[:]
         pinned = w == 0.0
         wb_per_fam = [
@@ -211,7 +226,7 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                 for fi, fam in enumerate(spec.families):
                     pred, lam_f = warm_apply(
                         pred, w, wb_per_fam[fi], lam[fi], fam,
-                        masks[fi][0], spec.rest_lengths[fi])
+                        masks[fi][2], spec.rest_lengths[fi])
                     lam_parts.append(lam_f)
                 lam = jnp.stack(lam_parts)
 
@@ -219,15 +234,15 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                 pred, lam = carry
                 lam_parts = []
                 for fi, fam in enumerate(spec.families):
-                    valid, par0 = masks[fi]
+                    m_even, m_odd, valid = masks[fi]
                     lam_f = lam[fi]
                     if cfg.solve_mode == SolveMode.COLORED:
                         pred, lam_f = solve_family_pass(
                             pred, w, wb_per_fam[fi], lam_f, fam, fi,
-                            valid & par0)
+                            m_even)
                         pred, lam_f = solve_family_pass(
                             pred, w, wb_per_fam[fi], lam_f, fam, fi,
-                            valid & ~par0)
+                            m_odd)
                     else:
                         relax = cfg.omega if cfg.omega > 0 else 0.5
                         pb = _roll_fwd(pred, fam, res)
@@ -249,14 +264,17 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                         if cfg.max_dlambda_rel > 0:
                             m = cfg.max_dlambda_rel * rest
                             dl = jnp.clip(dl, -m, m)
-                        active = (
-                            valid
-                            & (length >= cfg.eps_length)
-                            & (jnp.abs(denom) >= cfg.eps_denominator)
-                            & ((w >= cfg.static_inv_mass_eps)
-                               | (wb >= cfg.static_inv_mass_eps))
-                        )
-                        dl = jnp.where(active, dl * relax, 0.0)
+                        if cfg.fast_math:
+                            dl = dl * (valid * relax)
+                        else:
+                            active = (
+                                valid
+                                & (length >= cfg.eps_length)
+                                & (jnp.abs(denom) >= cfg.eps_denominator)
+                                & ((w >= cfg.static_inv_mass_eps)
+                                   | (wb >= cfg.static_inv_mass_eps))
+                            )
+                            dl = jnp.where(active, dl * relax, 0.0)
                         lam_f = lam_f + dl
                         if cfg.lambda_clamp > 0:
                             lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,

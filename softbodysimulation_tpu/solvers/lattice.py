@@ -138,13 +138,20 @@ def _family_pass(pred, w, wb, lam_f, fam, mask, rest, comp, dt,
     if cfg.max_dlambda_rel > 0:
         m = cfg.max_dlambda_rel * rest
         dl = jnp.clip(dl, -m, m)
-    active = (
-        mask
-        & (length >= cfg.eps_length)
-        & (jnp.abs(denom) >= cfg.eps_denominator)
-        & ((w >= cfg.static_inv_mass_eps) | (wb >= cfg.static_inv_mass_eps))
-    )
-    dl = jnp.where(active, dl if relax is None else dl * relax, 0.0)
+    if cfg.fast_math:
+        # static masks only (see SolverConfig.fast_math); mask is a float
+        # multiplier here
+        scale = mask if relax is None else mask * relax
+        dl = dl * scale
+    else:
+        active = (
+            mask
+            & (length >= cfg.eps_length)
+            & (jnp.abs(denom) >= cfg.eps_denominator)
+            & ((w >= cfg.static_inv_mass_eps)
+               | (wb >= cfg.static_inv_mass_eps))
+        )
+        dl = jnp.where(active, dl if relax is None else dl * relax, 0.0)
     lam_f = lam_f + dl
     if cfg.lambda_clamp > 0:
         lam_f = jnp.clip(lam_f, -cfg.lambda_clamp, cfg.lambda_clamp)
@@ -245,20 +252,29 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
         lam_parts = []
         for fi, fam in enumerate(spec.families):
             valid, parity0 = masks_dev[fi]
+            if cfg.fast_math:
+                # float multipliers (constant-folded); see SolverConfig
+                m_even = (valid & parity0).astype(pred.dtype)
+                m_odd = (valid & ~parity0).astype(pred.dtype)
+                m_all = valid.astype(pred.dtype)
+            else:
+                m_even = valid & parity0
+                m_odd = valid & ~parity0
+                m_all = valid
             lam_f = lam[fi]
             rest = spec.rest_lengths[fi]
             comp = spec.compliances[fi]
             wb = wb_per_fam[fi]
             if cfg.solve_mode == SolveMode.COLORED:
                 pred, lam_f = _family_pass(
-                    pred, w, wb, lam_f, fam, valid & parity0, rest, comp,
+                    pred, w, wb, lam_f, fam, m_even, rest, comp,
                     dt, cfg, res)
                 pred, lam_f = _family_pass(
-                    pred, w, wb, lam_f, fam, valid & ~parity0, rest, comp,
+                    pred, w, wb, lam_f, fam, m_odd, rest, comp,
                     dt, cfg, res)
             else:
                 pred, lam_f = _family_pass(
-                    pred, w, wb, lam_f, fam, valid, rest, comp, dt, cfg,
+                    pred, w, wb, lam_f, fam, m_all, rest, comp, dt, cfg,
                     res, relax=cfg.omega if cfg.omega > 0 else 0.5)
             lam_parts.append(lam_f)
         lam = jnp.stack(lam_parts)
