@@ -154,6 +154,12 @@ class SolverConfig:
     # sphere SDF colliders: static scene spheres; count fixed at trace time.
     # Each entry: (cx, cy, cz, radius). Friction shared with `friction`.
     sphere_colliders: Tuple[Tuple[float, float, float, float], ...] = ()
+    # axis-aligned box SDF colliders: (cx, cy, cz, hx, hy, hz) half-extents.
+    # Particles are pushed out along the nearest face (inside) or clamped
+    # surface normal (outside-overlap is impossible for points); friction as
+    # above.  The rigid-world obstacles the reference delegated to PhysX.
+    box_colliders: Tuple[Tuple[float, float, float, float, float, float],
+                         ...] = ()
 
     # --- self-collision (BASELINE config 4; seed: SphereCollision helper
     #     XPBDSimulatorCS.compute:213-217) ---

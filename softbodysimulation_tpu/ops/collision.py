@@ -63,6 +63,38 @@ def floor_velocity_reflect(pos, vel, inv_mass, dt, cfg: SolverConfig):
     return pos, vel
 
 
+def box_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
+    """Project predicted positions out of static axis-aligned boxes with
+    positional friction.  A point inside the box is pushed out through its
+    nearest face (the standard box-SDF interior gradient)."""
+    for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
+        center = jnp.array([cx, cy, cz], dtype=pred.dtype)
+        half = jnp.array([hx, hy, hz], dtype=pred.dtype)
+        local = pred - center
+        # per-axis distance to the nearest face (positive when inside)
+        face_dist = half - jnp.abs(local)           # (N, 3)
+        inside = (face_dist > 0).all(axis=-1)
+        active = inside & (inv_mass >= cfg.static_inv_mass_eps)
+        # push along the single axis with the smallest penetration
+        axis = jnp.argmin(face_dist, axis=-1)       # (N,)
+        push_mag = jnp.take_along_axis(
+            face_dist, axis[:, None], axis=1)[:, 0]
+        sign = jnp.sign(jnp.take_along_axis(
+            local, axis[:, None], axis=1)[:, 0])
+        sign = jnp.where(sign == 0, 1.0, sign)
+        delta = (jnp.eye(3, dtype=pred.dtype)[axis]
+                 * (sign * push_mag)[:, None])
+        pred = pred + jnp.where(active[:, None], delta, 0.0)
+        # positional friction in the face's tangent plane
+        n = jnp.eye(3, dtype=pred.dtype)[axis] * sign[:, None]
+        vel = (pred - prev_pos) / dt
+        vn = jnp.sum(vel * n, axis=-1, keepdims=True) * n
+        vt = vel - vn
+        fr = jnp.clip(cfg.friction, 0.0, 1.0)
+        pred = pred - jnp.where(active[:, None], vt * (dt * fr), 0.0)
+    return pred
+
+
 def sphere_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
     """Project predicted positions out of static sphere colliders with
     positional friction (BASELINE config 3; the reference only sketched this

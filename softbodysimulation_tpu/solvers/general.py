@@ -263,6 +263,9 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         if cfg.sphere_colliders:
             pred = _collision.sphere_sdf_project(
                 pred, state.positions, state.inv_mass, dt, cfg)
+        if cfg.box_colliders:
+            pred = _collision.box_sdf_project(
+                pred, state.positions, state.inv_mass, dt, cfg)
         return pred, lam_d, lam_b, lam_v
 
     accelerate = (cfg.solve_mode == SolveMode.JACOBI and cfg.jacobi_rho > 0

@@ -132,3 +132,40 @@ def test_floor_modes_both_rest_on_ground(mode):
     y = np.asarray(state.positions)[:, 1]
     assert y.min() > -5e-3
     assert y.min() < 0.05  # actually resting on the floor
+
+
+def test_box_sdf_pushes_out_nearest_face():
+    import jax.numpy as jnp
+
+    cfg = SolverConfig(friction=0.0,
+                       box_colliders=((0.0, 0.0, 0.0, 1.0, 0.5, 1.0),))
+    pred = jnp.array([
+        [0.2, 0.4, 0.0],    # inside, nearest face = +y
+        [-0.9, 0.0, 0.0],   # inside, nearest face = -x
+        [2.0, 0.0, 0.0],    # outside, untouched
+    ])
+    w = jnp.array([1.0, 1.0, 1.0])
+    out = np.asarray(col_ops.box_sdf_project(pred, pred, w, DT, cfg))
+    assert np.isclose(out[0, 1], 0.5, atol=1e-6)      # pushed to top face
+    assert np.isclose(out[0, 0], 0.2)                  # other axes intact
+    assert np.isclose(out[1, 0], -1.0, atol=1e-6)      # pushed to -x face
+    assert np.allclose(out[2], [2.0, 0.0, 0.0])
+
+
+def test_drop_on_box_collider():
+    pos = mesh.cube_corners(0.6) + np.array([0, 2.0, 0], np.float32)
+    topo = build.build_topology(pos, lattice.cube8_edges(), compliance=1e-4)
+    cfg = SolverConfig(substeps=2, iterations=8, damping=0.05,
+                       solve_mode=SolveMode.JACOBI,
+                       gravity_is_acceleration=True,
+                       ground_height=-5.0, friction=0.4,
+                       box_colliders=((0.0, 0.0, 0.0, 1.0, 0.5, 1.0),))
+    from softbodysimulation_tpu import state_from_topology
+    state = state_from_topology(topo, pos)
+    from softbodysimulation_tpu.solvers import general as gen
+    step = gen.make_step(topo, cfg, DT, n_steps=300)
+    state = step(state)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    # rests on the box top (y=0.5), not fallen to the low ground
+    assert p[:, 1].min() > 0.45
