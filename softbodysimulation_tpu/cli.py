@@ -58,7 +58,10 @@ def main(argv=None):
     if args.cmd == "bench":
         import runpy
 
-        runpy.run_module("bench", run_name="__main__")
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py")
+        runpy.run_path(bench_path, run_name="__main__")
         return 0
 
     if args.platform:

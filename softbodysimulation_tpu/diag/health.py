@@ -74,14 +74,19 @@ class FailsafeStepper:
             self._good = snapshot(state)
         out = self.step_fn(state)
         self._step_count += 1
+        failed = False
         if self._step_count % self.check_every == 0:
             if not bool(is_finite(out)):
+                failed = True
                 self.recoveries += 1
                 if self.on_failure is not None:
                     self.on_failure(self._step_count)
                 restored = restore(self._good)
                 out = restored.replace(
                     velocities=restored.velocities * self.damp_on_restore)
-            elif self._step_count % self.snapshot_every == 0:
-                self._good = snapshot(out)
+        # snapshot cadence is independent of the check cadence (but a
+        # snapshot is only taken from a state verified finite right now)
+        if (not failed and self._step_count % self.snapshot_every == 0
+                and bool(is_finite(out))):
+            self._good = snapshot(out)
         return out

@@ -41,8 +41,14 @@ def _check_supported(cfg: SolverConfig, spec: LatticeSpec):
                                   f"{cfg.floor_mode} not supported")
     if cfg.sphere_colliders:
         raise NotImplementedError("pallas engine: sphere colliders TBD")
+    if cfg.box_colliders:
+        raise NotImplementedError("pallas engine: box colliders TBD")
     if cfg.enable_self_collision:
         raise NotImplementedError("pallas engine: self-collision TBD")
+    if cfg.world_bounds > 0:
+        raise NotImplementedError("pallas engine: world_bounds clamp TBD")
+    if cfg.max_velocity > 0 or cfg.max_force > 0:
+        raise NotImplementedError("pallas engine: velocity/force clamps TBD")
 
 
 def _coords(res: int):
@@ -120,8 +126,11 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
     inv_dt2 = 1.0 / (dt * dt)
     gx, gy, gz = cfg.gravity
 
-    def solve_family_pass(pred, w, wb_all, lam_f, fam, fi, mask):
-        """One masked constraint pass on (3,res,r2) pred values."""
+    def solve_family_pass(pred, w, wb_all, lam_f, fam, fi, mask,
+                          relax=None):
+        """One masked constraint pass on (3,res,r2) pred values.
+        relax=None => exact GS semantics; float => Jacobi scaling
+        (the same shape as solvers/lattice._family_pass)."""
         rest = spec.rest_lengths[fi]
         alpha = spec.compliances[fi] * inv_dt2
         if cfg.min_alpha_tilde > 0:
@@ -140,7 +149,8 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             m = cfg.max_dlambda_rel * rest
             dl = jnp.clip(dl, -m, m)
         if cfg.fast_math:
-            dl = dl * mask  # float multiplier; see SolverConfig.fast_math
+            scale_m = mask if relax is None else mask * relax
+            dl = dl * scale_m  # float multiplier; see SolverConfig.fast_math
         else:
             active = (
                 mask
@@ -149,7 +159,7 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                 & ((w >= cfg.static_inv_mass_eps)
                    | (wb >= cfg.static_inv_mass_eps))
             )
-            dl = jnp.where(active, dl, 0.0)
+            dl = jnp.where(active, dl if relax is None else dl * relax, 0.0)
         lam_f = lam_f + dl
         if cfg.lambda_clamp > 0:
             lam_f = jnp.clip(lam_f, -cfg.lambda_clamp, cfg.lambda_clamp)
@@ -244,44 +254,9 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                             pred, w, wb_per_fam[fi], lam_f, fam, fi,
                             m_odd)
                     else:
-                        relax = cfg.omega if cfg.omega > 0 else 0.5
-                        pb = _roll_fwd(pred, fam, res)
-                        rest = spec.rest_lengths[fi]
-                        alpha = spec.compliances[fi] * inv_dt2
-                        if cfg.min_alpha_tilde > 0:
-                            alpha = max(alpha, cfg.min_alpha_tilde)
-                        d = pb - pred
-                        len_sq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-                        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
-                        c = length - rest
-                        wb = wb_per_fam[fi]
-                        denom = w + wb + alpha
-                        dl = (-c - alpha * lam_f) \
-                            / jnp.maximum(denom, 1e-30)
-                        if cfg.max_dlambda > 0:
-                            dl = jnp.clip(dl, -cfg.max_dlambda,
-                                          cfg.max_dlambda)
-                        if cfg.max_dlambda_rel > 0:
-                            m = cfg.max_dlambda_rel * rest
-                            dl = jnp.clip(dl, -m, m)
-                        if cfg.fast_math:
-                            dl = dl * (valid * relax)
-                        else:
-                            active = (
-                                valid
-                                & (length >= cfg.eps_length)
-                                & (jnp.abs(denom) >= cfg.eps_denominator)
-                                & ((w >= cfg.static_inv_mass_eps)
-                                   | (wb >= cfg.static_inv_mass_eps))
-                            )
-                            dl = jnp.where(active, dl * relax, 0.0)
-                        lam_f = lam_f + dl
-                        if cfg.lambda_clamp > 0:
-                            lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
-                                             cfg.lambda_clamp)
-                        dp = d * (dl / length)[None]
-                        pred = pred - w[None] * dp
-                        pred = pred + _roll_bwd(wb[None] * dp, fam, res)
+                        pred, lam_f = solve_family_pass(
+                            pred, w, wb_per_fam[fi], lam_f, fam, fi, valid,
+                            relax=cfg.omega if cfg.omega > 0 else 0.5)
                     lam_parts.append(lam_f)
                 lam = jnp.stack(lam_parts)
 

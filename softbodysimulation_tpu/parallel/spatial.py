@@ -214,6 +214,11 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                     pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
                     dt_sub, cfg)
                 pred = pf.reshape(p, res, res, 3)
+            if cfg.box_colliders:
+                pf = _collision.box_sdf_project(
+                    pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
+                    dt_sub, cfg)
+                pred = pf.reshape(p, res, res, 3)
             return pred, lam
 
         pred, lam = lax.fori_loop(0, cfg.iterations, iteration, (pred, lam))

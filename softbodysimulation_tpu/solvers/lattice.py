@@ -281,6 +281,14 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
 
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
             pred = _floor_xpbd(pred, x, w, dt, cfg)
+        if cfg.box_colliders:
+            from ..ops import collision as _collision
+
+            flat = pred.reshape(3, -1).T
+            prev = x.reshape(3, -1).T
+            flat = _collision.box_sdf_project(
+                flat, prev, w.reshape(-1), dt, cfg)
+            pred = flat.T.reshape(3, res, res * res)
         if cfg.sphere_colliders:
             for cx, cy, cz, radius in cfg.sphere_colliders:
                 center = jnp.asarray([cx, cy, cz],

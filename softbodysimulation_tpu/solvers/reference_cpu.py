@@ -90,6 +90,12 @@ class ReferenceSolver:
     # ------------------------------------------------------------ internals
     def _substep(self, dt: F, first: bool):
         cfg = self.cfg
+        if cfg.lambda_mode == LambdaMode.WARM_START:
+            # WARM_START is a device-engine scheme (pre-applied carried
+            # impulses); the oracle defines only the reference's RESET/DECAY
+            # sweeps — refusing beats silently running DECAY semantics.
+            raise NotImplementedError(
+                "ReferenceSolver supports RESET/DECAY lambda modes only")
         if cfg.lambda_mode == LambdaMode.RESET:
             self.lam[:] = 0
             self.blam[:] = 0

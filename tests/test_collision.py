@@ -169,3 +169,34 @@ def test_drop_on_box_collider():
     assert np.isfinite(p).all()
     # rests on the box top (y=0.5), not fallen to the low ground
     assert p[:, 1].min() > 0.45
+
+
+def test_box_collider_engines_agree():
+    """CLAUDE.md invariant: engines agree on config semantics — the box
+    collider must act identically in the general and lattice engines."""
+    from softbodysimulation_tpu.solvers import lattice as lat_engine
+    from softbodysimulation_tpu.topology import lattice as lattice_mod
+
+    res = 4
+    spec = lattice_mod.lattice_spec(res, braced=True)
+    # COLORED: the exactness mode (the engines' JACOBI schemes differ by
+    # design — per-edge degree scaling + Chebyshev vs per-family relax)
+    cfg = SolverConfig(substeps=2, iterations=4, damping=0.05,
+                       solve_mode=SolveMode.COLORED,
+                       gravity_is_acceleration=True,
+                       ground_height=-5.0, friction=0.4,
+                       box_colliders=((0.0, 0.0, 0.0, 1.5, 0.5, 1.5),))
+    state_l = lat_engine.make_lattice_state(spec, center=(0, 1.8, 0))
+    out_l = lat_engine.make_step(spec, cfg, DT, n_steps=200)(state_l)
+    pl = np.asarray(out_l.positions)
+    assert np.isfinite(pl).all()
+    assert pl[:, 1].min() > 0.45  # rests on the box top
+
+    pos = lattice_mod.lattice_points(res, center=(0, 1.8, 0))
+    e, c = lattice_mod.lattice_edges(res, braced=True)
+    colors = lattice_mod.lattice_family_colors(res, braced=True)
+    topo = build.build_topology(pos, e, c, colors=colors)
+    state_g = state_from_topology(topo, pos)
+    out_g = general.make_step(topo, cfg, DT, n_steps=200)(state_g)
+    d = np.abs(pl - np.asarray(out_g.positions)).max()
+    assert d < 1e-3, f"box-collider engine divergence {d}"
