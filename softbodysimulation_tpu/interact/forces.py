@@ -60,6 +60,29 @@ def pin_indices(state: SimState, indices, pinned=True,
     return state.replace(inv_mass=inv_mass, velocities=vel)
 
 
+def add_wind(state: SimState, topo, direction, strength: float = 1.0,
+             gustiness: float = 0.0, seed: int = 0) -> SimState:
+    """Aerodynamic wind load on the surface: per-vertex force proportional
+    to the area-weighted projection of the wind onto the vertex normal
+    (faces square to the wind catch it, edge-on faces don't) with optional
+    per-vertex gust noise.  A standard cloth/soft-body forcing the
+    reference lacks; composes with the ext_force accumulator like any poke.
+    """
+    from ..ops.normals import vertex_normals
+
+    d = jnp.asarray(direction, dtype=state.positions.dtype)
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)
+    normals = vertex_normals(state.positions, topo.triangles)
+    # projection magnitude; abs() so both sides of a sheet catch wind
+    catch = jnp.abs(normals @ d)
+    mag = strength * catch
+    if gustiness > 0:
+        key = jax.random.PRNGKey(seed)
+        mag = mag * (1.0 + gustiness * jax.random.uniform(
+            key, mag.shape, minval=-1.0, maxval=1.0))
+    return state.replace(ext_force=state.ext_force + mag[:, None] * d)
+
+
 @jax.jit
 def drag_force(state: SimState, target, strength=5.0, radius=2.0) -> SimState:
     """Continuous drag toward a cursor/target point

@@ -187,3 +187,51 @@ class TestExport:
         n_tris = topo.triangles.shape[0]
         assert text.count("\nv ") == 3 * n_tris   # per-face vertices
         assert text.count("\nvn ") == n_tris      # one flat normal per face
+
+
+class TestWind:
+    def test_wind_pushes_cloth_sideways(self):
+        # bend-free drape (the cloth scene's dihedral stiffness makes it a
+        # plate cantilevered at its pinned row — physically wind-rigid)
+        m = mesh.grid_plane(1.0, 8)
+        verts = m.vertices[:, [0, 2, 1]].copy()
+        verts[:, 2] = 0.0
+        pos, topo = build.topology_from_mesh(
+            mesh.TriMesh(verts, m.triangles), compliance=1e-5)
+        pos = pos + np.array([0, 1.2, 0], np.float32)
+        cfg = SolverConfig(substeps=4, iterations=2, damping=0.03,
+                           solve_mode=SolveMode.JACOBI,
+                           ground_height=0.0, friction=0.4)
+        state = state_from_topology(topo, pos)
+        top = np.flatnonzero(pos[:, 1] > pos[:, 1].max() - 1e-4)
+        state = forces.pin_indices(state, top, pinned=True)
+        step = general.make_step(topo, cfg, 1 / 60)
+        z0 = np.asarray(state.positions)[:, 2].mean()
+        # wind along +z: the cloth's free swing direction (out-of-plane);
+        # in-plane wind components push against edge stiffness instead
+        for _ in range(240):
+            state = forces.add_wind(state, topo, (0.0, 0.0, 1.0),
+                                    strength=5.0)
+            state = step(state)
+        p = np.asarray(state.positions)
+        assert np.isfinite(p).all()
+        assert p[:, 2].mean() > z0 + 0.05  # billows downwind
+
+    def test_wind_respects_facing(self):
+        # sheet in the xy-plane: z-wind catches fully, x-wind barely
+        state, topo, cfg = scene()  # lattice; use its surface triangles
+        s_face = forces.add_wind(state, topo, (0.0, 0.0, 1.0), strength=1.0)
+        f = np.asarray(s_face.ext_force)
+        assert np.abs(f).max() > 0
+        # direction of the applied force is the wind direction
+        nz = np.linalg.norm(f, axis=1) > 1e-8
+        dirs = f[nz] / np.linalg.norm(f[nz], axis=1, keepdims=True)
+        assert np.allclose(np.abs(dirs[:, 2]), 1.0, atol=1e-5)
+
+    def test_gustiness_varies_force(self):
+        state, topo, cfg = scene()
+        a = np.asarray(forces.add_wind(state, topo, (0, 0, 1), 1.0,
+                                       gustiness=0.5, seed=1).ext_force)
+        b = np.asarray(forces.add_wind(state, topo, (0, 0, 1), 1.0,
+                                       gustiness=0.5, seed=2).ext_force)
+        assert not np.allclose(a, b)
