@@ -122,23 +122,42 @@ int32_t sbs_greedy_color(const int32_t* cons, int32_t k, int32_t arity,
 // Weld vertices within eps (quantised grid, order of first appearance).
 // map_out: n int32s mapping original -> welded index.
 // Returns the welded vertex count.
-int32_t sbs_weld(const float* verts, int32_t n, float eps,
-                 int32_t* map_out) {
-    std::unordered_map<uint64_t, int32_t> seen;
+// Keys are the full (qx,qy,qz) int64 triple (no bit packing): quantised
+// coordinates of any magnitude hash exactly, so a metre-scale mesh welded
+// with a tiny eps can never alias distant vertices.
+namespace {
+struct QKey {
+    int64_t x, y, z;
+    bool operator==(const QKey& o) const {
+        return x == o.x && y == o.y && z == o.z;
+    }
+};
+struct QKeyHash {
+    size_t operator()(const QKey& k) const {
+        uint64_t h = 0x9e3779b97f4a7c15ull;
+        for (uint64_t v : {static_cast<uint64_t>(k.x),
+                           static_cast<uint64_t>(k.y),
+                           static_cast<uint64_t>(k.z)}) {
+            v *= 0xff51afd7ed558ccdull;
+            v ^= v >> 33;
+            h = (h ^ v) * 0xc4ceb9fe1a85ec53ull;
+        }
+        return static_cast<size_t>(h ^ (h >> 29));
+    }
+};
+}  // namespace
+
+extern "C" int32_t sbs_weld(const float* verts, int32_t n, float eps,
+                            int32_t* map_out) {
+    std::unordered_map<QKey, int32_t, QKeyHash> seen;
     seen.reserve(static_cast<size_t>(n) * 2);
     const double inv = 1.0 / static_cast<double>(eps);
     int32_t next = 0;
     for (int32_t i = 0; i < n; ++i) {
-        const int64_t qx =
-            static_cast<int64_t>(std::lround(verts[3 * i] * inv));
-        const int64_t qy =
-            static_cast<int64_t>(std::lround(verts[3 * i + 1] * inv));
-        const int64_t qz =
-            static_cast<int64_t>(std::lround(verts[3 * i + 2] * inv));
-        // 21-bit packing per axis (plenty for |coord/eps| < 2^20)
-        const uint64_t key = ((static_cast<uint64_t>(qx) & 0x1fffff) << 42) |
-                             ((static_cast<uint64_t>(qy) & 0x1fffff) << 21) |
-                             (static_cast<uint64_t>(qz) & 0x1fffff);
+        const QKey key{
+            static_cast<int64_t>(std::llround(verts[3 * i] * inv)),
+            static_cast<int64_t>(std::llround(verts[3 * i + 1] * inv)),
+            static_cast<int64_t>(std::llround(verts[3 * i + 2] * inv))};
         auto it = seen.find(key);
         if (it == seen.end()) {
             seen.emplace(key, next);

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from softbodysimulation_tpu import (  # noqa: E402
     LambdaMode,
@@ -87,8 +88,34 @@ def main():
     stm = state_from_topology(topo, pos)
     steps = 50
     fnm = general.make_step(topo, cfgm, 1 / 60, n_steps=steps)
-    measure(f"bunny mesh {topo.n_particles}p/{topo.n_edges}e (general)",
+    measure(f"bunny mesh {topo.n_particles}p/{topo.n_edges}e (gather)",
             fnm, stm, topo.n_particles, steps * cfgm.substeps)
+
+    # 2b. bunny — windowed one-hot MXU backend (RCM + block matmuls)
+    pos_w, topo_w = build.topology_from_mesh(
+        m, compliance=1e-6, windowed=True, block_edges=256, seg_align=32,
+        window_dtype="bf16")
+    stw = state_from_topology(
+        topo_w, pos_w + np.array([0, 1.0, 0], np.float32))
+    fnw = general.make_step(topo_w, cfgm, 1 / 60, n_steps=steps)
+    measure(f"bunny mesh {topo_w.n_particles}p (windowed one-hot MXU)",
+            fnw, stw, topo_w.n_particles, steps * cfgm.substeps)
+
+    # 2c. bunny ensemble x64, windowed backend under vmap (the one-hot
+    # matrices are shared across the batch, so the MXU lanes fill up)
+    nb = 64
+    batched_w = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (nb,) + x.shape), stw)
+    rngb = np.random.RandomState(1)
+    offs_b = np.stack([rngb.uniform(-4, 4, nb), rngb.uniform(0, 2, nb),
+                       rngb.uniform(-4, 4, nb)], 1).astype(np.float32)
+    batched_w = batched_w.replace(
+        positions=batched_w.positions + offs_b[:, None, :])
+    stepsb = 20
+    fnwb = jax.jit(jax.vmap(
+        lambda s: general.multi_step_fn(s, topo_w, cfgm, 1 / 60, stepsb)))
+    measure(f"bunny ensemble x{nb} (windowed, vmap)", fnwb, batched_w,
+            nb * topo_w.n_particles, stepsb * cfgm.substeps)
 
     # 3. 1024-body ensemble, res-4 braced lattices, vmapped
     spec4 = lattice.lattice_spec(4, braced=True)

@@ -104,8 +104,17 @@ class SolverConfig:
 
     # --- constraint solve ---
     solve_mode: SolveMode = SolveMode.JACOBI
-    omega: float = 0.0                # scale on the degree-averaged Jacobi
-                                      # update; 0 => 1.0 (GS-matched)
+    omega: float = 0.0                # scale on the 1/max-conflict-degree
+                                      # -averaged Jacobi update, SAME meaning
+                                      # in every engine (general: full graph
+                                      # degree; stencil engines: intra-family
+                                      # degree 2); 0 => 1.0 (GS-matched)
+    distance_backend: str = "auto"    # JACOBI distance-sweep mechanics:
+                                      # "auto" = windowed one-hot MXU matmuls
+                                      # when the topology carries windows,
+                                      # else gather/incidence; "gather" /
+                                      # "windowed" force one (same
+                                      # arithmetic, different execution)
     # Chebyshev semi-iterative acceleration of the Jacobi iterations
     # (classic accelerated-PBD recurrence); rho = spectral-radius estimate,
     # 0 disables.  gamma under-relaxes the inner update for contact safety.
@@ -189,6 +198,9 @@ class SolverConfig:
         return self.gravity
 
     def __post_init__(self):
+        if self.distance_backend not in ("auto", "gather", "windowed"):
+            raise ValueError(
+                "distance_backend must be auto|gather|windowed")
         if self.substeps < 1:
             raise ValueError("substeps must be >= 1")
         if self.iterations < 1:

@@ -86,6 +86,49 @@ _register(
 
 
 @dataclasses.dataclass(frozen=True)
+class Windows:
+    """Windowed one-hot incidence for the general engine's MXU distance
+    backend (see ``topology/windows.py``).  All block matrices are exact
+    {0, +-1} one-hots, so the matmul-based sweep matches the gather-based
+    sweep to f32 rounding.
+
+    AB         — (K, 2S, W) gather one-hots: rows 0..S-1 pick endpoint a,
+                 rows S..2S-1 endpoint b, from the block's particle window.
+    C          — (K, W, 2S) scatter one-hots: window row <- a-side (cols
+                 0..S-1) and b-side (cols S..2S-1) corrections.
+    valid      — (K, S) 1.0 for real edges, 0.0 for block padding.
+    inv_maxdeg — (K, S) validity-masked 1/max(deg_a, deg_b) Jacobi scale.
+    win_onehot — (K*W/128, n_segs) one-hot extracting each window's
+                 128-particle segments (window extraction = one matmul).
+    seg_onehot — (n_segs, K*W/128) transpose; overlap-ADDS window deltas
+                 back onto the particle segments (rows sum pieces).
+    """
+
+    AB: jax.Array
+    C: jax.Array
+    valid: jax.Array
+    inv_maxdeg: jax.Array
+    win_onehot: jax.Array
+    seg_onehot: jax.Array
+    n_blocks: int
+    block_edges: int
+    window: int
+    n_segs: int
+    seg: int = 128                # particle-segment granularity (alignment)
+
+    def replace(self, **kw) -> "Windows":
+        return dataclasses.replace(self, **kw)
+
+
+_register(
+    Windows,
+    data_fields=("AB", "C", "valid", "inv_maxdeg", "win_onehot",
+                 "seg_onehot"),
+    meta_fields=("n_blocks", "block_edges", "window", "n_segs", "seg"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class Topology:
     """Static constraint topology (device arrays; shapes fixed at trace time).
 
@@ -131,6 +174,9 @@ class Topology:
     num_colors: int               # static
     num_bend_colors: int          # static
     n_particles: int              # static
+    windows: Optional[Windows] = None   # MXU one-hot distance backend
+                                        # (requires RCM-renumbered, window
+                                        # -sorted edges; build.py wires it)
 
     @property
     def n_edges(self) -> int:
@@ -165,6 +211,7 @@ _register(
         "bend_degree",
         "incidence",
         "bend_incidence",
+        "windows",
     ),
     meta_fields=("num_colors", "num_bend_colors", "n_particles"),
 )

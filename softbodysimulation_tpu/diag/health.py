@@ -51,8 +51,14 @@ def scrub(state: SimState, default_position=(0.0, 1.0, 0.0)) -> SimState:
 class FailsafeStepper:
     """step() with automatic snapshot/restore on non-finite state.
 
-    check_every    — health-check cadence in steps (device reduction only;
-                     the scalar crosses to host, ~cheap).
+    check_every    — health-check cadence in steps.  Each check is a device
+                     reduction plus ONE scalar device->host fetch; on remote
+                     -relay backends (axon) that fetch costs ~10-30 ms, so
+                     size check_every to your step cost (or fold an
+                     ``is_finite`` output into your own compiled step and
+                     check that instead).
+    A non-finite INITIAL state is scrubbed before first use so the recovery
+    point is always finite.
     snapshot_every — known-good snapshot cadence in steps.
     on_failure     — optional callback(step_index) fired at each recovery.
     damp_on_restore— velocity scale applied to the restored state (shed the
@@ -71,6 +77,10 @@ class FailsafeStepper:
 
     def __call__(self, state: SimState) -> SimState:
         if self._good is None:
+            # never store a non-finite recovery point: restoring it would
+            # loop forever without making progress
+            if not bool(is_finite(state)):
+                state = scrub(state)
             self._good = snapshot(state)
         out = self.step_fn(state)
         self._step_count += 1

@@ -201,7 +201,9 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                         pred, w, w_halo, lam_f, fam, valid[fi],
                         spec.rest_lengths[fi], spec.compliances[fi], dt_sub,
                         cfg, axis, n_shards,
-                        relax=cfg.omega if cfg.omega > 0 else 0.5)
+                        # omega/2: see solvers/lattice.py (intra-family
+                        # conflict degree is 2; default omega=1.0)
+                        relax=0.5 * (cfg.omega if cfg.omega > 0 else 1.0))
                 lam_parts.append(lam_f)
             lam = jnp.stack(lam_parts)
             if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:

@@ -111,6 +111,57 @@ def _solve_distance_jacobi(pred, lam, inv_mass, topo: Topology,
     return pred + delta, lam
 
 
+def _solve_distance_windowed(pred, lam, inv_mass, topo: Topology,
+                             cfg: SolverConfig, dt, omega):
+    """Jacobi distance sweep as dense one-hot block matmuls (MXU path).
+
+    Arithmetic matches ``_solve_distance_jacobi`` (same
+    ``distance_delta_lambda`` clamps/guards, same omega/max-degree scaling);
+    only the gather/scatter mechanics differ: XLA's irregular gathers are
+    element-serial on TPU, so endpoint gather, correction scatter, window
+    extraction and overlap-add are ALL expressed as exact {0, +-1} one-hot
+    matmuls (see ``topology/windows.py``).  Requires ``topo.windows``.
+    """
+    win = topo.windows
+    K, S, W = win.n_blocks, win.block_edges, win.window
+    n = pred.shape[0]
+    seg = win.seg
+    n_pad = win.n_segs * seg
+
+    # window extraction: one one-hot matmul pulls every block's particle
+    # window, with inv_mass riding along as a 4th column
+    xw = jnp.concatenate([pred, inv_mass[:, None]], axis=1)       # (N, 4)
+    xw = jnp.pad(xw, ((0, n_pad - n), (0, 0)))
+    seg_flat = xw.reshape(win.n_segs, seg * 4)
+    win_flat = win.win_onehot @ seg_flat                          # (P, 4seg)
+    wdat = win_flat.reshape(K, W, 4)
+
+    pab = lax.dot_general(win.AB, wdat,
+                          (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)     # (K,2S,4)
+    pa, pb = pab[:, :S], pab[:, S:]
+    wa, wb = pa[..., 3], pb[..., 3]
+
+    lam_pad = jnp.pad(lam, (0, K * S - lam.shape[0])).reshape(K, S)
+    rest = jnp.pad(topo.rest_lengths, (0, K * S - lam.shape[0]),
+                   constant_values=1.0).reshape(K, S)
+    comp = jnp.pad(topo.compliance,
+                   (0, K * S - lam.shape[0])).reshape(K, S)
+    dl, nrm = _distance.distance_delta_lambda(
+        pa[..., :3], pb[..., :3], wa, wb, rest, comp, lam_pad, dt, cfg)
+    dl = dl * (omega * win.inv_maxdeg)
+    lam_pad = _distance.accumulate_lambda(lam_pad, dl, cfg)
+
+    u = dl[..., None] * nrm                                       # (K,S,3)
+    uu = jnp.concatenate([-wa[..., None] * u, wb[..., None] * u], axis=1)
+    wd = lax.dot_general(win.C, uu,
+                         (((2,), (1,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)      # (K,W,3)
+    pieces = wd.reshape(K * (W // seg), seg * 3)
+    delta = (win.seg_onehot @ pieces).reshape(n_pad, 3)[:n]
+    return pred + delta, lam_pad.reshape(-1)[:lam.shape[0]]
+
+
 # ---------------------------------------------------------------- bending
 def _solve_bending_colored(pred, lam, inv_mass, topo: Topology,
                            cfg: SolverConfig, dt):
@@ -235,11 +286,41 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     has_bending = cfg.enable_bending and topo.n_hinges > 0
     has_volume = cfg.enable_volume and topo.triangles.shape[0] > 0
 
+    use_windowed = (cfg.distance_backend == "windowed"
+                    or (cfg.distance_backend == "auto"
+                        and topo.windows is not None))
+    if use_windowed and topo.windows is None:
+        raise ValueError("distance_backend='windowed' requires a topology "
+                         "built with build_windowed_topology")
+
+    def project_contacts(pred):
+        """Unilateral contact projections (self-collision, floor, SDFs)."""
+        if cfg.enable_self_collision:
+            pred = _spatial_hash.self_collision_project(
+                pred, state.inv_mass, cfg)
+        if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
+            pred = _collision.floor_project_xpbd(
+                pred, state.positions, state.inv_mass, dt, cfg)
+        if cfg.sphere_colliders:
+            pred = _collision.sphere_sdf_project(
+                pred, state.positions, state.inv_mass, dt, cfg)
+        if cfg.box_colliders:
+            pred = _collision.box_sdf_project(
+                pred, state.positions, state.inv_mass, dt, cfg)
+        return pred
+
+    has_contacts = (cfg.enable_self_collision
+                    or cfg.floor_mode == FloorMode.XPBD_INEQUALITY
+                    or bool(cfg.sphere_colliders) or bool(cfg.box_colliders))
+
     def project_all(pred, lam_d, lam_b, lam_v):
         """One full projection sweep over every constraint family."""
         if cfg.solve_mode == SolveMode.COLORED:
             pred, lam_d = _solve_distance_colored(
                 pred, lam_d, state.inv_mass, topo, cfg, dt)
+        elif use_windowed:
+            pred, lam_d = _solve_distance_windowed(
+                pred, lam_d, state.inv_mass, topo, cfg, dt, omega)
         else:
             pred, lam_d = _solve_distance_jacobi(
                 pred, lam_d, state.inv_mass, topo, cfg, dt, omega)
@@ -254,18 +335,7 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
             pred, lam_v = _volume.volume_project(
                 pred, state.inv_mass, topo.triangles, topo.rest_volume,
                 lam_v, dt, cfg)
-        if cfg.enable_self_collision:
-            pred = _spatial_hash.self_collision_project(
-                pred, state.inv_mass, cfg)
-        if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
-            pred = _collision.floor_project_xpbd(
-                pred, state.positions, state.inv_mass, dt, cfg)
-        if cfg.sphere_colliders:
-            pred = _collision.sphere_sdf_project(
-                pred, state.positions, state.inv_mass, dt, cfg)
-        if cfg.box_colliders:
-            pred = _collision.box_sdf_project(
-                pred, state.positions, state.inv_mass, dt, cfg)
+        pred = project_contacts(pred)
         return pred, lam_d, lam_b, lam_v
 
     accelerate = (cfg.solve_mode == SolveMode.JACOBI and cfg.jacobi_rho > 0
@@ -288,6 +358,12 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
                           4.0 / (4.0 - rho2 * om)))
             acc = om_next * (gamma * (new - pred) + pred - pred_prev) \
                 + pred_prev
+            # the momentum extrapolation can re-penetrate unilateral
+            # contacts the sweep just resolved (accelerated-PBD excludes
+            # contact from the momentum update); re-project them once so the
+            # substep's final iterate is contact-feasible
+            if has_contacts:
+                acc = project_contacts(acc)
             return pred, acc, lam_d, lam_b, lam_v, om_next
 
         _, pred, lam_d, lam_b, lam_v, _ = lax.fori_loop(

@@ -275,7 +275,12 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
             else:
                 pred, lam_f = _family_pass(
                     pred, w, wb, lam_f, fam, m_all, rest, comp, dt, cfg,
-                    res, relax=cfg.omega if cfg.omega > 0 else 0.5)
+                    # omega semantics match the general engine: a scale on
+                    # the 1/max-conflict-degree-normalized Jacobi update.
+                    # Intra-family conflict degree is 2 (each particle is an
+                    # endpoint of at most two same-family edges), hence /2;
+                    # default omega=1.0 keeps the historical 0.5 factor.
+                    res, relax=0.5 * (cfg.omega if cfg.omega > 0 else 1.0))
             lam_parts.append(lam_f)
         lam = jnp.stack(lam_parts)
 

@@ -155,6 +155,66 @@ def _build_incidence(constraints: np.ndarray, n: int,
     return out
 
 
+def build_windowed_topology(
+    positions: np.ndarray,
+    edges: np.ndarray,
+    compliance,
+    hinges: Optional[np.ndarray] = None,
+    triangles: Optional[np.ndarray] = None,
+    rest_lengths: Optional[np.ndarray] = None,
+    block_edges: int = 128,
+    max_window: int = 1024,
+    seg_align: int = 128,
+    window_dtype="float32",
+    **kw,
+):
+    """Build a Topology carrying the MXU one-hot window structure
+    (``topology/windows.py``) for the general engine's matmul distance
+    backend.
+
+    Particles are renumbered by reverse Cuthill-McKee and edges re-sorted
+    by min endpoint, so the topology AND the returned positions live in the
+    permuted index space.  Returns ``(positions_permuted (N,3) f32,
+    Topology)`` — build the SimState from the returned positions.
+    """
+    from . import windows as _windows
+
+    positions = np.asarray(positions, np.float64)
+    n = positions.shape[0]
+    edges = np.asarray(edges, np.int32).reshape(-1, 2)
+    e = edges.shape[0]
+    comp = np.broadcast_to(np.asarray(compliance, np.float32), (e,)).copy()
+
+    order = _windows.rcm_order(edges, n)
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    pos2 = positions[order]
+    e2 = rank[edges.astype(np.int64)].astype(np.int32)
+    sortperm = _windows.sort_edges_by_window(e2)
+    e2 = e2[sortperm]
+    comp = comp[sortperm]
+    if rest_lengths is not None:
+        rest_lengths = np.asarray(rest_lengths, np.float32)[sortperm]
+    if hinges is not None and len(hinges):
+        hinges = rank[np.asarray(hinges, np.int64)].astype(np.int32)
+    if triangles is not None and len(triangles):
+        triangles = rank[np.asarray(triangles, np.int64)].astype(np.int32)
+
+    topo = build_topology(
+        pos2, e2, comp,
+        hinges=hinges,
+        triangles=triangles,
+        rest_lengths=rest_lengths,
+        **kw,
+    )
+    deg = np.bincount(e2.reshape(-1).astype(np.int64), minlength=n)
+    win = _windows.build_windows(
+        e2, n, deg.astype(np.float32),
+        block_edges=block_edges, max_window=max_window,
+        seg_align=seg_align, dtype=window_dtype)
+    return pos2.astype(np.float32), topo.replace(windows=win)
+
+
 def validate_topology(topo: Topology) -> dict:
     """Constraint-data validation (the ``ValidateConstraintData`` analog,
     ``SoftBodySimulator.cs:1018-1044``): index bounds, positive rest
@@ -195,17 +255,29 @@ def topology_from_mesh(
     bending: bool = False,
     bend_compliance: float = 0.1,
     weld_eps: float = 0.0,
+    windowed: bool = False,
     **kw,
 ):
     """Mesh -> particles + edge/hinge constraints, the
     ``InitializeSoftBodyFromMesh`` path (``SoftBodyCPU.cs:121-157``).
     Returns (positions, Topology).  ``weld_eps > 0`` welds first
-    (``SoftBodyGPU.cs:121``)."""
+    (``SoftBodyGPU.cs:121``).  ``windowed=True`` builds the MXU one-hot
+    window structure (RCM-renumbers the vertices — the returned positions
+    and the topology's triangles are in the permuted space)."""
     verts, tris = mesh.vertices, mesh.triangles
     if weld_eps > 0:
         verts, tris, _ = _edges.weld(verts, tris, weld_eps)
     e = _edges.unique_edges(tris)
     hn = _edges.hinges(tris) if bending else None
+    if windowed:
+        pos2, topo = build_windowed_topology(
+            verts, e, compliance,
+            hinges=hn,
+            bend_compliance=bend_compliance,
+            triangles=tris,
+            **kw,
+        )
+        return pos2, topo
     topo = build_topology(
         verts,
         e,
