@@ -36,19 +36,13 @@ from ..topology.lattice import LatticeSpec
 
 
 def _check_supported(cfg: SolverConfig, spec: LatticeSpec):
-    if cfg.floor_mode not in (FloorMode.XPBD_INEQUALITY, FloorMode.NONE):
-        raise NotImplementedError("pallas engine: floor mode "
-                                  f"{cfg.floor_mode} not supported")
-    if cfg.sphere_colliders:
-        raise NotImplementedError("pallas engine: sphere colliders TBD")
-    if cfg.box_colliders:
-        raise NotImplementedError("pallas engine: box colliders TBD")
+    # Round-2 parity: both floor modes, sphere/box SDF colliders and the
+    # velocity/force/world clamps are all fused in-kernel now.  The one
+    # remaining gap is particle self-collision (spatial hash), which has no
+    # stencil formulation — the general engine covers it.
     if cfg.enable_self_collision:
-        raise NotImplementedError("pallas engine: self-collision TBD")
-    if cfg.world_bounds > 0:
-        raise NotImplementedError("pallas engine: world_bounds clamp TBD")
-    if cfg.max_velocity > 0 or cfg.max_force > 0:
-        raise NotImplementedError("pallas engine: velocity/force clamps TBD")
+        raise NotImplementedError("pallas engine: self-collision requires "
+                                  "the general engine's spatial hash")
 
 
 def _coords(res: int):
@@ -108,10 +102,13 @@ def _roll_bwd(a, fam, res):
 
 def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                                dt_sub: float, n_substeps: int,
-                               loop_inside: bool = True):
+                               loop_inside: bool = True,
+                               with_ext: bool = False):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
-    raw substeps (external forces are not applied — bench/rollout semantics,
-    matching ``solvers.lattice.make_substep_runner``).
+    raw substeps (``with_ext=False``: external forces are not applied —
+    bench/rollout semantics, matching ``solvers.lattice.make_substep_runner``;
+    ``with_ext=True``: ``state.ext_force`` is consumed on the first substep
+    and zeroed, the full step-function force lifecycle).
 
     loop_inside=True: the whole substep loop runs inside ONE kernel with
     state VMEM-resident (fastest; biggest Mosaic compile).  False: the
@@ -187,7 +184,13 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         pred = pred + _roll_bwd(wb_all[None] * dp, fam, res)
         return pred, lam_f
 
-    def kernel(x_ref, v_ref, w_ref, lam_ref, xo_ref, vo_ref, lamo_ref):
+    def kernel(*refs):
+        if with_ext:
+            x_ref, v_ref, w_ref, lam_ref, f_ref = refs[:5]
+            xo_ref, vo_ref, lamo_ref = refs[5:]
+        else:
+            x_ref, v_ref, w_ref, lam_ref = refs[:4]
+            xo_ref, vo_ref, lamo_ref = refs[4:]
         xx, yy, zz = _coords(res)
         masks = [
             _family_mask(xx, yy, zz, res, fam, spec.reference_bounds)
@@ -208,17 +211,33 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             _roll_fwd(w, fam, res) for fam in spec.families
         ]
 
-        def substep(_, carry):
+        def substep(step_i, carry):
             x, v, lam = carry
             g = jnp.stack([
                 jnp.full((res, r2), gx, jnp.float32),
                 jnp.full((res, r2), gy, jnp.float32),
                 jnp.full((res, r2), gz, jnp.float32),
             ])
-            if cfg.gravity_is_acceleration:
-                v = v + dt * jnp.where((w > 0)[None], g, 0.0)
+            # external forces consumed on the global first substep only
+            # (reference force lifecycle; later steps see a zeroed
+            # accumulator anyway, so i == 0 is exact for fused rollouts)
+            if with_ext:
+                ext = f_ref[:] * jnp.where(step_i == 0, 1.0, 0.0)
             else:
-                v = v + dt * w[None] * g
+                ext = None
+            if cfg.gravity_is_acceleration:
+                if ext is not None:
+                    if cfg.max_force > 0:
+                        ext = jnp.clip(ext, -cfg.max_force, cfg.max_force)
+                    v = v + dt * (jnp.where((w > 0)[None], g, 0.0)
+                                  + w[None] * ext)
+                else:
+                    v = v + dt * jnp.where((w > 0)[None], g, 0.0)
+            else:
+                force = g if ext is None else g + ext
+                if cfg.max_force > 0:
+                    force = jnp.clip(force, -cfg.max_force, cfg.max_force)
+                v = v + dt * w[None] * force
             if cfg.damping_mode.value == "per_step":
                 v = v * (1.0 - min(max(cfg.damping, 0.0), 1.0))
             else:
@@ -226,6 +245,8 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             if cfg.max_velocity > 0:
                 v = jnp.clip(v, -cfg.max_velocity, cfg.max_velocity)
             pred = x + dt * v
+            if cfg.world_bounds > 0:
+                pred = jnp.clip(pred, -cfg.world_bounds, cfg.world_bounds)
 
             if cfg.lambda_mode == LambdaMode.RESET:
                 lam = jnp.zeros_like(lam)
@@ -256,7 +277,10 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                     else:
                         pred, lam_f = solve_family_pass(
                             pred, w, wb_per_fam[fi], lam_f, fam, fi, valid,
-                            relax=cfg.omega if cfg.omega > 0 else 0.5)
+                            # omega/2: see solvers/lattice.py (intra-family
+                            # conflict degree is 2; default omega=1.0)
+                            relax=0.5 * (cfg.omega if cfg.omega > 0
+                                         else 1.0))
                     lam_parts.append(lam_f)
                 lam = jnp.stack(lam_parts)
 
@@ -278,6 +302,52 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                     p2 = pred[2] - jnp.where(
                         hit, (pred[2] - x[2]) * fr, 0.0)
                     pred = jnp.stack([p0, p1, p2])
+                if cfg.box_colliders:
+                    # componentwise mirror of ops/collision.box_sdf_project
+                    fr = min(max(cfg.friction, 0.0), 1.0)
+                    for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
+                        loc = [pred[0] - cx, pred[1] - cy, pred[2] - cz]
+                        fd = [hx - jnp.abs(loc[0]), hy - jnp.abs(loc[1]),
+                              hz - jnp.abs(loc[2])]
+                        inside = (fd[0] > 0) & (fd[1] > 0) & (fd[2] > 0)
+                        act = inside & (w >= cfg.static_inv_mass_eps)
+                        m0 = (fd[0] <= fd[1]) & (fd[0] <= fd[2])
+                        m1 = (~m0) & (fd[1] <= fd[2])
+                        m2 = (~m0) & (~m1)
+                        comps = []
+                        nvec = []
+                        for c, mc in enumerate((m0, m1, m2)):
+                            sg = jnp.where(loc[c] < 0, -1.0,
+                                           1.0)  # sign(0) -> +1
+                            push = jnp.where(act & mc, sg * fd[c], 0.0)
+                            comps.append(pred[c] + push)
+                            nvec.append(jnp.where(mc, sg, 0.0))
+                        pred = jnp.stack(comps)
+                        vel = (pred - x) / dt
+                        vn = (vel[0] * nvec[0] + vel[1] * nvec[1]
+                              + vel[2] * nvec[2])
+                        vt = vel - vn[None] * jnp.stack(nvec)
+                        pred = pred - jnp.where(act[None],
+                                                vt * (dt * fr), 0.0)
+                if cfg.sphere_colliders:
+                    # mirror of solvers/lattice.py's sphere projection
+                    fr = min(max(cfg.friction, 0.0), 1.0)
+                    for cx, cy, cz, radius in cfg.sphere_colliders:
+                        dv = [pred[0] - cx, pred[1] - cy, pred[2] - cz]
+                        dist = jnp.sqrt(jnp.maximum(
+                            dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2, 1e-24))
+                        nrm = jnp.stack([dv[0] / dist, dv[1] / dist,
+                                         dv[2] / dist])
+                        penet = radius - dist
+                        act = (penet > 0) & (w >= cfg.static_inv_mass_eps)
+                        pred = pred + jnp.where(act[None],
+                                                nrm * penet[None], 0.0)
+                        vel = (pred - x) / dt
+                        vn = (vel[0] * nrm[0] + vel[1] * nrm[1]
+                              + vel[2] * nrm[2])[None] * nrm
+                        vt = vel - vn
+                        pred = pred - jnp.where(act[None],
+                                                vt * (dt * fr), 0.0)
                 return pred, lam
 
             pred, lam = lax.fori_loop(0, cfg.iterations, iteration,
@@ -286,6 +356,29 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             # finalize
             v = jnp.where(pinned[None], 0.0, (pred - x) / dt)
             x = jnp.where(pinned[None], x, pred)
+
+            if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
+                # flagship-style velocity-level floor, post-substep
+                # (mirrors solvers/lattice.py / ops/collision semantics)
+                gh = cfg.ground_height
+                pen = gh - x[1]
+                hit = (pen > 0) & (w > 0)
+                x1 = jnp.where(hit, gh + cfg.floor_offset, x[1])
+                falling = hit & (v[1] < 0)
+                vy = (jnp.abs(v[1]) * cfg.restitution
+                      + pen * cfg.penetration_kick)
+                v1 = jnp.where(falling, vy, v[1])
+                normal_force = jnp.abs(v1) + pen * cfg.normal_force_scale
+                h_speed = jnp.sqrt(jnp.maximum(v[0] ** 2 + v[2] ** 2,
+                                               1e-24))
+                moving = h_speed > 1e-3
+                fmag = jnp.minimum(
+                    h_speed, normal_force * cfg.floor_friction_coeff * dt)
+                scalef = jnp.where(falling & moving, fmag / h_speed, 0.0)
+                v0 = v[0] - v[0] * scalef
+                v2 = v[2] - v[2] * scalef
+                x = jnp.stack([x[0], x1, x[2]])
+                v = jnp.stack([v0, v1, v2])
             return x, v, lam
 
         inner = n_substeps if loop_inside else 1
@@ -296,6 +389,7 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         lamo_ref[:] = lam
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_in = 5 if with_ext else 4
     call = pl.pallas_call(
         kernel,
         out_shape=(
@@ -303,7 +397,7 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
             jax.ShapeDtypeStruct((3, res, r2), jnp.float32),
             jax.ShapeDtypeStruct((nfam, res, r2), jnp.float32),
         ),
-        in_specs=[vspec, vspec, vspec, vspec],
+        in_specs=[vspec] * n_in,
         out_specs=(vspec, vspec, vspec),
     )
 
@@ -314,19 +408,43 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         v = state.velocities.T.reshape(3, res, r2)
         w = state.inv_mass.reshape(res, r2)
         lam = state.lambda_dist.reshape(nfam, res, r2)
+        f = state.ext_force.T.reshape(3, res, r2) if with_ext else None
         if loop_inside:
-            xo, vo, lamo = call(x, v, w, lam)
+            args = (x, v, w, lam) + ((f,) if with_ext else ())
+            xo, vo, lamo = call(*args)
         else:
-            def body(carry, _):
+            def body(carry, i):
                 xc, vc, lamc = carry
-                return call(xc, vc, w, lamc), None
+                if with_ext:
+                    # per-call kernels see step_i == 0; gate ext here so it
+                    # is consumed on the global first substep only
+                    fi = f * jnp.where(i == 0, 1.0, 0.0)
+                    out = call(xc, vc, w, lamc, fi)
+                else:
+                    out = call(xc, vc, w, lamc)
+                return out, None
 
             (xo, vo, lamo), _ = lax.scan(
-                body, (x, v, lam), None, length=n_substeps)
-        return state.replace(
+                body, (x, v, lam), jnp.arange(n_substeps))
+        out = state.replace(
             positions=xo.reshape(3, -1).T,
             velocities=vo.reshape(3, -1).T,
             lambda_dist=lamo.reshape(-1),
         )
+        if with_ext:
+            out = out.replace(ext_force=jnp.zeros_like(state.ext_force))
+        return out
 
     return fn
+
+
+def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
+                     n_steps: int = 1, loop_inside: bool = True):
+    """Full step semantics fused in one kernel: ``n_steps`` frames of
+    ``cfg.substeps`` substeps each, ``state.ext_force`` consumed on the
+    first substep and zeroed after — drop-in for
+    ``solvers.lattice.make_step`` (the flagship scene runs fused
+    end-to-end, VELOCITY_REFLECT floor and SDF colliders included)."""
+    return make_pallas_substep_runner(
+        spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
+        loop_inside=loop_inside, with_ext=True)

@@ -6,7 +6,10 @@ import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 
-from softbodysimulation_tpu import LambdaMode, SolveMode, SolverConfig
+import jax.numpy as jnp
+
+from softbodysimulation_tpu import (FloorMode, LambdaMode, SolveMode,
+                                    SolverConfig)
 from softbodysimulation_tpu.kernels import lattice_pallas as lp
 from softbodysimulation_tpu.solvers import lattice as lat_engine
 from softbodysimulation_tpu.topology import lattice
@@ -64,6 +67,62 @@ def test_pallas_pinned_particles():
 
 def test_pallas_rejects_unsupported_config():
     spec = lattice.lattice_spec(4, braced=True)
-    cfg = SolverConfig(sphere_colliders=((0, 0, 0, 1.0),))
+    cfg = SolverConfig(enable_self_collision=True)
     with pytest.raises(NotImplementedError):
         lp.make_pallas_substep_runner(spec, cfg, 1 / 240, 4)
+
+
+# ---- round-2 feature parity: every knob must match the XLA stencil engine
+# (repo invariant: engines agree on config semantics)
+
+FLOOR_KW = dict(ground_height=0.0, friction=0.3)
+
+
+@pytest.mark.parametrize(
+    "name,cfg_kw",
+    [
+        ("velocity_reflect", dict(floor_mode=FloorMode.VELOCITY_REFLECT,
+                                  restitution=0.3, penetration_kick=2.0,
+                                  floor_offset=0.001)),
+        ("sphere_collider", dict(sphere_colliders=((0.0, 0.35, 0.0, 0.45),),
+                                 **FLOOR_KW)),
+        ("box_collider", dict(box_colliders=((0.1, 0.3, 0.0,
+                                              0.5, 0.3, 0.5),),
+                              **FLOOR_KW)),
+        ("world_bounds", dict(world_bounds=0.9, **FLOOR_KW)),
+        ("velocity_clamp", dict(max_velocity=0.5, **FLOOR_KW)),
+    ],
+)
+def test_pallas_parity_knobs(name, cfg_kw):
+    cfg = SolverConfig(substeps=6, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.DECAY, lambda_decay=0.99,
+                       **cfg_kw)
+    out_p, out_r = run_pair(cfg, res=5, n_substeps=18)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+    assert dpos < 1e-5, f"{name}: pallas/xla mismatch {dpos}"
+
+
+def test_pallas_step_ext_force_matches_xla_step():
+    """make_pallas_step = full force lifecycle: ext consumed on the first
+    substep, zeroed after; max_force clamp applied (both gravity modes)."""
+    for gacc in (False, True):
+        cfg = SolverConfig(substeps=4, iterations=2, damping=0.02,
+                           solve_mode=SolveMode.COLORED,
+                           gravity_is_acceleration=gacc, max_force=60.0,
+                           ground_height=0.0, friction=0.3)
+        spec = lattice.lattice_spec(5, braced=True)
+        state = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0),
+                                              mass=0.01)
+        f = np.zeros((spec.n_particles, 3), np.float32)
+        f[:10] = (90.0, 120.0, -70.0)   # exceeds max_force -> clamped
+        state = state.replace(ext_force=jnp.asarray(f))
+        ref = lat_engine.make_step(spec, cfg, 1 / 60, n_steps=3)(state)
+        with pltpu.force_tpu_interpret_mode():
+            out = lp.make_pallas_step(spec, cfg, 1 / 60, n_steps=3)(state)
+        dpos = np.abs(np.asarray(out.positions)
+                      - np.asarray(ref.positions)).max()
+        assert dpos < 1e-5, f"gacc={gacc}: mismatch {dpos}"
+        assert np.abs(np.asarray(out.ext_force)).max() == 0.0
