@@ -18,6 +18,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from softbodysimulation_tpu import (  # noqa: E402
+    FloorMode,
     LambdaMode,
     SolveMode,
     SolverConfig,
@@ -75,6 +76,34 @@ def main():
         print(f"pallas unavailable: {type(e).__name__}: {e}", flush=True)
     fn = lat.make_substep_runner(spec, cfg, 1 / 480, L)
     measure("lattice 64k (xla stencil)", fn, st, spec.n_particles, L)
+
+    # 1b. faithful flagship mode at 64k: the reference scene's semantics
+    # (COLORED family-parity GS, DECAY 0.99, VELOCITY_REFLECT floor,
+    # 9 iterations, 7-family lattice, full epsilon guards) scaled to res 40
+    # (Scenes/SoftBodySimulator.unity:1068-1078 x SoftBodySettings ranges)
+    spec_f = lattice.lattice_spec(40, braced=False)
+    cfg_f = SolverConfig(substeps=4, iterations=9, damping=0.01,
+                         solve_mode=SolveMode.COLORED,
+                         lambda_mode=LambdaMode.DECAY, lambda_decay=0.99,
+                         floor_mode=FloorMode.VELOCITY_REFLECT,
+                         gravity_is_acceleration=True,
+                         ground_height=0.0, fast_math=False)
+    st_f = lat.make_lattice_state(spec_f, center=(0, 0.6, 0), mass=0.001)
+    Lf = 200
+    fn_f = lat.make_substep_runner(spec_f, cfg_f, 1 / 240, Lf)
+    measure("lattice 64k FAITHFUL flagship (colored+decay+reflect x9it)",
+            fn_f, st_f, spec_f.n_particles, Lf)
+
+    # 1c. WARM_START high-throughput mode (now stable in the near-rigid
+    # regime via warm_start_fraction: ROADMAP #4 resolved)
+    cfg_w = SolverConfig(substeps=8, iterations=1, damping=0.02,
+                         solve_mode=SolveMode.JACOBI,
+                         lambda_mode=LambdaMode.WARM_START, lambda_decay=1.0,
+                         gravity_is_acceleration=True,
+                         ground_height=0.0, friction=0.3)
+    fn_w = lat.make_substep_runner(spec, cfg_w, 1 / 480, L)
+    measure("lattice 64k (xla stencil, WARM_START)", fn_w, st,
+            spec.n_particles, L)
 
     # 2. bunny mesh — general engine (gather/segment-sum), jacobi
     p = next((q for q in BUNNY_PATHS if os.path.exists(q)), None)

@@ -134,6 +134,14 @@ class SolverConfig:
     # substep.  Without it, light particles (large inv_mass) amplify
     # transient lambda noise into positional explosions at contacts.
     warm_start_clamp: float = 0.5
+    # SOR-style under-relaxation of the warm-start pre-application: the
+    # carried multiplier is scaled by this fraction before being applied
+    # (feedback-consistent — the carried lambda is scaled identically).
+    # Full-strength pre-application (1.0) oscillates violently in the
+    # near-rigid regime (alpha~ << sum w: measured maxvel 110 at rest for
+    # mass=0.001); 0.5 is stable there and still halves the residual the
+    # iterations must close.  Scanned empirically; see tests.
+    warm_start_fraction: float = 0.5
     min_alpha_tilde: float = 0.0      # floor on alpha~; XPBDSoftBody.compute:139 uses 1e-10
 
     # --- bending (dihedral) ---

@@ -167,6 +167,8 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         return pred, lam_f
 
     def warm_apply(pred, w, wb_all, lam_f, fam, valid, rest):
+        if cfg.warm_start_fraction != 1.0:
+            lam_f = lam_f * cfg.warm_start_fraction  # SOR pre-application
         if cfg.warm_start_clamp > 0:
             wmax = jnp.maximum(jnp.maximum(w, wb_all), 1e-12)
             lim = cfg.warm_start_clamp * rest / wmax

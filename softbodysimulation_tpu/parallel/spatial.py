@@ -119,6 +119,8 @@ def _apply_warm(pred, w, w_halo, lam_f, family, valid, axis, n_shards,
         wb = w
     pb = jnp.roll(pb, (-dy, -dz), axis=(1, 2))
     wb = jnp.roll(wb, (-dy, -dz), axis=(1, 2))
+    if cfg.warm_start_fraction != 1.0:
+        lam_f = lam_f * cfg.warm_start_fraction  # SOR pre-application
     if cfg.warm_start_clamp > 0:
         wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
         lim = cfg.warm_start_clamp * rest / wmax

@@ -232,6 +232,8 @@ def _warm_apply_distance(pred, lam, inv_mass, topo: Topology,
     eb = topo.edges[:, 1]
     scale = 1.0 / jnp.maximum(
         jnp.maximum(topo.degree[ea], topo.degree[eb]), 1.0)
+    if cfg.warm_start_fraction != 1.0:
+        scale = scale * cfg.warm_start_fraction  # SOR pre-application
     lam = lam * scale
     if cfg.warm_start_clamp > 0:
         wmax = jnp.maximum(

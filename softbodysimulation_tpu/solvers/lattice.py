@@ -169,6 +169,8 @@ def _warm_apply_family(pred, w, wb, lam_f, fam, valid, res, rest,
     exceeds ``warm_start_clamp * rest`` per particle (see SolverConfig —
     unclamped warm impulses explode for light particles).  Returns
     (pred, clamped lam) so the feedback term stays consistent."""
+    if cfg.warm_start_fraction != 1.0:
+        lam_f = lam_f * cfg.warm_start_fraction  # SOR pre-application
     if cfg.warm_start_clamp > 0:
         wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
         lim = cfg.warm_start_clamp * rest / wmax

@@ -164,3 +164,27 @@ def test_stencil_velocity_reflect_floor():
     p = np.asarray(state.positions)
     assert np.isfinite(p).all()
     assert p[:, 1].min() > -0.01
+
+
+def test_warm_start_stable_in_near_rigid_regime():
+    """ROADMAP #4 (resolved): WARM_START at mass=0.001 (alpha~ << sum w)
+    used to oscillate violently at rest (maxvel ~110 measured with
+    full-strength pre-application); the SOR warm_start_fraction default
+    keeps it quiet and resting at full height."""
+    from softbodysimulation_tpu import LambdaMode
+
+    spec = lattice.lattice_spec(8, braced=True)
+    cfg = SolverConfig(substeps=8, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.WARM_START, lambda_decay=1.0,
+                       gravity_is_acceleration=True,
+                       ground_height=0.0, friction=0.3)
+    st = lat_engine.make_lattice_state(spec, center=(0, 0.6, 0), mass=0.001)
+    out = lat_engine.make_step(spec, cfg, 1 / 60, n_steps=600)(st)
+    p = np.asarray(out.positions)
+    v = np.asarray(out.velocities)
+    assert np.isfinite(p).all()
+    assert np.abs(v).max() < 0.01, "near-rigid warm start oscillates"
+    height = p[:, 1].max() - p[:, 1].min()
+    assert 0.95 < height < 1.05
+    assert p[:, 1].min() > -1e-3
