@@ -188,6 +188,30 @@ def main():
     measure(f"self-collision 2x{n1}p (spatial hash)", fn2, st2,
             2 * n1, steps * cfg2.substeps)
 
+    # 4b. sorted-window backend at 8k particles (the scale path)
+    res_s = 16
+    n_s = res_s ** 3
+    pa_s = lattice.lattice_points(res_s, center=(0, 0.8, 0))
+    pb_s = lattice.lattice_points(res_s, center=(0.1, 2.0, 0.05))
+    pos_s = np.concatenate([pa_s, pb_s])
+    e_s, c_s = lattice.lattice_edges(res_s, braced=True)
+    edges_s = np.concatenate([e_s, e_s + n_s])
+    comp_s = np.concatenate([c_s, c_s])
+    topo_s = build.build_topology(pos_s, edges_s, comp_s, color=False)
+    spacing_s = 1.0 / (res_s - 1)
+    cfg_s = SolverConfig(substeps=4, iterations=2, damping=0.03,
+                         solve_mode=SolveMode.JACOBI,
+                         gravity_is_acceleration=True,
+                         enable_self_collision=True,
+                         self_collision_backend="sorted", sorted_window=16,
+                         particle_radius=0.45 * spacing_s,
+                         ground_height=0.0, friction=0.3)
+    st_s = state_from_topology(topo_s, pos_s)
+    steps_s = 40
+    fn_s = general.make_step(topo_s, cfg_s, 1 / 60, n_steps=steps_s)
+    measure(f"self-collision 2x{n_s}p (sorted window)", fn_s, st_s,
+            2 * n_s, steps_s * cfg_s.substeps)
+
     print(json.dumps(RESULTS), flush=True)
 
 

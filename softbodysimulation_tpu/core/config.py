@@ -185,6 +185,16 @@ class SolverConfig:
     hash_grid_dim: int = 32           # cells per axis of the bounded hash grid
     hash_cell_capacity: int = 8       # max particles examined per cell
     self_collision_omega: float = 0.5
+    # "hash": exact 27-cell spatial hash, re-searched every projection
+    # (slow on TPU: the (N,27,K) candidate gather is element-serial).
+    # "sorted": Morton-order sliding window — particles sorted once per
+    # substep along a Z-order curve, each checked against its 2*W sorted
+    # neighbors with pure dense shifted ops (no gathers in the hot loop).
+    # Approximate: pairs adjacent in space but split across a Morton
+    # boundary beyond the window are missed for that substep (caught as
+    # codes change); the scale path for big self-colliding scenes.
+    self_collision_backend: str = "hash"
+    sorted_window: int = 16           # one-sided neighbor window ("sorted")
 
     # --- numerical guards ---
     eps_length: float = 1e-5          # CPUDistanceConstraint.cs:64 degenerate length
@@ -209,6 +219,10 @@ class SolverConfig:
         if self.distance_backend not in ("auto", "gather", "windowed"):
             raise ValueError(
                 "distance_backend must be auto|gather|windowed")
+        if self.self_collision_backend not in ("hash", "sorted"):
+            raise ValueError("self_collision_backend must be hash|sorted")
+        if self.sorted_window < 1:
+            raise ValueError("sorted_window must be >= 1")
         if self.substeps < 1:
             raise ValueError("substeps must be >= 1")
         if self.iterations < 1:

@@ -83,3 +83,67 @@ def self_collision_project(pred, inv_mass, cfg: SolverConfig):
     )
     corr = (ndir * push[..., None]).sum(axis=(1, 2))
     return pred + cfg.self_collision_omega * corr
+
+
+# --------------------------------------------------------------- sorted path
+def _spread_bits_3(x):
+    """Spread the low 10 bits of x so consecutive bits land 3 apart
+    (standard 32-bit Morton magic)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_order(pred, cfg: SolverConfig):
+    """Sort permutation along a Z-order (Morton) space-filling curve of the
+    quantized cell coordinates.  Computed ONCE per substep; the window pass
+    below reuses it across solver iterations (a neighbor list, in effect)."""
+    radius = cfg.particle_radius
+    cell = 2.0 * radius
+    g = min(cfg.hash_grid_dim, 1024)
+    origin = pred.min(axis=0)
+    coords = jnp.clip(
+        jnp.floor((pred - origin) / cell).astype(jnp.int32), 0, g - 1)
+    code = (_spread_bits_3(coords[:, 0])
+            | (_spread_bits_3(coords[:, 1]) << 1)
+            | (_spread_bits_3(coords[:, 2]) << 2))
+    return jnp.argsort(code)
+
+
+def self_collision_project_sorted(pred, inv_mass, order, cfg: SolverConfig):
+    """One Jacobi separation pass over the Morton-sorted sliding window.
+
+    Each particle is tested against its ``cfg.sorted_window`` successors in
+    Morton order (every pair discovered once; the correction is applied to
+    BOTH sides, mass-weighted, so the arithmetic matches the hash path).
+    All hot-loop work is dense shifted arithmetic — the only gathers are
+    the two permutations (sort/unsort) per pass.
+    """
+    n = pred.shape[0]
+    w_win = min(cfg.sorted_window, n - 1)
+    radius = cfg.particle_radius
+    inv_order = jnp.argsort(order)
+
+    ps = pred[order]                       # (N, 3)
+    ws = inv_mass[order]                   # (N,)
+    corr = jnp.zeros_like(ps)
+    for j in range(1, w_win + 1):
+        pi, pj = ps[:-j], ps[j:]
+        wi, wj = ws[:-j], ws[j:]
+        d = pi - pj
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
+        overlap = 2.0 * radius - dist
+        wsum = wi + wj
+        touch = (overlap > 0) & (dist > 1e-9) & (wsum > 1e-12)
+        ndir = d / dist[..., None]
+        mag = jnp.where(touch, overlap / jnp.maximum(wsum, 1e-12), 0.0)
+        corr = corr.at[:n - j].add(ndir * (wi * mag)[..., None],
+                                   indices_are_sorted=True,
+                                   unique_indices=True)
+        corr = corr.at[j:].add(-ndir * (wj * mag)[..., None],
+                               indices_are_sorted=True,
+                               unique_indices=True)
+    return pred + cfg.self_collision_omega * corr[inv_order]

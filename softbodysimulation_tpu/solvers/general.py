@@ -295,11 +295,22 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         raise ValueError("distance_backend='windowed' requires a topology "
                          "built with build_windowed_topology")
 
+    if cfg.enable_self_collision and cfg.self_collision_backend == "sorted":
+        # Morton neighbor ordering built ONCE per substep from the predicted
+        # positions; the window pass reuses it across solver iterations
+        sc_order = _spatial_hash.morton_order(pred, cfg)
+    else:
+        sc_order = None
+
     def project_contacts(pred):
         """Unilateral contact projections (self-collision, floor, SDFs)."""
         if cfg.enable_self_collision:
-            pred = _spatial_hash.self_collision_project(
-                pred, state.inv_mass, cfg)
+            if sc_order is not None:
+                pred = _spatial_hash.self_collision_project_sorted(
+                    pred, state.inv_mass, sc_order, cfg)
+            else:
+                pred = _spatial_hash.self_collision_project(
+                    pred, state.inv_mass, cfg)
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
             pred = _collision.floor_project_xpbd(
                 pred, state.positions, state.inv_mass, dt, cfg)

@@ -72,30 +72,56 @@ def test_drop_on_sphere_collider():
     assert r.min() > 0.97  # nothing inside the sphere
 
 
-def test_self_collision_separates_overlap():
+def _project(backend, pred, w, cfg):
+    if backend == "sorted":
+        order = spatial_hash.morton_order(pred, cfg)
+        return np.asarray(spatial_hash.self_collision_project_sorted(
+            pred, w, order, cfg))
+    return np.asarray(spatial_hash.self_collision_project(pred, w, cfg))
+
+
+@pytest.mark.parametrize("backend", ["hash", "sorted"])
+def test_self_collision_separates_overlap(backend):
     import jax.numpy as jnp
 
     cfg = SolverConfig(particle_radius=0.1, self_collision_omega=1.0)
     pred = jnp.array([[0.0, 0.0, 0.0], [0.05, 0.0, 0.0], [3.0, 0.0, 0.0]])
     w = jnp.array([1.0, 1.0, 1.0])
-    out = np.asarray(spatial_hash.self_collision_project(pred, w, cfg))
+    out = _project(backend, pred, w, cfg)
     d01 = np.linalg.norm(out[1] - out[0])
     assert d01 > 0.05 + 1e-4          # pushed apart
     assert np.allclose(out[2], [3.0, 0.0, 0.0], atol=1e-6)  # far particle untouched
 
 
-def test_self_collision_respects_pinning():
+@pytest.mark.parametrize("backend", ["hash", "sorted"])
+def test_self_collision_respects_pinning(backend):
     import jax.numpy as jnp
 
     cfg = SolverConfig(particle_radius=0.1, self_collision_omega=1.0)
     pred = jnp.array([[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]])
     w = jnp.array([0.0, 1.0])  # first pinned
-    out = np.asarray(spatial_hash.self_collision_project(pred, w, cfg))
+    out = _project(backend, pred, w, cfg)
     assert np.allclose(out[0], 0.0, atol=1e-7)
     assert out[1, 0] > 0.05
 
 
-def test_two_bodies_dont_interpenetrate():
+def test_sorted_matches_hash_on_random_cloud():
+    """With a window wide enough to cover every real pair, the sorted pass
+    must produce the same correction as the exact hash pass."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    pred = jnp.asarray(rng.uniform(0, 0.6, (128, 3)), jnp.float32)
+    w = jnp.ones(128)
+    cfg = SolverConfig(particle_radius=0.05, self_collision_omega=1.0,
+                       sorted_window=127, hash_cell_capacity=64)
+    a = _project("hash", pred, w, cfg)
+    b = _project("sorted", pred, w, cfg)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["hash", "sorted"])
+def test_two_bodies_dont_interpenetrate(backend):
     """Two cube8 bodies dropped into each other with self-collision on."""
     pos_a = mesh.cube_corners(0.5) + np.array([0, 1.0, 0], np.float32)
     pos_b = mesh.cube_corners(0.5) + np.array([0.1, 1.8, 0.05], np.float32)
@@ -106,6 +132,7 @@ def test_two_bodies_dont_interpenetrate():
     cfg = SolverConfig(
         substeps=2, iterations=10, damping=0.05, solve_mode=SolveMode.JACOBI,
         ground_height=0.0, enable_self_collision=True, particle_radius=0.12,
+        self_collision_backend=backend,
         friction=0.3)
     state = state_from_topology(topo, pos)
     step = general.make_step(topo, cfg, DT, n_steps=200)
