@@ -40,6 +40,18 @@ def main(argv=None):
                       help="export an OBJ frame every N steps to "
                            "<export>.NNNN.obj (requires --export)")
     runp.add_argument("--log-every", type=int, default=60)
+    runp.add_argument("--watch", type=int, default=0, metavar="N",
+                      help="live ANSI preview in the terminal every N steps "
+                           "(needs a scene with triangles)")
+    runp.add_argument("--watch-cols", type=int, default=72,
+                      help="preview width in terminal columns")
+    runp.add_argument("--watch-fps", type=float, default=0.0,
+                      help="cap preview rate (sleeps between frames)")
+    runp.add_argument("--poke", action="append", default=[],
+                      metavar="STEP:FX,FY,FZ@PX,PY,PZ:R",
+                      help="schedule an impulse at a step, e.g. "
+                           "120:0,80,0@0,1,0:0.8 (repeatable; applied "
+                           "through the interaction Session)")
     runp.add_argument("--platform", default=None,
                       help="force a jax platform (e.g. cpu)")
 
@@ -89,16 +101,69 @@ def main(argv=None):
               file=sys.stderr)
         return 2
 
+    pokes = {}
+    for spec_str in args.poke:
+        try:
+            step_s, rest = spec_str.split(":", 1)
+            force_s, tail = rest.split("@", 1)
+            pos_s, rad_s = tail.rsplit(":", 1)
+            pokes.setdefault(int(step_s), []).append(
+                (tuple(float(x) for x in force_s.split(",")),
+                 tuple(float(x) for x in pos_s.split(",")),
+                 float(rad_s)))
+        except ValueError:
+            print(f"bad --poke spec {spec_str!r} (want "
+                  "STEP:FX,FY,FZ@PX,PY,PZ:R)", file=sys.stderr)
+            return 2
+
+    watch_topo = info.get("topology")
+    if args.watch and (watch_topo is None
+                       or watch_topo.triangles.shape[0] == 0):
+        print("--watch needs a scene with surface triangles",
+              file=sys.stderr)
+        return 2
+
+    # interaction session: pokes (and any scripted interaction) go through
+    # the same verbs the library exposes (interact/session.py)
+    from .interact.session import Session
+
+    sess = Session(state, step, dt=info.get("dt", args.dt or 1 / 60))
+
+    exporter = None
+    if args.export_every:
+        from .io.export import AsyncExporter
+
+        # overlapped readback+write pipeline (AsyncGPUReadback analog):
+        # frames are materialized and written off-thread while the device
+        # keeps stepping
+        exporter = AsyncExporter()
+
     timer = StepTimer()
     t0 = time.perf_counter()
+    first_frame = True
     for i in range(args.steps):
-        state = step(state)
-        if args.export_every and (i + 1) % args.export_every == 0:
-            from .io import export as _export
+        for force, pos_p, rad in pokes.get(i, ()):
+            sess.poke(force, pos_p, rad)
+        state = sess.step(1)
+        if args.watch and (i + 1) % args.watch == 0:
+            from .io import terminal as _terminal
 
+            cfgw = info.get("config")
+            status = (f"step {i + 1}/{args.steps}  scene={args.scene}  "
+                      f"poked={sum(1 for s in pokes if s <= i)}")
+            _terminal.show(
+                _terminal.frame(
+                    state, watch_topo, cols=args.watch_cols,
+                    ground_height=getattr(cfgw, "ground_height", None),
+                    status=status),
+                first=first_frame)
+            first_frame = False
+            if args.watch_fps > 0:
+                time.sleep(1.0 / args.watch_fps)
+        if exporter is not None and (i + 1) % args.export_every == 0:
             base, ext = os.path.splitext(args.export)
-            _export.export_obj(f"{base}.{i + 1:04d}{ext or '.obj'}",
-                               state, seq_topo)
+            exporter.submit(f"{base}.{i + 1:04d}{ext or '.obj'}",
+                            state, seq_topo)
         if args.log_every and (i + 1) % args.log_every == 0:
             p = np.asarray(state.positions)
             rate = timer.tick(args.log_every)
@@ -106,6 +171,8 @@ def main(argv=None):
                   f"ymean={p[:, 1].mean():+.4f} "
                   f"finite={bool(np.isfinite(p).all())} "
                   f"steps/s={rate:.1f}")
+    if exporter is not None:
+        exporter.close()
     np.asarray(state.positions)
     elapsed = time.perf_counter() - t0
     n = state.positions.shape[0]

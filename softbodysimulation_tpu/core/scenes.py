@@ -40,6 +40,11 @@ BUNNY_PATHS = (
                  "LowResBunny.obj"),
     "/root/reference/Assets/_Project/Art/Models/LowResBunny.obj",
 )
+SPOT_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "assets",
+                 "spot.obj"),
+    "/root/reference/Assets/_Project/Art/Models/spot.obj",
+)
 
 
 def cpu_cube(dt: float = 0.02):
@@ -73,6 +78,31 @@ def cpu_mesh(dt: float = 0.02, fallback_subdiv: int = 3):
                        gravity=(0.0, -1.0, 0.0),
                        solve_mode=SolveMode.COLORED, max_dlambda=1e-3,
                        ground_height=0.0, friction=0.1)
+    state = state_from_topology(topo, pos)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt,
+                         "mesh": m}
+
+
+def spot(dt: float = 0.02, fallback_subdiv: int = 3):
+    """Spot-the-cow mesh scene (the reference's second OBJ workload,
+    Assets/_Project/Art/Models/spot.obj: 2930 v / 5856 tri).  Same solver
+    shape as cpu_mesh, run on the windowed MXU distance backend.  Falls
+    back to an icosphere when the asset is absent."""
+    m = None
+    for p in SPOT_PATHS:
+        if os.path.exists(p):
+            m = load_obj(p)
+            break
+    if m is None:
+        m = _mesh.icosphere(fallback_subdiv, radius=0.5)
+    pos, topo = _build.topology_from_mesh(m, compliance=1e-8, bending=False,
+                                          windowed=True)
+    pos = pos - np.array([0, float(pos[:, 1].min()) - 0.4, 0], np.float32)
+    cfg = SolverConfig(substeps=2, iterations=6, damping=0.02,
+                       gravity=(0.0, -1.0, 0.0),
+                       solve_mode=SolveMode.JACOBI, max_dlambda=1e-3,
+                       ground_height=0.0, friction=0.2)
     state = state_from_topology(topo, pos)
     step = _general.make_step(topo, cfg, dt)
     return state, step, {"topology": topo, "config": cfg, "dt": dt,
@@ -186,6 +216,7 @@ def cloth(dt: float = 1 / 60, res: int = 16):
 SCENES: Dict[str, Callable] = {
     "cpu_cube": cpu_cube,
     "cpu_mesh": cpu_mesh,
+    "spot": spot,
     "gpu_substep": gpu_substep,
     "basic_micro": basic_micro,
     "flagship": flagship,

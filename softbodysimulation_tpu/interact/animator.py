@@ -68,7 +68,8 @@ class Pulse:
     radius: float = 1.0
 
     def apply(self, state: SimState, t, center) -> SimState:
-        mag = jnp.sin(t * self.frequency * 2.0 * jnp.pi) * self.strength
+        mag = (jnp.sin(t * self.frequency * 2.0 * jnp.pi) * self.strength
+               * (t >= 0.0))
         up = jnp.asarray([0.0, 1.0, 0.0], dtype=state.positions.dtype)
         return add_force(state, up * mag, center, self.radius)
 
@@ -89,3 +90,34 @@ class Squeeze:
         return squeeze_impulse(
             state, center, self.intensity * envelope * active, self.radius
         )
+
+
+def scheduled_rollout(state: SimState, step_fn, animations, dt: float,
+                      n_steps: int, t0: float = 0.0) -> SimState:
+    """Run ``n_steps`` steps with the scripted animations applied ON DEVICE
+    inside one ``lax.scan`` — zero host involvement per step.
+
+    The host-loop equivalent (``Session.step``) re-dispatches per frame;
+    this is the consistent zero-round-trip design for long scripted
+    animations: the time-indexed curves (``jnp.interp`` keyframe tables)
+    are traced into the compiled program.
+
+    animations — sequence of ``(animation, start_time, center)`` where
+    animation is a ForceAnimation / Pulse / Squeeze (each gates itself to
+    ``t >= start_time`` arithmetically, so expired/not-yet-started entries
+    contribute zero force).
+    """
+    from jax import lax
+
+    anims = tuple((a, float(st), jnp.asarray(c, jnp.float32))
+                  for (a, st, c) in animations)
+
+    def body(carry, i):
+        t = t0 + i * dt
+        s = carry
+        for anim, start, center in anims:
+            s = anim.apply(s, t - start, center)
+        return step_fn(s), None
+
+    out, _ = lax.scan(body, state, jnp.arange(n_steps))
+    return out

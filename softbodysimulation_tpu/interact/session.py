@@ -99,6 +99,33 @@ class Session:
 
         self.play(Squeeze(intensity=intensity))
 
+    def step_fused(self, n: int):
+        """Advance n steps with scheduled animations applied ON DEVICE in
+        one compiled scan (zero host round-trips per step) — use instead of
+        ``step`` for long scripted rollouts.  Semantically equivalent to n
+        calls of ``step`` (each animation gates itself by time
+        arithmetically); deformation callbacks fire once at the end."""
+        from ..diag.health import FailsafeStepper
+        from .animator import scheduled_rollout
+
+        if isinstance(self._step, FailsafeStepper):
+            # the failsafe wrapper is a host-side callable (it must observe
+            # health between steps); keep the host loop there
+            return self.step(n)
+        anims = [(s.animation, s.start_time, s.center)
+                 for s in self._animations]
+        self.state = scheduled_rollout(
+            self.state, self._step, anims, self.dt, n, t0=self.time)
+        self.time += n * self.dt
+        self.step_count += n
+        self._animations = [
+            s for s in self._animations
+            if self.time - s.start_time
+            <= getattr(s.animation, "duration", np.inf)
+        ]
+        self._check_deformation()
+        return self.state
+
     # ------------------------------------------------------------- lifecycle
     def enable_failsafe(self, check_every: int = 10,
                         snapshot_every: int = 50,

@@ -112,8 +112,17 @@ def write_ppm(path: str, image: np.ndarray) -> None:
 
 def render_ppm(path: str, state: SimState, topo: Topology,
                size: int = 512, plane: str = "xy",
-               ground_height: Optional[float] = None) -> None:
-    """Shaded z-buffered snapshot of the current surface to a PPM file."""
-    img = rasterize(np.asarray(state.positions), np.asarray(topo.triangles),
+               ground_height: Optional[float] = None,
+               recenter_com: bool = False) -> None:
+    """Shaded z-buffered snapshot of the current surface to a PPM file.
+
+    recenter_com=True renders in the body's COM frame (the reference's
+    COM-follow transform, ``SoftBodySimulator.cs:850-863``) — useful for
+    stable framing of a drifting body."""
+    pos = np.asarray(state.positions)
+    if recenter_com:
+        pos = pos - pos.mean(axis=0)
+        ground_height = None  # world-frame floor is meaningless here
+    img = rasterize(pos, np.asarray(topo.triangles),
                     size=size, plane=plane, ground_height=ground_height)
     write_ppm(path, img)
