@@ -450,3 +450,309 @@ def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
     return make_pallas_substep_runner(
         spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
         loop_inside=loop_inside, with_ext=True)
+
+
+def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
+                                        dt_sub: float, n_substeps: int):
+    """Grid-blocked variant for lattices beyond VMEM (res > ~40): positions,
+    predictions and inverse masses stay VMEM-resident; velocities stream
+    per-coordinate-plane and the per-family multipliers stream HBM<->VMEM
+    once per constraint pass via explicit async DMA.  Family masks are
+    recomputed from iotas inside each pass (never materialized per family),
+    and the constraint math runs per coordinate so peak temporaries stay at
+    a few planes — res 64 (262k particles) fits the ~16 MB VMEM budget
+    where the resident kernel OOMs above res 40.
+
+    Supported subset: JACOBI solve, RESET/DECAY lambda modes (WARM_START
+    needs a pre-application pass — use the resident kernel), both floor
+    modes, SDF colliders and clamps as in the resident kernel; external
+    forces are not applied (raw substep semantics)."""
+    _check_supported(cfg, spec)
+    if cfg.solve_mode != SolveMode.JACOBI:
+        raise NotImplementedError("streamed pallas kernel: JACOBI only")
+    if cfg.lambda_mode == LambdaMode.WARM_START:
+        raise NotImplementedError("streamed pallas kernel: WARM_START needs "
+                                  "the VMEM-resident kernel (res <= 40)")
+    res = spec.res
+    r2 = res * res
+    nfam = spec.n_families
+    dt = dt_sub
+    inv_dt2 = 1.0 / (dt * dt)
+    gx, gy, gz = cfg.gravity
+    relax = 0.5 * (cfg.omega if cfg.omega > 0 else 1.0)
+
+    def roll2(a, shift, axis):
+        size = a.shape[axis]
+        shift = shift % size
+        if shift == 0:
+            return a
+        return pltpu.roll(a, shift, axis=axis)
+
+    def roll_fwd2(a, fam):
+        dx, dy, dz, _ = fam
+        if dx:
+            a = roll2(a, -dx, 0)
+        k = dy * res + dz
+        if k:
+            a = roll2(a, -k, 1)
+        return a
+
+    def roll_bwd2(a, fam):
+        dx, dy, dz, _ = fam
+        k = dy * res + dz
+        if k:
+            a = roll2(a, k, 1)
+        if dx:
+            a = roll2(a, dx, 0)
+        return a
+
+    def fam_mask_f32(fam):
+        xx = lax.broadcasted_iota(jnp.int32, (res, r2), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (res, r2), 1)
+        yy = cc // res
+        zz = cc - yy * res
+        dx, dy, dz, kind = fam
+        if spec.reference_bounds and kind != 0:
+            valid = (xx < res - 1) & (yy < res - 1) & (zz < res - 1)
+        else:
+            valid = jnp.full((res, r2), True)
+            for coord, d in ((xx, dx), (yy, dy), (zz, dz)):
+                if d > 0:
+                    valid = valid & (coord < res - d)
+                elif d < 0:
+                    valid = valid & (coord >= -d)
+        return valid
+
+    def kernel(x_in, v_hbm, w_ref, lam_hbm, xo_ref, vo_hbm, lamo_hbm):
+        def scoped(pred, slots, sem):
+            # initialize the live buffers from the inputs (explicit copies
+            # instead of input/output aliasing: robust in interpret mode)
+            xo_ref[:] = x_in[:]
+            cp_v = pltpu.make_async_copy(v_hbm, vo_hbm, sem.at[0])
+            cp_v.start()
+            cp_l = pltpu.make_async_copy(lam_hbm, lamo_hbm, sem.at[1])
+            cp_l.start()
+            cp_v.wait()
+            cp_l.wait()
+            w = w_ref[:]
+
+            def load_lam(fi, plane):
+                return pltpu.make_async_copy(
+                    lamo_hbm.at[fi], slots.at[plane], sem.at[plane])
+
+            def store_lam(fi, plane):
+                return pltpu.make_async_copy(
+                    slots.at[plane], lamo_hbm.at[fi], sem.at[plane])
+
+            def substep(step_i, carry):
+                # ---- predict, one coordinate plane at a time
+                for c, gc in ((0, gx), (1, gy), (2, gz)):
+                    cp = pltpu.make_async_copy(
+                        vo_hbm.at[c], slots.at[0], sem.at[0])
+                    cp.start()
+                    cp.wait()
+                    vc = slots[0]
+                    if cfg.gravity_is_acceleration:
+                        vc = vc + dt * jnp.where(w > 0, gc, 0.0)
+                    else:
+                        vc = vc + dt * w * gc
+                    if cfg.damping_mode.value == "per_step":
+                        vc = vc * (1.0 - min(max(cfg.damping, 0.0), 1.0))
+                    else:
+                        vc = vc * (1.0 - cfg.damping * dt)
+                    if cfg.max_velocity > 0:
+                        vc = jnp.clip(vc, -cfg.max_velocity, cfg.max_velocity)
+                    pc = xo_ref[c] + dt * vc
+                    if cfg.world_bounds > 0:
+                        pc = jnp.clip(pc, -cfg.world_bounds, cfg.world_bounds)
+                    pred[c] = pc
+
+                def iteration(it, carry2):
+                    for fi, fam in enumerate(spec.families):
+                        rest = spec.rest_lengths[fi]
+                        alpha = spec.compliances[fi] * inv_dt2
+                        if cfg.min_alpha_tilde > 0:
+                            alpha = max(alpha, cfg.min_alpha_tilde)
+                        ld = load_lam(fi, 0)
+                        ld.start()
+                        # geometry while the multiplier slab streams in
+                        len_sq = None
+                        for c in range(3):
+                            dc = roll_fwd2(pred[c], fam) - pred[c]
+                            len_sq = (dc * dc if len_sq is None
+                                      else len_sq + dc * dc)
+                        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
+                        cerr = length - rest
+                        wb = roll_fwd2(w, fam)
+                        denom = w + wb + alpha
+                        ld.wait()
+                        lam_f = slots[0]
+                        if cfg.lambda_mode == LambdaMode.RESET:
+                            lam_f = jnp.where(it == 0, 0.0, lam_f)
+                        else:
+                            lam_f = jnp.where(it == 0,
+                                              lam_f * cfg.lambda_decay,
+                                              lam_f)
+                        dl = (-cerr - alpha * lam_f) / jnp.maximum(
+                            denom, 1e-30)
+                        if cfg.max_dlambda > 0:
+                            dl = jnp.clip(dl, -cfg.max_dlambda,
+                                          cfg.max_dlambda)
+                        if cfg.max_dlambda_rel > 0:
+                            m = cfg.max_dlambda_rel * rest
+                            dl = jnp.clip(dl, -m, m)
+                        valid = fam_mask_f32(fam)
+                        if cfg.fast_math:
+                            dl = dl * (valid.astype(jnp.float32) * relax)
+                        else:
+                            active = (
+                                valid
+                                & (length >= cfg.eps_length)
+                                & (jnp.abs(denom) >= cfg.eps_denominator)
+                                & ((w >= cfg.static_inv_mass_eps)
+                                   | (wb >= cfg.static_inv_mass_eps))
+                            )
+                            dl = jnp.where(active, dl * relax, 0.0)
+                        lam_f = lam_f + dl
+                        if cfg.lambda_clamp > 0:
+                            lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
+                                             cfg.lambda_clamp)
+                        slots[0] = lam_f
+                        st = store_lam(fi, 0)
+                        st.start()
+                        scale = dl / length
+                        for c in range(3):
+                            dc = roll_fwd2(pred[c], fam) - pred[c]
+                            dp = dc * scale
+                            pred[c] = (pred[c] - w * dp
+                                       + roll_bwd2(wb * dp, fam))
+                        st.wait()
+
+                    # ---- contacts (componentwise; mirrors resident kernel)
+                    if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
+                        gh = cfg.ground_height
+                        pen = gh - pred[1]
+                        alpha_c = cfg.collision_compliance * inv_dt2
+                        denom = w + alpha_c
+                        dl = pen / jnp.maximum(denom, 1e-30)
+                        hit = ((pen > 0)
+                               & (w >= cfg.static_inv_mass_eps)
+                               & (jnp.abs(denom) >= cfg.eps_denominator))
+                        pred[1] = pred[1] + jnp.where(hit, w * dl, 0.0)
+                        fr = min(max(cfg.friction, 0.0), 1.0)
+                        pred[0] = pred[0] - jnp.where(
+                            hit, (pred[0] - xo_ref[0]) * fr, 0.0)
+                        pred[2] = pred[2] - jnp.where(
+                            hit, (pred[2] - xo_ref[2]) * fr, 0.0)
+                    if cfg.sphere_colliders:
+                        fr = min(max(cfg.friction, 0.0), 1.0)
+                        for cx, cy, cz, radius in cfg.sphere_colliders:
+                            dvs = [pred[0] - cx, pred[1] - cy, pred[2] - cz]
+                            dist = jnp.sqrt(jnp.maximum(
+                                dvs[0] ** 2 + dvs[1] ** 2 + dvs[2] ** 2,
+                                1e-24))
+                            penet = radius - dist
+                            act = ((penet > 0)
+                                   & (w >= cfg.static_inv_mass_eps))
+                            for c in range(3):
+                                nc = dvs[c] / dist
+                                pred[c] = pred[c] + jnp.where(
+                                    act, nc * penet, 0.0)
+                            vn = None
+                            for c in range(3):
+                                nc = dvs[c] / dist
+                                velc = (pred[c] - xo_ref[c]) / dt
+                                vn = (velc * nc if vn is None
+                                      else vn + velc * nc)
+                            for c in range(3):
+                                nc = dvs[c] / dist
+                                velc = (pred[c] - xo_ref[c]) / dt
+                                vt = velc - vn * nc
+                                pred[c] = pred[c] - jnp.where(
+                                    act, vt * (dt * fr), 0.0)
+                    return carry2
+
+                lax.fori_loop(0, cfg.iterations, iteration, 0)
+
+                # ---- finalize (+ velocity reflect), then stream v out
+                pinned = w == 0.0
+                if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
+                    for c in range(3):
+                        slots[c] = jnp.where(
+                            pinned, 0.0, (pred[c] - xo_ref[c]) / dt)
+                    gh = cfg.ground_height
+                    x1 = jnp.where(pinned, xo_ref[1], pred[1])
+                    pen = gh - x1
+                    hit = (pen > 0) & (w > 0)
+                    x1 = jnp.where(hit, gh + cfg.floor_offset, x1)
+                    falling = hit & (slots[1] < 0)
+                    vy = (jnp.abs(slots[1]) * cfg.restitution
+                          + pen * cfg.penetration_kick)
+                    v1n = jnp.where(falling, vy, slots[1])
+                    normal_force = (jnp.abs(v1n)
+                                    + pen * cfg.normal_force_scale)
+                    h_speed = jnp.sqrt(jnp.maximum(
+                        slots[0] ** 2 + slots[2] ** 2, 1e-24))
+                    moving = h_speed > 1e-3
+                    fmag = jnp.minimum(
+                        h_speed,
+                        normal_force * cfg.floor_friction_coeff * dt)
+                    scalef = jnp.where(falling & moving, fmag / h_speed, 0.0)
+                    slots[0] = slots[0] - slots[0] * scalef
+                    slots[1] = v1n
+                    slots[2] = slots[2] - slots[2] * scalef
+                    xo_ref[0] = jnp.where(pinned, xo_ref[0], pred[0])
+                    xo_ref[1] = x1
+                    xo_ref[2] = jnp.where(pinned, xo_ref[2], pred[2])
+                    for c in range(3):
+                        cp = pltpu.make_async_copy(
+                            slots.at[c], vo_hbm.at[c], sem.at[c])
+                        cp.start()
+                        cp.wait()
+                else:
+                    for c in range(3):
+                        slots[0] = jnp.where(
+                            pinned, 0.0, (pred[c] - xo_ref[c]) / dt)
+                        xo_ref[c] = jnp.where(pinned, xo_ref[c], pred[c])
+                        cp = pltpu.make_async_copy(
+                            slots.at[0], vo_hbm.at[c], sem.at[0])
+                        cp.start()
+                        cp.wait()
+                return carry
+
+            lax.fori_loop(0, n_substeps, substep, 0)
+
+        pl.run_scoped(
+            scoped,
+            pred=pltpu.VMEM((3, res, r2), jnp.float32),
+            slots=pltpu.VMEM((3, res, r2), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA((3,)),
+        )
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, res, r2), jnp.float32),   # x
+            jax.ShapeDtypeStruct((3, res, r2), jnp.float32),   # v
+            jax.ShapeDtypeStruct((nfam, res, r2), jnp.float32),  # lambda
+        ),
+        in_specs=[vspec, aspec, vspec, aspec],
+        out_specs=(vspec, aspec, aspec),
+    )
+
+    @jax.jit
+    def fn(state: SimState) -> SimState:
+        x = state.positions.T.reshape(3, res, r2)
+        v = state.velocities.T.reshape(3, res, r2)
+        w = state.inv_mass.reshape(res, r2)
+        lam = state.lambda_dist.reshape(nfam, res, r2)
+        xo, vo, lamo = call(x, v, w, lam)
+        return state.replace(
+            positions=xo.reshape(3, -1).T,
+            velocities=vo.reshape(3, -1).T,
+            lambda_dist=lamo.reshape(-1),
+        )
+
+    return fn

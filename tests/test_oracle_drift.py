@@ -187,3 +187,51 @@ def test_drift_10k_steps():
         oracle.step(DT)
     drift = np.abs(np.asarray(state.positions) - oracle.x).max()
     assert drift <= 1e-3, f"10k-step drift {drift}"
+
+
+@pytest.mark.slow
+def test_drift_welded_bunny_bending_contact():
+    """Long-horizon drift on REAL bunny geometry (welded to test scale)
+    with bending + resting floor contact + pinned base — the quasi-static
+    regime where trajectory drift measures ENGINE fidelity.  (A free-falling
+    under-converged shell is chaotic: fp noise amplifies exponentially after
+    first contact in both engines identically-configured — measured and
+    documented in BENCHMARKS.md; the 10k-step full-scale run is recorded
+    there as well.)"""
+    from softbodysimulation_tpu import LambdaMode
+    from softbodysimulation_tpu.topology import edges as tedges
+    from softbodysimulation_tpu.topology.objloader import load_obj
+    from softbodysimulation_tpu.core.scenes import BUNNY_PATHS
+    import os as _os
+
+    path = next((p for p in BUNNY_PATHS if _os.path.exists(p)), None)
+    if path is None:
+        pytest.skip("bunny asset absent")
+    m = load_obj(path)
+    v2, t2, _ = tedges.weld(m.vertices, m.triangles, 0.018)
+    t2 = t2[(t2[:, 0] != t2[:, 1]) & (t2[:, 1] != t2[:, 2])
+            & (t2[:, 0] != t2[:, 2])]
+    e2 = tedges.unique_edges(t2)
+    h2 = tedges.hinges(t2)
+    pos = (v2 * 5.0).astype(np.float32)
+    pos[:, 1] -= pos[:, 1].min()
+    topo = build.build_topology(pos, e2, 1e-6, hinges=h2,
+                                bend_compliance=1e-3, triangles=t2)
+    inv_mass = np.where(pos[:, 1] < 0.05, 0.0, 1.0).astype(np.float32)
+    cfg = SolverConfig(substeps=1, iterations=15, damping=0.1,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.RESET,
+                       enable_bending=True, max_dlambda=1e-3,
+                       gravity=(0, -1.0, 0), ground_height=0.0, friction=0.5)
+    orc = make_oracle(pos, topo, cfg, inv_mass)
+    st = state_from_topology(topo, pos, inv_mass=inv_mass)
+    fn = general.make_step(topo, cfg, 0.02, n_steps=1)
+    worst = 0.0
+    for i in range(150):
+        st = fn(st)
+        orc.step(0.02)
+        if (i + 1) % 25 == 0:
+            d = float(np.abs(np.asarray(st.positions) - orc.x).max())
+            worst = max(worst, d)
+    assert np.isfinite(orc.x).all()
+    assert worst < 1e-3, f"welded-bunny drift {worst}"

@@ -126,3 +126,38 @@ def test_pallas_step_ext_force_matches_xla_step():
                       - np.asarray(ref.positions)).max()
         assert dpos < 1e-5, f"gacc={gacc}: mismatch {dpos}"
         assert np.abs(np.asarray(out.ext_force)).max() == 0.0
+
+
+def test_streamed_kernel_matches_xla_engine():
+    """The HBM-streaming variant (res > VMEM: lambdas/velocities streamed
+    via explicit DMA, masks recomputed in-pass) must match the XLA engine
+    exactly like the resident kernel does.  Small res here; res 64 runs on
+    hardware (BENCHMARKS.md)."""
+    cfg = SolverConfig(substeps=8, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.DECAY, lambda_decay=0.97,
+                       ground_height=0.0, friction=0.3)
+    spec = lattice.lattice_spec(6, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0),
+                                          mass=0.01)
+    ref = lat_engine.make_substep_runner(spec, cfg, 1 / 480, 12)(state)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480, 12)(state)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_dist)
+                  - np.asarray(ref.lambda_dist)).max()
+    assert dpos < 1e-5, f"streamed/xla mismatch {dpos}"
+    assert dlam < 1e-6
+
+
+def test_streamed_kernel_rejects_unsupported():
+    spec = lattice.lattice_spec(4, braced=True)
+    with pytest.raises(NotImplementedError):
+        lp.make_pallas_substep_runner_streamed(
+            spec, SolverConfig(lambda_mode=LambdaMode.WARM_START),
+            1 / 240, 4)
+    with pytest.raises(NotImplementedError):
+        lp.make_pallas_substep_runner_streamed(
+            spec, SolverConfig(solve_mode=SolveMode.COLORED), 1 / 240, 4)
