@@ -69,13 +69,27 @@ def main():
     L = 500
     try:
         fn = lattice_pallas.make_pallas_substep_runner(
-            spec, cfg, 1 / 480, L)
-        measure("lattice 64k (pallas, VMEM-resident)", fn, st,
+            spec, cfg, 1 / 480, L, approx_math=True)
+        measure("lattice 64k (pallas, VMEM-resident, approx recip)", fn, st,
                 spec.n_particles, L)
     except Exception as e:  # noqa: BLE001
         print(f"pallas unavailable: {type(e).__name__}: {e}", flush=True)
     fn = lat.make_substep_runner(spec, cfg, 1 / 480, L)
     measure("lattice 64k (xla stencil)", fn, st, spec.n_particles, L)
+
+    # 1a. big-lattice streamed pallas kernel (res 64 = 262k particles; the
+    # resident kernel OOMs above res 40 — ROADMAP #2 resolved)
+    try:
+        spec64 = lattice.lattice_spec(64, braced=True)
+        st64 = lat.make_lattice_state(spec64, center=(0, 0.6, 0), mass=0.001)
+        L64 = 300
+        fn64 = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec64, cfg, 1 / 480, L64)
+        measure("lattice 262k res64 (pallas, streamed lambdas)", fn64, st64,
+                spec64.n_particles, L64)
+    except Exception as e:  # noqa: BLE001
+        print(f"streamed pallas unavailable: {type(e).__name__}: {e}",
+              flush=True)
 
     # 1b. faithful flagship mode at 64k: the reference scene's semantics
     # (COLORED family-parity GS, DECAY 0.99, VELOCITY_REFLECT floor,

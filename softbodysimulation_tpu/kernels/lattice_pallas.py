@@ -103,7 +103,8 @@ def _roll_bwd(a, fam, res):
 def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
                                dt_sub: float, n_substeps: int,
                                loop_inside: bool = True,
-                               with_ext: bool = False):
+                               with_ext: bool = False,
+                               approx_math: bool = False):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
     raw substeps (``with_ext=False``: external forces are not applied —
     bench/rollout semantics, matching ``solvers.lattice.make_substep_runner``;
@@ -136,10 +137,20 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         wb = wb_all
         d = pb - pred
         len_sq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
-        c = length - rest
         denom = w + wb + alpha
-        dl = (-c - alpha * lam_f) / jnp.maximum(denom, 1e-30)
+        if approx_math:
+            # VPU divides/sqrts are multi-pass; the approximate reciprocal
+            # + rsqrt keep the pass mul-add-bound (opt-in: ~1e-3-relative
+            # solver perturbation, bench/throughput regime only)
+            inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
+            length = len_sq * inv_len
+            c = length - rest
+            dl = (-c - alpha * lam_f) * pl.reciprocal(
+                jnp.maximum(denom, 1e-30), approx=True)
+        else:
+            length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
+            c = length - rest
+            dl = (-c - alpha * lam_f) / jnp.maximum(denom, 1e-30)
         if cfg.max_dlambda > 0:
             dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
         if cfg.max_dlambda_rel > 0:
@@ -160,7 +171,7 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
         lam_f = lam_f + dl
         if cfg.lambda_clamp > 0:
             lam_f = jnp.clip(lam_f, -cfg.lambda_clamp, cfg.lambda_clamp)
-        scale = dl / length
+        scale = dl * inv_len if approx_math else dl / length
         dp = d * scale[None]
         pred = pred - w[None] * dp
         pred = pred + _roll_bwd(wb[None] * dp, fam, res)
