@@ -655,6 +655,36 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             hit, (pred[0] - xo_ref[0]) * fr, 0.0)
                         pred[2] = pred[2] - jnp.where(
                             hit, (pred[2] - xo_ref[2]) * fr, 0.0)
+                    if cfg.box_colliders:
+                        # componentwise box SDF (same math as the resident
+                        # kernel / ops/collision.box_sdf_project)
+                        fr = min(max(cfg.friction, 0.0), 1.0)
+                        for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
+                            loc = [pred[0] - cx, pred[1] - cy, pred[2] - cz]
+                            fd = [hx - jnp.abs(loc[0]),
+                                  hy - jnp.abs(loc[1]),
+                                  hz - jnp.abs(loc[2])]
+                            inside = (fd[0] > 0) & (fd[1] > 0) & (fd[2] > 0)
+                            act = inside & (w >= cfg.static_inv_mass_eps)
+                            m0 = (fd[0] <= fd[1]) & (fd[0] <= fd[2])
+                            m1 = (~m0) & (fd[1] <= fd[2])
+                            m2 = (~m0) & (~m1)
+                            nvec = []
+                            for c, mc in enumerate((m0, m1, m2)):
+                                sg = jnp.where(loc[c] < 0, -1.0, 1.0)
+                                push = jnp.where(act & mc, sg * fd[c], 0.0)
+                                pred[c] = pred[c] + push
+                                nvec.append(jnp.where(mc, sg, 0.0))
+                            vn = None
+                            for c in range(3):
+                                velc = (pred[c] - xo_ref[c]) / dt
+                                vn = (velc * nvec[c] if vn is None
+                                      else vn + velc * nvec[c])
+                            for c in range(3):
+                                velc = (pred[c] - xo_ref[c]) / dt
+                                vt = velc - vn * nvec[c]
+                                pred[c] = pred[c] - jnp.where(
+                                    act, vt * (dt * fr), 0.0)
                     if cfg.sphere_colliders:
                         fr = min(max(cfg.friction, 0.0), 1.0)
                         for cx, cy, cz, radius in cfg.sphere_colliders:

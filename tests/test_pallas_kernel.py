@@ -161,3 +161,27 @@ def test_streamed_kernel_rejects_unsupported():
     with pytest.raises(NotImplementedError):
         lp.make_pallas_substep_runner_streamed(
             spec, SolverConfig(solve_mode=SolveMode.COLORED), 1 / 240, 4)
+
+
+@pytest.mark.parametrize(
+    "name,cfg_kw",
+    [
+        ("sphere", dict(sphere_colliders=((0.0, 0.35, 0.0, 0.45),))),
+        ("box", dict(box_colliders=((0.1, 0.3, 0.0, 0.5, 0.3, 0.5),))),
+    ],
+)
+def test_streamed_kernel_collider_parity(name, cfg_kw):
+    cfg = SolverConfig(substeps=6, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET,
+                       ground_height=0.0, friction=0.3, **cfg_kw)
+    spec = lattice.lattice_spec(5, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0),
+                                          mass=0.01)
+    ref = lat_engine.make_substep_runner(spec, cfg, 1 / 480, 18)(state)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480, 18)(state)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    assert dpos < 1e-5, f"streamed {name} collider mismatch {dpos}"
