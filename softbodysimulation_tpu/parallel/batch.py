@@ -94,6 +94,27 @@ def make_sharded_lattice_step(spec, cfg: SolverConfig, dt: float, mesh: Mesh,
     return jax.jit(fn)
 
 
+def make_sharded_general_step(topo, cfg: SolverConfig, dt: float, mesh: Mesh,
+                              n_steps: int = 1, axis: str = "dp"):
+    """Batched GENERAL-engine (arbitrary mesh) step sharded over chips: the
+    DP analog for mesh ensembles (bunny farms).  The topology — including
+    the windowed one-hot matrices when present — is replicated per chip;
+    the body axis splits.  Pure per-chip compute, zero hot-loop
+    collectives; pair with ``make_sharded_ensemble_diagnostics``."""
+    from jax.experimental.shard_map import shard_map
+
+    vstep = jax.vmap(
+        lambda s: _general.multi_step_fn(s, topo, cfg, dt, n_steps))
+    spec_b = SimState(
+        positions=P(axis), velocities=P(axis), inv_mass=P(axis),
+        ext_force=P(axis), lambda_dist=P(axis), lambda_bend=P(axis),
+        lambda_volume=P(axis))
+
+    fn = shard_map(vstep, mesh=mesh, in_specs=(spec_b,), out_specs=spec_b,
+                   check_rep=False)
+    return jax.jit(fn)
+
+
 def _state_structure(spec) -> SimState:
     """A SimState of ShapeDtypeStructs for building PartitionSpec pytrees."""
     n = spec.n_particles

@@ -8,6 +8,7 @@ from softbodysimulation_tpu.examples import (
     config3_inflated_ball,
     config4_interactive_poke,
     config5_batch_1024,
+    config7_mesh_farm,
 )
 
 
@@ -69,3 +70,12 @@ def test_config6_diffsim_optimizes():
     assert np.isfinite(v0).all()
     assert history[-1] < 0.1 * history[0]  # loss actually optimised
     assert v0[0] > 0.1  # learned to launch toward +x
+
+
+def test_config7_mesh_farm():
+    out, out2 = config7_mesh_farm.run(n_bodies=4, steps=60, verbose=False)
+    p = np.asarray(out.positions)
+    assert np.isfinite(p).all()
+    assert p[..., 1].min() > -5e-3
+    p2 = np.asarray(out2.positions)
+    assert np.isfinite(p2).all()
