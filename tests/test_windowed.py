@@ -137,3 +137,22 @@ def test_windowed_vmaps_over_bodies():
                - np.asarray(single.positions)).max()
     assert d < 1e-5
     assert np.isfinite(np.asarray(out.positions)).all()
+
+
+def test_windowed_backend_is_differentiable():
+    """jax.grad flows through the one-hot matmul sweep (the differentiable
+    -rollout capability extends to the windowed backend)."""
+    pos, topo = sphere_topos()
+    cfg = SolverConfig(substeps=1, iterations=3, damping=0.01,
+                       solve_mode=SolveMode.JACOBI, ground_height=-5.0)
+
+    def loss(dy):
+        st = state_from_topology(
+            topo, pos + jnp.asarray([0.0, 1.0, 0.0]) + dy)
+        out = general.multi_step_fn(st, topo, cfg, DT, 3)
+        return jnp.sum(out.positions[:, 1])
+
+    g = jax.jit(jax.grad(loss))(jnp.zeros(3))
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert abs(g[1]) > 1e-3   # raising the start raises the outcome
