@@ -1,0 +1,103 @@
+"""Full-scale long-horizon drift validation (ROADMAP round-2 #5 payoff).
+
+The REAL LowResBunny (2,503 particles / ~7.5k edges / ~7.4k hinges) in the
+quasi-static regime (pinned base ring, resting floor contact, bending on —
+the regime where trajectory drift measures engine fidelity rather than
+chaos), stepped 10,000 times: general COLORED device engine vs the
+vectorized oracle (bit-exact twin of the frozen scalar oracle,
+tests/test_fast_oracle.py).  With the frozen oracle this run takes ~46 h on
+this host; the fast oracle does it in ~1 h.
+
+Writes one JSON line per checkpoint to scripts/drift_bunny_10k.out.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from softbodysimulation_tpu import (
+    LambdaMode,
+    SolveMode,
+    SolverConfig,
+    state_from_topology,
+)
+from softbodysimulation_tpu.core.scenes import BUNNY_PATHS
+from softbodysimulation_tpu.solvers import fast_oracle, general
+from softbodysimulation_tpu.topology import build
+from softbodysimulation_tpu.topology import edges as tedges
+from softbodysimulation_tpu.topology.objloader import load_obj
+
+OUT = os.path.join(os.path.dirname(__file__), "drift_bunny_10k.out.json")
+DT = 0.02
+STEPS = 10_000
+
+
+def main():
+    path = next((p for p in BUNNY_PATHS if os.path.exists(p)), None)
+    assert path, "bunny asset absent"
+    m = load_obj(path)
+    e = tedges.unique_edges(m.triangles)
+    h = tedges.hinges(m.triangles)
+    pos = (m.vertices * 5.0).astype(np.float32)
+    pos[:, 1] -= pos[:, 1].min()
+    topo = build.build_topology(pos, e, 1e-6, hinges=h,
+                                bend_compliance=1e-3, triangles=m.triangles)
+    inv_mass = np.where(pos[:, 1] < 0.05, 0.0, 1.0).astype(np.float32)
+    cfg = SolverConfig(substeps=1, iterations=15, damping=0.1,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.RESET, enable_bending=True,
+                       max_dlambda=1e-3, gravity=(0, -1.0, 0),
+                       ground_height=0.0, friction=0.5)
+    st = state_from_topology(topo, pos, inv_mass=inv_mass)
+    orc = fast_oracle.FastReferenceSolver(
+        pos, np.asarray(topo.edges), np.asarray(topo.rest_lengths),
+        np.asarray(topo.compliance), inv_mass, cfg,
+        hinges=np.asarray(topo.hinges),
+        rest_angles=np.asarray(topo.rest_angles),
+        bend_compliance=np.asarray(topo.bend_compliance),
+        colors=np.asarray(topo.colors),
+        bend_colors=np.asarray(topo.bend_colors))
+    step = jax.jit(general.make_step(topo, cfg, DT, n_steps=1))
+
+    t0 = time.time()
+    worst = 0.0
+    with open(OUT, "w") as f:
+        for i in range(1, STEPS + 1):
+            st = step(st)
+            orc.step(DT)
+            if i % 250 == 0 or i == STEPS:
+                d = float(np.abs(np.asarray(st.positions) - orc.x).max())
+                worst = max(worst, d)
+                rec = {"step": i, "drift": d, "worst": worst,
+                       "elapsed_s": round(time.time() - t0, 1)}
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                print(rec, flush=True)
+    # the BASELINE metric is the drift AFTER 10k steps (both engines settle
+    # to the same rest state); the transient worst is recorded alongside —
+    # through the settling phase it can exceed the final number by orders
+    # of magnitude (fp noise amplified by the near-chaotic drop transient,
+    # BENCHMARKS.md "Chaos caveat")
+    final = float(np.abs(np.asarray(st.positions) - orc.x).max())
+    ok = final <= 1e-3 and np.isfinite(orc.x).all()
+    with open(OUT, "a") as f:
+        f.write(json.dumps({"final_drift": final, "transient_worst": worst,
+                            "pass": bool(ok),
+                            "particles": int(len(pos)),
+                            "edges": int(len(topo.edges)),
+                            "hinges": int(len(np.asarray(topo.hinges))),
+                            "steps": STEPS}) + "\n")
+    print("PASS" if ok else "FAIL", "final drift", final, "transient worst", worst)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,1 @@
-from . import general, lattice, reference_cpu
+from . import fast_oracle, general, lattice, reference_cpu
