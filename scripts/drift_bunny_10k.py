@@ -49,13 +49,20 @@ def main():
     h = tedges.hinges(m.triangles)
     pos = (m.vertices * 5.0).astype(np.float32)
     pos[:, 1] -= pos[:, 1].min()
-    topo = build.build_topology(pos, e, 1e-6, hinges=h,
+    topo = build.build_topology(pos, e, 1e-7, hinges=h,
                                 bend_compliance=1e-3, triangles=m.triangles)
-    inv_mass = np.where(pos[:, 1] < 0.05, 0.0, 1.0).astype(np.float32)
-    cfg = SolverConfig(substeps=1, iterations=15, damping=0.1,
+    # Quasi-static regime: the trajectory must be CONTRACTING for drift to
+    # measure engine fidelity rather than chaos (BENCHMARKS "Chaos caveat").
+    # Pinned base ring + stiff edges + heavy damping: probed config shows
+    # drift peaking ~4e-4 around step 400 then decaying as both engines
+    # settle onto the same rest state.  A floppy-shell config (compliance
+    # 1e-6, thin pin ring, damping 0.1) was measured to amplify fp noise to
+    # 0.5+ by step 1000 — identical algorithm in both engines, pure chaos.
+    inv_mass = np.where(pos[:, 1] < 0.25, 0.0, 1.0).astype(np.float32)
+    cfg = SolverConfig(substeps=1, iterations=15, damping=0.3,
                        solve_mode=SolveMode.COLORED,
                        lambda_mode=LambdaMode.RESET, enable_bending=True,
-                       max_dlambda=1e-3, gravity=(0, -1.0, 0),
+                       gravity=(0, -1.0, 0),
                        ground_height=0.0, friction=0.5)
     st = state_from_topology(topo, pos, inv_mass=inv_mass)
     orc = fast_oracle.FastReferenceSolver(

@@ -193,8 +193,13 @@ class SolverConfig:
     # Approximate: pairs adjacent in space but split across a Morton
     # boundary beyond the window are missed for that substep (caught as
     # codes change); the scale path for big self-colliding scenes.
+    # "dense": EXACT all-pairs contact as two MXU matmuls per row block
+    # (dist^2 Gram trick + correction-sum matmul) — zero gathers, zero
+    # capacity caveats; O(N^2) dense flops, the fastest exact path on TPU
+    # up to mid-size N (ops/spatial_hash.self_collision_project_dense).
     self_collision_backend: str = "hash"
     sorted_window: int = 16           # one-sided neighbor window ("sorted")
+    dense_row_block: int = 256        # rows per lax.scan block ("dense")
 
     # --- numerical guards ---
     eps_length: float = 1e-5          # CPUDistanceConstraint.cs:64 degenerate length
@@ -219,10 +224,13 @@ class SolverConfig:
         if self.distance_backend not in ("auto", "gather", "windowed"):
             raise ValueError(
                 "distance_backend must be auto|gather|windowed")
-        if self.self_collision_backend not in ("hash", "sorted"):
-            raise ValueError("self_collision_backend must be hash|sorted")
+        if self.self_collision_backend not in ("hash", "sorted", "dense"):
+            raise ValueError(
+                "self_collision_backend must be hash|sorted|dense")
         if self.sorted_window < 1:
             raise ValueError("sorted_window must be >= 1")
+        if self.dense_row_block < 1:
+            raise ValueError("dense_row_block must be >= 1")
         if self.substeps < 1:
             raise ValueError("substeps must be >= 1")
         if self.iterations < 1:

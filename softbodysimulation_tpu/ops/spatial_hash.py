@@ -85,6 +85,77 @@ def self_collision_project(pred, inv_mass, cfg: SolverConfig):
     return pred + cfg.self_collision_omega * corr
 
 
+# ---------------------------------------------------------------- dense path
+def self_collision_project_dense(pred, inv_mass, cfg: SolverConfig):
+    """One EXACT Jacobi separation pass computed as MXU matmuls.
+
+    All-pairs contact with zero gathers and zero capacity caveats — the
+    TPU-first formulation of the problem the reference's unused
+    ``SphereCollision`` helper gestured at (``XPBDSimulatorCS.compute:213``):
+
+      dist^2_ij = |x_i|^2 + |x_j|^2 - 2 x_i.x_j        (one (B,3)x(3,N) matmul)
+      corr_i    = w_i * (x_i * sum_j m_ij - (m @ X)_i)  (one (B,N)x(N,3) matmul)
+
+    with m_ij = overlap/(dist*wsum) masked to touching pairs — algebraically
+    identical to the hash path's per-pair ``(w_i/wsum)*overlap*ndir`` sum.
+    Rows are processed in ``cfg.dense_row_block``-sized blocks under
+    ``lax.scan`` so peak memory is (B, N) rather than (N, N).  O(N^2) work,
+    but dense f32 on the MXU: exact and faster than the gather-bound hash
+    path up to ~16k particles.  Positions are centered first to keep the
+    |x|^2 cancellation benign at contact scale.
+    """
+    import jax
+
+    n = pred.shape[0]
+    radius = cfg.particle_radius
+    block = max(8, min(cfg.dense_row_block, n))
+    npad = ((n + block - 1) // block) * block
+
+    x = pred - pred.mean(axis=0)
+    if npad != n:
+        # park padding far away with zero inv-mass (wsum guard kills any
+        # pad-pad pair; distance kills pad-real pairs)
+        sent = 1e6 * (1.0 + jnp.arange(npad - n, dtype=pred.dtype))
+        xpad = jnp.stack([sent, sent, sent], axis=-1)
+        x = jnp.concatenate([x, xpad], axis=0)
+        w = jnp.concatenate([inv_mass,
+                             jnp.zeros(npad - n, inv_mass.dtype)])
+    else:
+        w = inv_mass
+    sq = jnp.sum(x * x, axis=-1)
+    ids = jnp.arange(npad, dtype=jnp.int32)
+    nb = npad // block
+
+    xb = x.reshape(nb, block, 3)
+    sqb = sq.reshape(nb, block)
+    wb = w.reshape(nb, block)
+    idb = ids.reshape(nb, block)
+
+    def row_block(_, inp):
+        xi, sqi, wi, idi = inp
+        g = jax.lax.dot_general(
+            xi, x, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)        # (B, npad)
+        d2 = sqi[:, None] + sq[None, :] - 2.0 * g
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+        overlap = 2.0 * radius - dist
+        wsum = wi[:, None] + w[None, :]
+        touch = ((idi[:, None] != ids[None, :]) & (overlap > 0)
+                 & (dist > 1e-9) & (wsum > 1e-12))
+        m = jnp.where(touch,
+                      overlap / (jnp.maximum(dist, 1e-12)
+                                 * jnp.maximum(wsum, 1e-12)), 0.0)
+        mx = jax.lax.dot_general(
+            m, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)        # (B, 3)
+        corr = wi[:, None] * (xi * jnp.sum(m, axis=1)[:, None] - mx)
+        return _, corr
+
+    _, corr = jax.lax.scan(row_block, None, (xb, sqb, wb, idb))
+    corr = corr.reshape(npad, 3)[:n]
+    return pred + cfg.self_collision_omega * corr
+
+
 # --------------------------------------------------------------- sorted path
 def _spread_bits_3(x):
     """Spread the low 10 bits of x so consecutive bits land 3 apart

@@ -308,6 +308,9 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
             if sc_order is not None:
                 pred = _spatial_hash.self_collision_project_sorted(
                     pred, state.inv_mass, sc_order, cfg)
+            elif cfg.self_collision_backend == "dense":
+                pred = _spatial_hash.self_collision_project_dense(
+                    pred, state.inv_mass, cfg)
             else:
                 pred = _spatial_hash.self_collision_project(
                     pred, state.inv_mass, cfg)

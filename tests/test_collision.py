@@ -77,10 +77,13 @@ def _project(backend, pred, w, cfg):
         order = spatial_hash.morton_order(pred, cfg)
         return np.asarray(spatial_hash.self_collision_project_sorted(
             pred, w, order, cfg))
+    if backend == "dense":
+        return np.asarray(spatial_hash.self_collision_project_dense(
+            pred, w, cfg))
     return np.asarray(spatial_hash.self_collision_project(pred, w, cfg))
 
 
-@pytest.mark.parametrize("backend", ["hash", "sorted"])
+@pytest.mark.parametrize("backend", ["hash", "sorted", "dense"])
 def test_self_collision_separates_overlap(backend):
     import jax.numpy as jnp
 
@@ -93,7 +96,7 @@ def test_self_collision_separates_overlap(backend):
     assert np.allclose(out[2], [3.0, 0.0, 0.0], atol=1e-6)  # far particle untouched
 
 
-@pytest.mark.parametrize("backend", ["hash", "sorted"])
+@pytest.mark.parametrize("backend", ["hash", "sorted", "dense"])
 def test_self_collision_respects_pinning(backend):
     import jax.numpy as jnp
 
@@ -120,7 +123,24 @@ def test_sorted_matches_hash_on_random_cloud():
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("backend", ["hash", "sorted"])
+def test_dense_matches_hash_on_random_cloud():
+    """The two exact backends (27-cell hash gather vs all-pairs MXU matmul)
+    must agree on a dense random cloud, including with pinned particles and
+    a block size that forces row padding."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n = 203  # deliberately not a multiple of dense_row_block
+    pred = jnp.asarray(rng.uniform(0, 0.7, (n, 3)), jnp.float32)
+    w = jnp.asarray((rng.uniform(size=n) > 0.1).astype(np.float32))
+    cfg = SolverConfig(particle_radius=0.05, self_collision_omega=1.0,
+                       hash_cell_capacity=64, dense_row_block=64)
+    a = _project("hash", pred, w, cfg)
+    b = _project("dense", pred, w, cfg)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["hash", "sorted", "dense"])
 def test_two_bodies_dont_interpenetrate(backend):
     """Two cube8 bodies dropped into each other with self-collision on."""
     pos_a = mesh.cube_corners(0.5) + np.array([0, 1.0, 0], np.float32)
