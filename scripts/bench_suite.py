@@ -227,6 +227,14 @@ def main():
     measure(f"self-collision 2x{n_s}p (sorted window)", fn_s, st_s,
             2 * n_s, steps_s * cfg_s.substeps)
 
+    # 4c. dense EXACT all-pairs backend at the same 8k-particle scene
+    cfg_d = cfg_s.replace(self_collision_backend="dense",
+                          dense_row_block=256)
+    st_d = state_from_topology(topo_s, pos_s)
+    fn_d = general.make_step(topo_s, cfg_d, 1 / 60, n_steps=steps_s)
+    measure(f"self-collision 2x{n_s}p (dense MXU, exact)", fn_d, st_d,
+            2 * n_s, steps_s * cfg_d.substeps)
+
     print(json.dumps(RESULTS), flush=True)
 
 
