@@ -7,8 +7,10 @@ physical) settling on a ground plane; RESET-mode XPBD, 1 iteration x 8
 substeps per 1/60 s frame (the 'small steps' regime — light particles make
 the constraints effectively rigid, so one pass/family converges).
 
-Engine: the fused Pallas kernel (whole substep loop VMEM-resident) when it
-compiles on this backend, else the XLA stencil engine.  Timing is
+Engine: the fused Pallas kernel — streamed (lane-padded, double-buffered
+lambda slabs; the fastest 64k engine, BENCHMARKS.md) with the VMEM-resident
+variant as fallback — when it compiles on this backend, else the XLA
+stencil engine.  Timing is
 synchronised by fetching data to host — ``block_until_ready`` alone is not a
 reliable barrier on remote-execution backends.
 
@@ -118,17 +120,29 @@ def main():
     if FORCE_ENGINE != "xla" and (
             FORCE_ENGINE == "pallas"
             or remaining > PALLAS_COMPILE_ALLOWANCE):
-        try:
-            fn = lattice_pallas.make_pallas_substep_runner(
-                spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
-            warm = fn(state)
-            np.asarray(warm.positions)  # compile + execute
-            results["pallas"] = measure(fn, warm, n)
-        except Exception as e:  # noqa: BLE001 — compile/runtime failure
+        # streamed first: with lane padding it covers res 40 and beats both
+        # the resident kernel and the XLA stencil there (same-run A/B on
+        # hardware: 1.65e9 vs 1.30e9 vs 1.35e9 — BENCHMARKS.md); resident
+        # is the fallback for configs the streamed kernel rejects
+        # (COLORED / WARM_START).
+        candidates = (
+            ("pallas_streamed",
+             lattice_pallas.make_pallas_substep_runner_streamed),
+            ("pallas", lattice_pallas.make_pallas_substep_runner),
+        )
+        for name, maker in candidates:
+            try:
+                fn = maker(spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
+                warm = fn(state)
+                np.asarray(warm.positions)  # compile + execute
+                results[name] = measure(fn, warm, n)
+                break
+            except Exception as e:  # noqa: BLE001 — compile/runtime failure
+                print(f"# {name} engine unavailable "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
+        else:
             if FORCE_ENGINE == "pallas":
-                raise
-            print(f"# pallas engine unavailable ({type(e).__name__}: {e})",
-                  file=sys.stderr)
+                raise RuntimeError("no pallas engine compiled")
 
     engine, value = max(results.items(), key=lambda kv: kv[1])
     print(json.dumps({

@@ -477,7 +477,16 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     Supported subset: JACOBI solve, RESET/DECAY lambda modes (WARM_START
     needs a pre-application pass — use the resident kernel), both floor
     modes, SDF colliders and clamps as in the resident kernel; external
-    forces are not applied (raw substep semantics)."""
+    forces are not applied (raw substep semantics).
+
+    Lane padding: Mosaic requires the lane (last) dim of DMA'd/rolled
+    blocks to be a multiple of 128, which res like 40 (r2=1600) violates.
+    We pad lanes to the next multiple of 128 with INERT particles (w=0,
+    x=v=lambda=0, masked out of every family): rolls over the padded width
+    never wrap for real lanes, roll-contaminated destination lanes are
+    exactly the ones the family masks already invalidate, and backward
+    scatter from pad lanes carries dl=0 (the lane<r2 mask).  This is what
+    lets res 40 — the 64k headline size — run on the streamed kernel."""
     _check_supported(cfg, spec)
     if cfg.solve_mode != SolveMode.JACOBI:
         raise NotImplementedError("streamed pallas kernel: JACOBI only")
@@ -486,6 +495,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                   "the VMEM-resident kernel (res <= 40)")
     res = spec.res
     r2 = res * res
+    r2p = ((r2 + 127) // 128) * 128
+    lane_padded = r2p != r2
     nfam = spec.n_families
     dt = dt_sub
     inv_dt2 = 1.0 / (dt * dt)
@@ -518,20 +529,22 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         return a
 
     def fam_mask_f32(fam):
-        xx = lax.broadcasted_iota(jnp.int32, (res, r2), 0)
-        cc = lax.broadcasted_iota(jnp.int32, (res, r2), 1)
+        xx = lax.broadcasted_iota(jnp.int32, (res, r2p), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (res, r2p), 1)
         yy = cc // res
         zz = cc - yy * res
         dx, dy, dz, kind = fam
         if spec.reference_bounds and kind != 0:
             valid = (xx < res - 1) & (yy < res - 1) & (zz < res - 1)
         else:
-            valid = jnp.full((res, r2), True)
+            valid = jnp.full((res, r2p), True)
             for coord, d in ((xx, dx), (yy, dy), (zz, dz)):
                 if d > 0:
                     valid = valid & (coord < res - d)
                 elif d < 0:
                     valid = valid & (coord >= -d)
+        if lane_padded:
+            valid = valid & (cc < r2)
         return valid
 
     def kernel(x_in, v_hbm, w_ref, lam_hbm, xo_ref, vo_hbm, lamo_hbm):
@@ -579,13 +592,21 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     pred[c] = pc
 
                 def iteration(it, carry2):
+                    # Double-buffered lambda slabs: family fi lives in VMEM
+                    # plane fi%2; while fi computes/applies, fi+1's slab
+                    # streams in and fi's streams out.  Only one load and
+                    # one store are ever in flight (the store is waited
+                    # before the slot is re-targeted), so one store
+                    # semaphore suffices.
+                    nfam_t = len(spec.families)
+                    prev_store = [None]
+                    load_lam(0, 0).start()
                     for fi, fam in enumerate(spec.families):
+                        plane = fi % 2
                         rest = spec.rest_lengths[fi]
                         alpha = spec.compliances[fi] * inv_dt2
                         if cfg.min_alpha_tilde > 0:
                             alpha = max(alpha, cfg.min_alpha_tilde)
-                        ld = load_lam(fi, 0)
-                        ld.start()
                         # geometry while the multiplier slab streams in
                         len_sq = None
                         for c in range(3):
@@ -596,8 +617,15 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         cerr = length - rest
                         wb = roll_fwd2(w, fam)
                         denom = w + wb + alpha
-                        ld.wait()
-                        lam_f = slots[0]
+                        # the other plane is free once fi-1's store lands;
+                        # prefetch fi+1 into it before we block on fi
+                        if prev_store[0] is not None:
+                            prev_store[0].wait()
+                            prev_store[0] = None
+                        if fi + 1 < nfam_t:
+                            load_lam(fi + 1, (fi + 1) % 2).start()
+                        load_lam(fi, plane).wait()
+                        lam_f = slots[plane]
                         if cfg.lambda_mode == LambdaMode.RESET:
                             lam_f = jnp.where(it == 0, 0.0, lam_f)
                         else:
@@ -628,16 +656,19 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         if cfg.lambda_clamp > 0:
                             lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
                                              cfg.lambda_clamp)
-                        slots[0] = lam_f
-                        st = store_lam(fi, 0)
+                        slots[plane] = lam_f
+                        st = store_lam(fi, plane)
                         st.start()
+                        prev_store[0] = st
+                        # corrections overlap the store-out and the
+                        # prefetch of the next family's slab
                         scale = dl / length
                         for c in range(3):
                             dc = roll_fwd2(pred[c], fam) - pred[c]
                             dp = dc * scale
                             pred[c] = (pred[c] - w * dp
                                        + roll_bwd2(wb * dp, fam))
-                        st.wait()
+                    prev_store[0].wait()
 
                     # ---- contacts (componentwise; mirrors resident kernel)
                     if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
@@ -765,8 +796,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
 
         pl.run_scoped(
             scoped,
-            pred=pltpu.VMEM((3, res, r2), jnp.float32),
-            slots=pltpu.VMEM((3, res, r2), jnp.float32),
+            pred=pltpu.VMEM((3, res, r2p), jnp.float32),
+            slots=pltpu.VMEM((3, res, r2p), jnp.float32),
             sem=pltpu.SemaphoreType.DMA((3,)),
         )
 
@@ -775,9 +806,9 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     call = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((3, res, r2), jnp.float32),   # x
-            jax.ShapeDtypeStruct((3, res, r2), jnp.float32),   # v
-            jax.ShapeDtypeStruct((nfam, res, r2), jnp.float32),  # lambda
+            jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # x
+            jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # v
+            jax.ShapeDtypeStruct((nfam, res, r2p), jnp.float32),  # lambda
         ),
         in_specs=[vspec, aspec, vspec, aspec],
         out_specs=(vspec, aspec, aspec),
@@ -789,7 +820,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         v = state.velocities.T.reshape(3, res, r2)
         w = state.inv_mass.reshape(res, r2)
         lam = state.lambda_dist.reshape(nfam, res, r2)
+        if lane_padded:
+            pad3 = ((0, 0), (0, 0), (0, r2p - r2))
+            x = jnp.pad(x, pad3)
+            v = jnp.pad(v, pad3)
+            lam = jnp.pad(lam, pad3)
+            w = jnp.pad(w, ((0, 0), (0, r2p - r2)))  # pads pinned (w=0)
         xo, vo, lamo = call(x, v, w, lam)
+        if lane_padded:
+            xo = xo[..., :r2]
+            vo = vo[..., :r2]
+            lamo = lamo[..., :r2]
         return state.replace(
             positions=xo.reshape(3, -1).T,
             velocities=vo.reshape(3, -1).T,
