@@ -109,11 +109,12 @@ def main():
     n = spec.n_particles
 
     results = {}
+    xla_warm_pos = None
     if FORCE_ENGINE != "pallas":
         fn = lat_engine.make_substep_runner(spec, cfg, dt_sub,
                                             SUBSTEPS_PER_CALL)
         warm = fn(state)
-        np.asarray(warm.positions)
+        xla_warm_pos = np.asarray(warm.positions)
         results["xla"] = measure(fn, warm, n)
 
     remaining = BUDGET_SECONDS - (time.perf_counter() - t_start)
@@ -122,10 +123,15 @@ def main():
             or remaining > PALLAS_COMPILE_ALLOWANCE):
         # streamed first: with lane padding it covers res 40 and beats both
         # the resident kernel and the XLA stencil there (same-run A/B on
-        # hardware: 1.65e9 vs 1.30e9 vs 1.35e9 — BENCHMARKS.md); resident
-        # is the fallback for configs the streamed kernel rejects
-        # (COLORED / WARM_START).
+        # hardware: 2.02e9 approx / 1.83e9 exact vs resident 1.30e9 vs XLA
+        # 1.35e9 — BENCHMARKS.md).  The approx_math variant (rsqrt +
+        # approximate reciprocal) is validated against the XLA trajectory
+        # below before its number is accepted; resident is the fallback
+        # for backends where the streamed kernel fails to compile.
         candidates = (
+            ("pallas_streamed_approx",
+             lambda *a: lattice_pallas.make_pallas_substep_runner_streamed(
+                 *a, approx_math=True)),
             ("pallas_streamed",
              lattice_pallas.make_pallas_substep_runner_streamed),
             ("pallas", lattice_pallas.make_pallas_substep_runner),
@@ -134,7 +140,13 @@ def main():
             try:
                 fn = maker(spec, cfg, dt_sub, SUBSTEPS_PER_CALL)
                 warm = fn(state)
-                np.asarray(warm.positions)  # compile + execute
+                wp = np.asarray(warm.positions)  # compile + execute
+                if xla_warm_pos is not None:
+                    # same 2000-substep rollout from the same start: the
+                    # kernel must track the XLA engine or its number is void
+                    drift = float(np.abs(wp - xla_warm_pos).max())
+                    assert drift < 1e-3, \
+                        f"{name} diverges from xla engine: {drift}"
                 results[name] = measure(fn, warm, n)
                 break
             except Exception as e:  # noqa: BLE001 — compile/runtime failure

@@ -464,7 +464,8 @@ def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
 
 
 def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
-                                        dt_sub: float, n_substeps: int):
+                                        dt_sub: float, n_substeps: int,
+                                        approx_math: bool = False):
     """Grid-blocked variant for lattices beyond VMEM (res > ~40): positions,
     predictions and inverse masses stay VMEM-resident; velocities stream
     per-coordinate-plane and the per-family multipliers stream HBM<->VMEM
@@ -474,10 +475,14 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     a few planes — res 64 (262k particles) fits the ~16 MB VMEM budget
     where the resident kernel OOMs above res 40.
 
-    Supported subset: JACOBI solve, RESET/DECAY lambda modes (WARM_START
-    needs a pre-application pass — use the resident kernel), both floor
-    modes, SDF colliders and clamps as in the resident kernel; external
-    forces are not applied (raw substep semantics).
+    Full solve/lambda-mode parity with the resident kernel (round 2):
+    JACOBI and COLORED (exact family-parity GS — two masked passes per
+    family with the lambda slab held in VMEM across both), RESET/DECAY/
+    WARM_START (warm start streams one extra pre-application loop over the
+    family slabs per substep, decay folded in), both floor modes, SDF
+    colliders and clamps; external forces are not applied (raw substep
+    semantics).  ``approx_math`` swaps sqrt/divide for rsqrt + approximate
+    reciprocal as in the resident kernel (opt-in, bench regime).
 
     Lane padding: Mosaic requires the lane (last) dim of DMA'd/rolled
     blocks to be a multiple of 128, which res like 40 (r2=1600) violates.
@@ -488,11 +493,6 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     scatter from pad lanes carries dl=0 (the lane<r2 mask).  This is what
     lets res 40 — the 64k headline size — run on the streamed kernel."""
     _check_supported(cfg, spec)
-    if cfg.solve_mode != SolveMode.JACOBI:
-        raise NotImplementedError("streamed pallas kernel: JACOBI only")
-    if cfg.lambda_mode == LambdaMode.WARM_START:
-        raise NotImplementedError("streamed pallas kernel: WARM_START needs "
-                                  "the VMEM-resident kernel (res <= 40)")
     res = spec.res
     r2 = res * res
     r2p = ((r2 + 127) // 128) * 128
@@ -529,6 +529,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         return a
 
     def fam_mask_f32(fam):
+        """(valid, parity0) masks recomputed from iotas (never stored)."""
         xx = lax.broadcasted_iota(jnp.int32, (res, r2p), 0)
         cc = lax.broadcasted_iota(jnp.int32, (res, r2p), 1)
         yy = cc // res
@@ -545,7 +546,9 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     valid = valid & (coord >= -d)
         if lane_padded:
             valid = valid & (cc < r2)
-        return valid
+        lead = xx if dx else (yy if dy else zz)
+        parity0 = (lead % 2) == 0
+        return valid, parity0
 
     def kernel(x_in, v_hbm, w_ref, lam_hbm, xo_ref, vo_hbm, lamo_hbm):
         def scoped(pred, slots, sem):
@@ -591,84 +594,147 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         pc = jnp.clip(pc, -cfg.world_bounds, cfg.world_bounds)
                     pred[c] = pc
 
-                def iteration(it, carry2):
+                def stream_families(process):
                     # Double-buffered lambda slabs: family fi lives in VMEM
-                    # plane fi%2; while fi computes/applies, fi+1's slab
-                    # streams in and fi's streams out.  Only one load and
-                    # one store are ever in flight (the store is waited
-                    # before the slot is re-targeted), so one store
-                    # semaphore suffices.
+                    # plane fi%2; while ``process(fi, fam, lam_f)`` computes
+                    # and applies, fi+1's slab streams in and fi-1's streams
+                    # out (the store is waited before its plane is
+                    # re-targeted, so one semaphore per plane suffices).
                     nfam_t = len(spec.families)
                     prev_store = [None]
                     load_lam(0, 0).start()
                     for fi, fam in enumerate(spec.families):
                         plane = fi % 2
-                        rest = spec.rest_lengths[fi]
-                        alpha = spec.compliances[fi] * inv_dt2
-                        if cfg.min_alpha_tilde > 0:
-                            alpha = max(alpha, cfg.min_alpha_tilde)
-                        # geometry while the multiplier slab streams in
-                        len_sq = None
-                        for c in range(3):
-                            dc = roll_fwd2(pred[c], fam) - pred[c]
-                            len_sq = (dc * dc if len_sq is None
-                                      else len_sq + dc * dc)
-                        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
-                        cerr = length - rest
-                        wb = roll_fwd2(w, fam)
-                        denom = w + wb + alpha
-                        # the other plane is free once fi-1's store lands;
-                        # prefetch fi+1 into it before we block on fi
                         if prev_store[0] is not None:
                             prev_store[0].wait()
                             prev_store[0] = None
                         if fi + 1 < nfam_t:
                             load_lam(fi + 1, (fi + 1) % 2).start()
                         load_lam(fi, plane).wait()
-                        lam_f = slots[plane]
-                        if cfg.lambda_mode == LambdaMode.RESET:
-                            lam_f = jnp.where(it == 0, 0.0, lam_f)
-                        else:
-                            lam_f = jnp.where(it == 0,
-                                              lam_f * cfg.lambda_decay,
-                                              lam_f)
-                        dl = (-cerr - alpha * lam_f) / jnp.maximum(
-                            denom, 1e-30)
-                        if cfg.max_dlambda > 0:
-                            dl = jnp.clip(dl, -cfg.max_dlambda,
-                                          cfg.max_dlambda)
-                        if cfg.max_dlambda_rel > 0:
-                            m = cfg.max_dlambda_rel * rest
-                            dl = jnp.clip(dl, -m, m)
-                        valid = fam_mask_f32(fam)
-                        if cfg.fast_math:
-                            dl = dl * (valid.astype(jnp.float32) * relax)
-                        else:
-                            active = (
-                                valid
-                                & (length >= cfg.eps_length)
-                                & (jnp.abs(denom) >= cfg.eps_denominator)
-                                & ((w >= cfg.static_inv_mass_eps)
-                                   | (wb >= cfg.static_inv_mass_eps))
-                            )
-                            dl = jnp.where(active, dl * relax, 0.0)
-                        lam_f = lam_f + dl
-                        if cfg.lambda_clamp > 0:
-                            lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
-                                             cfg.lambda_clamp)
-                        slots[plane] = lam_f
+                        slots[plane] = process(fi, fam, slots[plane])
                         st = store_lam(fi, plane)
                         st.start()
                         prev_store[0] = st
-                        # corrections overlap the store-out and the
-                        # prefetch of the next family's slab
+                        # process's trailing correction math overlaps the
+                        # store-out and the next family's prefetch
+                    prev_store[0].wait()
+
+                def solve_pass(fam, fi, lam_f, mask, relax_f):
+                    """One masked constraint pass on the pred planes —
+                    mirrors the resident kernel's solve_family_pass.
+                    relax_f=None => exact GS; float => Jacobi scaling."""
+                    rest = spec.rest_lengths[fi]
+                    alpha = spec.compliances[fi] * inv_dt2
+                    if cfg.min_alpha_tilde > 0:
+                        alpha = max(alpha, cfg.min_alpha_tilde)
+                    len_sq = None
+                    for c in range(3):
+                        dc = roll_fwd2(pred[c], fam) - pred[c]
+                        len_sq = (dc * dc if len_sq is None
+                                  else len_sq + dc * dc)
+                    wb = roll_fwd2(w, fam)
+                    denom = w + wb + alpha
+                    if approx_math:
+                        inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
+                        length = len_sq * inv_len
+                        cerr = length - rest
+                        dl = (-cerr - alpha * lam_f) * pl.reciprocal(
+                            jnp.maximum(denom, 1e-30), approx=True)
+                    else:
+                        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
+                        cerr = length - rest
+                        dl = (-cerr - alpha * lam_f) / jnp.maximum(
+                            denom, 1e-30)
+                    if cfg.max_dlambda > 0:
+                        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
+                    if cfg.max_dlambda_rel > 0:
+                        m = cfg.max_dlambda_rel * rest
+                        dl = jnp.clip(dl, -m, m)
+                    if cfg.fast_math:
+                        scale_m = mask.astype(jnp.float32)
+                        if relax_f is not None:
+                            scale_m = scale_m * relax_f
+                        dl = dl * scale_m
+                    else:
+                        active = (
+                            mask
+                            & (length >= cfg.eps_length)
+                            & (jnp.abs(denom) >= cfg.eps_denominator)
+                            & ((w >= cfg.static_inv_mass_eps)
+                               | (wb >= cfg.static_inv_mass_eps))
+                        )
+                        dl = jnp.where(
+                            active, dl if relax_f is None else dl * relax_f,
+                            0.0)
+                    lam_f = lam_f + dl
+                    if cfg.lambda_clamp > 0:
+                        lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
+                                         cfg.lambda_clamp)
+                    scale = dl * inv_len if approx_math else dl / length
+                    for c in range(3):
+                        dc = roll_fwd2(pred[c], fam) - pred[c]
+                        dp = dc * scale
+                        pred[c] = (pred[c] - w * dp
+                                   + roll_bwd2(wb * dp, fam))
+                    return lam_f
+
+                if cfg.lambda_mode == LambdaMode.WARM_START:
+                    # streamed analog of the resident kernel's warm_apply:
+                    # decay + SOR fraction + clamp + pre-application, one
+                    # extra slab-streaming loop per substep
+                    def warm_pre(fi, fam, lam_f):
+                        rest = spec.rest_lengths[fi]
+                        lam_f = lam_f * cfg.lambda_decay
+                        if cfg.warm_start_fraction != 1.0:
+                            lam_f = lam_f * cfg.warm_start_fraction
+                        wb = roll_fwd2(w, fam)
+                        if cfg.warm_start_clamp > 0:
+                            wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
+                            lim = cfg.warm_start_clamp * rest / wmax
+                            lam_f = jnp.clip(lam_f, -lim, lim)
+                        valid, _ = fam_mask_f32(fam)
+                        if cfg.fast_math:
+                            dl = lam_f * valid.astype(jnp.float32)
+                        else:
+                            dl = jnp.where(valid, lam_f, 0.0)
+                        len_sq = None
+                        for c in range(3):
+                            dc = roll_fwd2(pred[c], fam) - pred[c]
+                            len_sq = (dc * dc if len_sq is None
+                                      else len_sq + dc * dc)
+                        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
                         scale = dl / length
                         for c in range(3):
                             dc = roll_fwd2(pred[c], fam) - pred[c]
                             dp = dc * scale
                             pred[c] = (pred[c] - w * dp
                                        + roll_bwd2(wb * dp, fam))
-                    prev_store[0].wait()
+                        return lam_f
+
+                    stream_families(warm_pre)
+
+                def iteration(it, carry2):
+                    def family_solve(fi, fam, lam_f):
+                        if cfg.lambda_mode == LambdaMode.RESET:
+                            lam_f = jnp.where(it == 0, 0.0, lam_f)
+                        elif cfg.lambda_mode == LambdaMode.DECAY:
+                            lam_f = jnp.where(it == 0,
+                                              lam_f * cfg.lambda_decay,
+                                              lam_f)
+                        # WARM_START: decay applied by the pre-apply loop
+                        valid, parity0 = fam_mask_f32(fam)
+                        if cfg.solve_mode == SolveMode.COLORED:
+                            # exact GS: even then odd parity class, slab
+                            # resident across both passes
+                            lam_f = solve_pass(fam, fi, lam_f,
+                                               valid & parity0, None)
+                            lam_f = solve_pass(fam, fi, lam_f,
+                                               valid & ~parity0, None)
+                        else:
+                            lam_f = solve_pass(fam, fi, lam_f, valid, relax)
+                        return lam_f
+
+                    stream_families(family_solve)
 
                     # ---- contacts (componentwise; mirrors resident kernel)
                     if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:

@@ -152,15 +152,44 @@ def test_streamed_kernel_matches_xla_engine():
     assert dlam < 1e-6
 
 
-def test_streamed_kernel_rejects_unsupported():
-    spec = lattice.lattice_spec(4, braced=True)
-    with pytest.raises(NotImplementedError):
-        lp.make_pallas_substep_runner_streamed(
-            spec, SolverConfig(lambda_mode=LambdaMode.WARM_START),
-            1 / 240, 4)
-    with pytest.raises(NotImplementedError):
-        lp.make_pallas_substep_runner_streamed(
-            spec, SolverConfig(solve_mode=SolveMode.COLORED), 1 / 240, 4)
+@pytest.mark.parametrize(
+    "name,cfg_kw",
+    [
+        ("colored_reset", dict(solve_mode=SolveMode.COLORED,
+                               lambda_mode=LambdaMode.RESET)),
+        ("colored_decay", dict(solve_mode=SolveMode.COLORED,
+                               lambda_mode=LambdaMode.DECAY,
+                               lambda_decay=0.99)),
+        ("jacobi_warm", dict(solve_mode=SolveMode.JACOBI,
+                             lambda_mode=LambdaMode.WARM_START,
+                             lambda_decay=0.98,
+                             warm_start_fraction=0.5)),
+        ("colored_warm", dict(solve_mode=SolveMode.COLORED,
+                              lambda_mode=LambdaMode.WARM_START,
+                              lambda_decay=0.98,
+                              warm_start_fraction=0.5)),
+    ],
+)
+def test_streamed_kernel_solve_mode_parity(name, cfg_kw):
+    """Round-2 scope extension: the streamed kernel now covers COLORED
+    (family-parity GS, slab resident across both parity passes) and
+    WARM_START (streamed pre-application loop) — must match the XLA
+    engine like the resident kernel does."""
+    cfg = SolverConfig(substeps=6, iterations=3, damping=0.02,
+                       ground_height=0.0, friction=0.3, **cfg_kw)
+    spec = lattice.lattice_spec(5, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0),
+                                          mass=0.01)
+    ref = lat_engine.make_substep_runner(spec, cfg, 1 / 480, 18)(state)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480, 18)(state)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_dist)
+                  - np.asarray(ref.lambda_dist)).max()
+    assert dpos < 1e-5, f"streamed {name} mismatch {dpos}"
+    assert dlam < 1e-5, f"streamed {name} lambda mismatch {dlam}"
 
 
 @pytest.mark.parametrize(
