@@ -197,9 +197,16 @@ class SolverConfig:
     # (dist^2 Gram trick + correction-sum matmul) — zero gathers, zero
     # capacity caveats; O(N^2) dense flops, the fastest exact path on TPU
     # up to mid-size N (ops/spatial_hash.self_collision_project_dense).
+    # "blocked": EXACT at scale — Morton-sort into fixed blocks, AABB
+    # block-pair culling, top-M neighbor blocks per block, then the dense
+    # MXU formulation per (block x M*block) candidate slab.  O(N*M*B)
+    # flops; exact whenever <= block_neighbors blocks overlap any block's
+    # reach (overflow is detectable via self_collision_blocked_overflow).
     self_collision_backend: str = "hash"
     sorted_window: int = 16           # one-sided neighbor window ("sorted")
     dense_row_block: int = 256        # rows per lax.scan block ("dense")
+    collision_block_size: int = 256   # particles per Morton block ("blocked")
+    block_neighbors: int = 8          # candidate blocks per block ("blocked")
 
     # --- numerical guards ---
     eps_length: float = 1e-5          # CPUDistanceConstraint.cs:64 degenerate length
@@ -224,13 +231,18 @@ class SolverConfig:
         if self.distance_backend not in ("auto", "gather", "windowed"):
             raise ValueError(
                 "distance_backend must be auto|gather|windowed")
-        if self.self_collision_backend not in ("hash", "sorted", "dense"):
+        if self.self_collision_backend not in ("hash", "sorted", "dense",
+                                               "blocked"):
             raise ValueError(
-                "self_collision_backend must be hash|sorted|dense")
+                "self_collision_backend must be hash|sorted|dense|blocked")
         if self.sorted_window < 1:
             raise ValueError("sorted_window must be >= 1")
         if self.dense_row_block < 1:
             raise ValueError("dense_row_block must be >= 1")
+        if self.collision_block_size < 8:
+            raise ValueError("collision_block_size must be >= 8")
+        if self.block_neighbors < 1:
+            raise ValueError("block_neighbors must be >= 1")
         if self.substeps < 1:
             raise ValueError("substeps must be >= 1")
         if self.iterations < 1:

@@ -156,6 +156,116 @@ def self_collision_project_dense(pred, inv_mass, cfg: SolverConfig):
     return pred + cfg.self_collision_omega * corr
 
 
+# -------------------------------------------------------------- blocked path
+def _blocked_layout(pred, inv_mass, order, cfg: SolverConfig):
+    """Morton-sorted, block-padded layout shared by the blocked projection
+    and its overflow diagnostic.  Pads replicate the last real particle's
+    position (so the final block's AABB is not inflated) and are excluded
+    from every pair by the id < n mask."""
+    import jax
+
+    n = pred.shape[0]
+    block = max(8, min(cfg.collision_block_size, n))
+    npad = ((n + block - 1) // block) * block
+    nb = npad // block
+
+    x = pred[order] - pred.mean(axis=0)
+    w = inv_mass[order]
+    ids = jnp.arange(npad, dtype=jnp.int32)
+    if npad != n:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (npad - n, 3))])
+        w = jnp.concatenate([w, jnp.zeros(npad - n, w.dtype)])
+
+    xb = x.reshape(nb, block, 3)
+    bmin = xb.min(axis=1)                      # (nb, 3)
+    bmax = xb.max(axis=1)
+    # min distance^2 between block AABBs; touch iff it can be < (2r)^2
+    gap = jnp.maximum(
+        jnp.maximum(bmin[:, None, :] - bmax[None, :, :],
+                    bmin[None, :, :] - bmax[:, None, :]), 0.0)
+    d2ab = jnp.sum(gap * gap, axis=-1)         # (nb, nb)
+    touch = d2ab < (2.0 * cfg.particle_radius) ** 2
+    return (x, w, ids, xb, w.reshape(nb, block), ids.reshape(nb, block),
+            touch, d2ab, n, block, nb)
+
+
+def self_collision_blocked_overflow(pred, inv_mass, order,
+                                    cfg: SolverConfig):
+    """Worst-case number of AABB-touching blocks dropped by the top-M
+    candidate selection (0 => the blocked pass was EXACT this substep)."""
+    (*_, touch, _d2ab, _n, _block, _nb) = _blocked_layout(
+        pred, inv_mass, order, cfg)
+    per_row = jnp.sum(touch, axis=1)
+    return jnp.maximum(jnp.max(per_row) - cfg.block_neighbors, 0)
+
+
+def self_collision_project_blocked(pred, inv_mass, order,
+                                   cfg: SolverConfig):
+    """One EXACT-at-scale Jacobi separation pass: dense MXU contact math
+    restricted to AABB-proximate Morton blocks.
+
+    Pipeline: Morton-sort (``order``, computed once per substep) ->
+    fixed ``collision_block_size`` blocks -> block AABB pair culling ->
+    ``block_neighbors`` nearest candidate blocks per block (top-k on AABB
+    distance, non-touching blocks masked) -> the dense backend's Gram-trick
+    matmuls on each (B, M*B) candidate slab under ``lax.scan``.
+
+    Arithmetic per surviving pair is identical to the dense backend; the
+    result is exact whenever no block has more than ``block_neighbors``
+    AABB-touching blocks (checkable via ``self_collision_blocked_overflow``;
+    with cell-scale blocks and physical densities the bound holds with
+    room).  O(N * M * B) flops vs dense's O(N^2) — the exact path for 64k+
+    self-colliding particles (BASELINE config 4 at scale).
+    """
+    import jax
+
+    (x, w, ids, xb, wb, idb, touch, d2ab, n, block, nb) = _blocked_layout(
+        pred, inv_mass, order, cfg)
+    m_nbr = min(cfg.block_neighbors, nb)
+    radius = cfg.particle_radius
+
+    key = jnp.where(touch, -d2ab, -jnp.inf)
+    _, nbr_idx = jax.lax.top_k(key, m_nbr)             # (nb, M)
+    nbr_ok = jnp.take_along_axis(touch, nbr_idx, axis=1)  # (nb, M)
+
+    sq = jnp.sum(x * x, axis=-1)
+    sqb = sq.reshape(nb, block)
+
+    def row_block(_, inp):
+        xi, sqi, wi, idi, nbr, ok = inp
+        cx = xb[nbr].reshape(m_nbr * block, 3)          # (MB, 3)
+        csq = sqb[nbr].reshape(m_nbr * block)
+        cw = wb[nbr].reshape(m_nbr * block)
+        cid = idb[nbr].reshape(m_nbr * block)
+        cok = jnp.repeat(ok, block)                     # (MB,)
+        g = jax.lax.dot_general(
+            xi, cx, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)        # (B, MB)
+        d2 = sqi[:, None] + csq[None, :] - 2.0 * g
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+        overlap = 2.0 * radius - dist
+        wsum = wi[:, None] + cw[None, :]
+        touch_p = ((idi[:, None] != cid[None, :]) & (overlap > 0)
+                   & (dist > 1e-9) & (wsum > 1e-12)
+                   & cok[None, :]
+                   & (idi[:, None] < n) & (cid[None, :] < n))
+        m = jnp.where(touch_p,
+                      overlap / (jnp.maximum(dist, 1e-12)
+                                 * jnp.maximum(wsum, 1e-12)), 0.0)
+        mx = jax.lax.dot_general(
+            m, cx, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)        # (B, 3)
+        corr = wi[:, None] * (xi * jnp.sum(m, axis=1)[:, None] - mx)
+        return _, corr
+
+    _, corr = jax.lax.scan(
+        row_block, None,
+        (xb, sqb, wb, idb, nbr_idx, nbr_ok))
+    corr = corr.reshape(nb * block, 3)[:n]
+    inv_order = jnp.argsort(order)
+    return pred + cfg.self_collision_omega * corr[inv_order]
+
+
 # --------------------------------------------------------------- sorted path
 def _spread_bits_3(x):
     """Spread the low 10 bits of x so consecutive bits land 3 apart

@@ -295,9 +295,10 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         raise ValueError("distance_backend='windowed' requires a topology "
                          "built with build_windowed_topology")
 
-    if cfg.enable_self_collision and cfg.self_collision_backend == "sorted":
+    if cfg.enable_self_collision and cfg.self_collision_backend in (
+            "sorted", "blocked"):
         # Morton neighbor ordering built ONCE per substep from the predicted
-        # positions; the window pass reuses it across solver iterations
+        # positions; the window/blocked passes reuse it across iterations
         sc_order = _spatial_hash.morton_order(pred, cfg)
     else:
         sc_order = None
@@ -305,8 +306,11 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     def project_contacts(pred):
         """Unilateral contact projections (self-collision, floor, SDFs)."""
         if cfg.enable_self_collision:
-            if sc_order is not None:
+            if cfg.self_collision_backend == "sorted":
                 pred = _spatial_hash.self_collision_project_sorted(
+                    pred, state.inv_mass, sc_order, cfg)
+            elif cfg.self_collision_backend == "blocked":
+                pred = _spatial_hash.self_collision_project_blocked(
                     pred, state.inv_mass, sc_order, cfg)
             elif cfg.self_collision_backend == "dense":
                 pred = _spatial_hash.self_collision_project_dense(

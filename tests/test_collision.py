@@ -77,13 +77,17 @@ def _project(backend, pred, w, cfg):
         order = spatial_hash.morton_order(pred, cfg)
         return np.asarray(spatial_hash.self_collision_project_sorted(
             pred, w, order, cfg))
+    if backend == "blocked":
+        order = spatial_hash.morton_order(pred, cfg)
+        return np.asarray(spatial_hash.self_collision_project_blocked(
+            pred, w, order, cfg))
     if backend == "dense":
         return np.asarray(spatial_hash.self_collision_project_dense(
             pred, w, cfg))
     return np.asarray(spatial_hash.self_collision_project(pred, w, cfg))
 
 
-@pytest.mark.parametrize("backend", ["hash", "sorted", "dense"])
+@pytest.mark.parametrize("backend", ["hash", "sorted", "dense", "blocked"])
 def test_self_collision_separates_overlap(backend):
     import jax.numpy as jnp
 
@@ -96,7 +100,7 @@ def test_self_collision_separates_overlap(backend):
     assert np.allclose(out[2], [3.0, 0.0, 0.0], atol=1e-6)  # far particle untouched
 
 
-@pytest.mark.parametrize("backend", ["hash", "sorted", "dense"])
+@pytest.mark.parametrize("backend", ["hash", "sorted", "dense", "blocked"])
 def test_self_collision_respects_pinning(backend):
     import jax.numpy as jnp
 
@@ -140,7 +144,51 @@ def test_dense_matches_hash_on_random_cloud():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("backend", ["hash", "sorted", "dense"])
+def test_blocked_matches_dense_on_random_cloud():
+    """The blocked backend restricts the dense math to AABB-proximate
+    Morton blocks; with zero candidate overflow it must be EXACT — same
+    nonzero pair terms as the all-pairs dense pass (the skipped far pairs
+    contribute exact 0.0), including pinned particles and a cloud size
+    that forces block padding."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 517  # not a multiple of collision_block_size
+    pred = jnp.asarray(rng.uniform(0, 1.0, (n, 3)), jnp.float32)
+    w = jnp.asarray((rng.uniform(size=n) > 0.1).astype(np.float32))
+    cfg = SolverConfig(particle_radius=0.05, self_collision_omega=1.0,
+                       collision_block_size=64, block_neighbors=16,
+                       dense_row_block=64)
+    order = spatial_hash.morton_order(pred, cfg)
+    over = int(spatial_hash.self_collision_blocked_overflow(
+        pred, w, order, cfg))
+    assert over == 0, f"test cloud overflows candidate budget by {over}"
+    a = _project("dense", pred, w, cfg)
+    b = _project("blocked", pred, w, cfg)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_overflow_diagnostic():
+    """A too-small block_neighbors budget must be detectable (the pass is
+    then approximate); a generous budget reports zero."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    # one dense clump: every block's AABB touches every other block's
+    pred = jnp.asarray(rng.uniform(0, 0.08, (256, 3)), jnp.float32)
+    w = jnp.ones(256)
+    cfg_small = SolverConfig(particle_radius=0.05, collision_block_size=16,
+                             block_neighbors=2)
+    order = spatial_hash.morton_order(pred, cfg_small)
+    over = int(spatial_hash.self_collision_blocked_overflow(
+        pred, w, order, cfg_small))
+    assert over > 0
+    cfg_big = cfg_small.replace(block_neighbors=16)
+    assert int(spatial_hash.self_collision_blocked_overflow(
+        pred, w, order, cfg_big)) == 0
+
+
+@pytest.mark.parametrize("backend", ["hash", "sorted", "dense", "blocked"])
 def test_two_bodies_dont_interpenetrate(backend):
     """Two cube8 bodies dropped into each other with self-collision on."""
     pos_a = mesh.cube_corners(0.5) + np.array([0, 1.0, 0], np.float32)
