@@ -108,6 +108,14 @@ def main():
     fn_f = lat.make_substep_runner(spec_f, cfg_f, 1 / 240, Lf)
     measure("lattice 64k FAITHFUL flagship (colored+decay+reflect x9it)",
             fn_f, st_f, spec_f.n_particles, Lf)
+    try:  # same faithful config fused in the streamed kernel (round 2)
+        fn_fp = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec_f, cfg_f, 1 / 240, Lf)
+        measure("lattice 64k FAITHFUL flagship (streamed pallas)",
+                fn_fp, st_f, spec_f.n_particles, Lf)
+    except Exception as e:  # noqa: BLE001
+        print(f"faithful streamed unavailable: {type(e).__name__}: {e}",
+              flush=True)
 
     # 1c. WARM_START high-throughput mode (now stable in the near-rigid
     # regime via warm_start_fraction: ROADMAP #4 resolved)
@@ -234,6 +242,32 @@ def main():
     fn_d = general.make_step(topo_s, cfg_d, 1 / 60, n_steps=steps_s)
     measure(f"self-collision 2x{n_s}p (dense MXU, exact)", fn_d, st_d,
             2 * n_s, steps_s * cfg_d.substeps)
+
+    # 4d. blocked EXACT backend at 64k particles (two res-32 bodies):
+    # AABB-culled Morton blocks x dense MXU slabs — the exact scale path
+    res_b = 32
+    n_b = res_b ** 3
+    pa_b = lattice.lattice_points(res_b, center=(0, 0.8, 0))
+    pb_b = lattice.lattice_points(res_b, center=(0.1, 2.0, 0.05))
+    pos_b = np.concatenate([pa_b, pb_b])
+    e_b, c_b = lattice.lattice_edges(res_b, braced=True)
+    topo_b = build.build_topology(
+        pos_b, np.concatenate([e_b, e_b + n_b]),
+        np.concatenate([c_b, c_b]), color=False)
+    spacing_b = 1.0 / (res_b - 1)
+    cfg_b = SolverConfig(substeps=4, iterations=2, damping=0.03,
+                         solve_mode=SolveMode.JACOBI,
+                         gravity_is_acceleration=True,
+                         enable_self_collision=True,
+                         self_collision_backend="blocked",
+                         collision_block_size=256, block_neighbors=12,
+                         particle_radius=0.45 * spacing_b,
+                         ground_height=0.0, friction=0.3)
+    st_b = state_from_topology(topo_b, pos_b)
+    steps_b = 20
+    fn_b2 = general.make_step(topo_b, cfg_b, 1 / 60, n_steps=steps_b)
+    measure(f"self-collision 2x{n_b}p (blocked MXU, exact)", fn_b2, st_b,
+            2 * n_b, steps_b * cfg_b.substeps)
 
     print(json.dumps(RESULTS), flush=True)
 
