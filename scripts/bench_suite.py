@@ -188,6 +188,17 @@ def main():
     measure("ensemble 1024 x 64p (vmap)", fnb, batched,
             1024 * spec4.n_particles, steps * cfg4.substeps)
 
+    # 3b. fused ensemble Pallas kernel (bodies folded into lanes)
+    try:
+        fnbp = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec4, cfg4, (1 / 60) / cfg4.substeps, steps * cfg4.substeps,
+            n_bodies=1024)
+        measure("ensemble 1024 x 64p (pallas, lane-folded)", fnbp, batched,
+                1024 * spec4.n_particles, steps * cfg4.substeps)
+    except Exception as e:  # noqa: BLE001
+        print(f"ensemble pallas unavailable: {type(e).__name__}: {e}",
+              flush=True)
+
     # 4. self-collision spatial hash: two res-8 braced cubes interpenetrating
     res = 8
     n1 = res ** 3

@@ -465,7 +465,9 @@ def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
 
 def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         dt_sub: float, n_substeps: int,
-                                        approx_math: bool = False):
+                                        approx_math: bool = False,
+                                        v_resident=None,
+                                        n_bodies: int = 1):
     """Grid-blocked variant for lattices beyond VMEM (res > ~40): positions,
     predictions and inverse masses stay VMEM-resident; velocities stream
     per-coordinate-plane and the per-family multipliers stream HBM<->VMEM
@@ -491,12 +493,21 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     never wrap for real lanes, roll-contaminated destination lanes are
     exactly the ones the family masks already invalidate, and backward
     scatter from pad lanes carries dl=0 (the lane<r2 mask).  This is what
-    lets res 40 — the 64k headline size — run on the streamed kernel."""
+    lets res 40 — the 64k headline size — run on the streamed kernel.
+
+    ``n_bodies > 1``: the fused ENSEMBLE kernel — bodies fold into the
+    lane dimension exactly like ``solvers.lattice.make_batched_step``
+    (lane = b*res^2 + y*res + z), the masks become body-local (cc mod
+    res^2), and the same roll/mask argument kills constraint leakage at
+    body boundaries.  Input/output: batched SimState with a leading body
+    axis.  Raw substep semantics (no external forces), one shared
+    config — the lane-folded ensemble bench path, fused."""
     _check_supported(cfg, spec)
     res = spec.res
     r2 = res * res
-    r2p = ((r2 + 127) // 128) * 128
-    lane_padded = r2p != r2
+    lanes = n_bodies * r2
+    r2p = ((lanes + 127) // 128) * 128   # padded LANE width (all bodies)
+    lane_padded = r2p != lanes
     nfam = spec.n_families
     dt = dt_sub
     inv_dt2 = 1.0 / (dt * dt)
@@ -529,11 +540,14 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         return a
 
     def fam_mask_f32(fam):
-        """(valid, parity0) masks recomputed from iotas (never stored)."""
+        """(valid, parity0) masks recomputed from iotas (never stored).
+        For ensembles the cell coordinate is body-local (cc mod res^2) —
+        exactly the tiled masks of the lane-folded XLA engine."""
         xx = lax.broadcasted_iota(jnp.int32, (res, r2p), 0)
         cc = lax.broadcasted_iota(jnp.int32, (res, r2p), 1)
-        yy = cc // res
-        zz = cc - yy * res
+        ccb = lax.rem(cc, r2) if n_bodies > 1 else cc
+        yy = ccb // res
+        zz = ccb - yy * res
         dx, dy, dz, kind = fam
         if spec.reference_bounds and kind != 0:
             valid = (xx < res - 1) & (yy < res - 1) & (zz < res - 1)
@@ -545,20 +559,35 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 elif d < 0:
                     valid = valid & (coord >= -d)
         if lane_padded:
-            valid = valid & (cc < r2)
+            valid = valid & (cc < lanes)
         lead = xx if dx else (yy if dy else zz)
         parity0 = (lead % 2) == 0
         return valid, parity0
 
+    # Keep velocities VMEM-resident for the whole call when they fit:
+    # the per-substep per-plane v DMAs (6 serial round trips) are a large
+    # fraction of a ~20 us substep at res 40.  Budget: 13 resident
+    # res-planes of f32 (xo, pred, slots, vres, w; x streams in via DMA
+    # from ANY memspace) PLUS ~8 planes of Mosaic stack temporaries in the
+    # solve pass (measured: res 64 with vres OOMs at 17.98M vs the 16M
+    # scoped-vmem limit) — so vres auto-enables only when ~21 planes fit;
+    # above that (res >= 56) velocities stream per plane as before.
+    # v_resident=None => auto; pass a bool to force (tests cover both).
+    if v_resident is None:
+        v_resident = 21 * res * r2p * 4 <= 15_000_000
+
     def kernel(x_in, v_hbm, w_ref, lam_hbm, xo_ref, vo_hbm, lamo_hbm):
-        def scoped(pred, slots, sem):
+        def scoped(pred, slots, sem, vres=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
-            xo_ref[:] = x_in[:]
-            cp_v = pltpu.make_async_copy(v_hbm, vo_hbm, sem.at[0])
+            cp_x = pltpu.make_async_copy(x_in, xo_ref, sem.at[2])
+            cp_x.start()
+            cp_v = pltpu.make_async_copy(
+                v_hbm, vres if v_resident else vo_hbm, sem.at[0])
             cp_v.start()
             cp_l = pltpu.make_async_copy(lam_hbm, lamo_hbm, sem.at[1])
             cp_l.start()
+            cp_x.wait()
             cp_v.wait()
             cp_l.wait()
             w = w_ref[:]
@@ -574,11 +603,14 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             def substep(step_i, carry):
                 # ---- predict, one coordinate plane at a time
                 for c, gc in ((0, gx), (1, gy), (2, gz)):
-                    cp = pltpu.make_async_copy(
-                        vo_hbm.at[c], slots.at[0], sem.at[0])
-                    cp.start()
-                    cp.wait()
-                    vc = slots[0]
+                    if v_resident:
+                        vc = vres[c]
+                    else:
+                        cp = pltpu.make_async_copy(
+                            vo_hbm.at[c], slots.at[0], sem.at[0])
+                        cp.start()
+                        cp.wait()
+                        vc = slots[0]
                     if cfg.gravity_is_acceleration:
                         vc = vc + dt * jnp.where(w > 0, gc, 0.0)
                     else:
@@ -812,60 +844,75 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
 
                 lax.fori_loop(0, cfg.iterations, iteration, 0)
 
-                # ---- finalize (+ velocity reflect), then stream v out
+                # ---- finalize (+ velocity reflect); v stays in VMEM when
+                # resident, else streams out per plane
                 pinned = w == 0.0
+                vbuf = vres if v_resident else slots
                 if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
                     for c in range(3):
-                        slots[c] = jnp.where(
+                        vbuf[c] = jnp.where(
                             pinned, 0.0, (pred[c] - xo_ref[c]) / dt)
                     gh = cfg.ground_height
                     x1 = jnp.where(pinned, xo_ref[1], pred[1])
                     pen = gh - x1
                     hit = (pen > 0) & (w > 0)
                     x1 = jnp.where(hit, gh + cfg.floor_offset, x1)
-                    falling = hit & (slots[1] < 0)
-                    vy = (jnp.abs(slots[1]) * cfg.restitution
+                    falling = hit & (vbuf[1] < 0)
+                    vy = (jnp.abs(vbuf[1]) * cfg.restitution
                           + pen * cfg.penetration_kick)
-                    v1n = jnp.where(falling, vy, slots[1])
+                    v1n = jnp.where(falling, vy, vbuf[1])
                     normal_force = (jnp.abs(v1n)
                                     + pen * cfg.normal_force_scale)
                     h_speed = jnp.sqrt(jnp.maximum(
-                        slots[0] ** 2 + slots[2] ** 2, 1e-24))
+                        vbuf[0] ** 2 + vbuf[2] ** 2, 1e-24))
                     moving = h_speed > 1e-3
                     fmag = jnp.minimum(
                         h_speed,
                         normal_force * cfg.floor_friction_coeff * dt)
                     scalef = jnp.where(falling & moving, fmag / h_speed, 0.0)
-                    slots[0] = slots[0] - slots[0] * scalef
-                    slots[1] = v1n
-                    slots[2] = slots[2] - slots[2] * scalef
+                    vbuf[0] = vbuf[0] - vbuf[0] * scalef
+                    vbuf[1] = v1n
+                    vbuf[2] = vbuf[2] - vbuf[2] * scalef
                     xo_ref[0] = jnp.where(pinned, xo_ref[0], pred[0])
                     xo_ref[1] = x1
                     xo_ref[2] = jnp.where(pinned, xo_ref[2], pred[2])
-                    for c in range(3):
-                        cp = pltpu.make_async_copy(
-                            slots.at[c], vo_hbm.at[c], sem.at[c])
-                        cp.start()
-                        cp.wait()
+                    if not v_resident:
+                        for c in range(3):
+                            cp = pltpu.make_async_copy(
+                                slots.at[c], vo_hbm.at[c], sem.at[c])
+                            cp.start()
+                            cp.wait()
                 else:
-                    for c in range(3):
-                        slots[0] = jnp.where(
-                            pinned, 0.0, (pred[c] - xo_ref[c]) / dt)
-                        xo_ref[c] = jnp.where(pinned, xo_ref[c], pred[c])
-                        cp = pltpu.make_async_copy(
-                            slots.at[0], vo_hbm.at[c], sem.at[0])
-                        cp.start()
-                        cp.wait()
+                    if v_resident:
+                        for c in range(3):
+                            vres[c] = jnp.where(
+                                pinned, 0.0, (pred[c] - xo_ref[c]) / dt)
+                            xo_ref[c] = jnp.where(pinned, xo_ref[c], pred[c])
+                    else:
+                        for c in range(3):
+                            slots[0] = jnp.where(
+                                pinned, 0.0, (pred[c] - xo_ref[c]) / dt)
+                            xo_ref[c] = jnp.where(pinned, xo_ref[c], pred[c])
+                            cp = pltpu.make_async_copy(
+                                slots.at[0], vo_hbm.at[c], sem.at[0])
+                            cp.start()
+                            cp.wait()
                 return carry
 
             lax.fori_loop(0, n_substeps, substep, 0)
+            if v_resident:
+                cp_out = pltpu.make_async_copy(vres, vo_hbm, sem.at[0])
+                cp_out.start()
+                cp_out.wait()
 
-        pl.run_scoped(
-            scoped,
+        scratch = dict(
             pred=pltpu.VMEM((3, res, r2p), jnp.float32),
             slots=pltpu.VMEM((3, res, r2p), jnp.float32),
             sem=pltpu.SemaphoreType.DMA((3,)),
         )
+        if v_resident:
+            scratch["vres"] = pltpu.VMEM((3, res, r2p), jnp.float32)
+        pl.run_scoped(scoped, **scratch)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -876,27 +923,54 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # v
             jax.ShapeDtypeStruct((nfam, res, r2p), jnp.float32),  # lambda
         ),
-        in_specs=[vspec, aspec, vspec, aspec],
+        in_specs=[aspec, aspec, vspec, aspec],  # x streams in via DMA
         out_specs=(vspec, aspec, aspec),
     )
 
+    def to_wide(arr_bn3):
+        # (B, N, 3) -> (3, res, B*r2), lane = b*r2 + (y*res + z)
+        a = arr_bn3.reshape(n_bodies, res, r2, 3)
+        return jnp.transpose(a, (3, 1, 0, 2)).reshape(3, res, lanes)
+
+    def from_wide(a):
+        a = a.reshape(3, res, n_bodies, r2)
+        return jnp.transpose(a, (2, 1, 3, 0)).reshape(n_bodies, res * r2, 3)
+
     @jax.jit
     def fn(state: SimState) -> SimState:
-        x = state.positions.T.reshape(3, res, r2)
-        v = state.velocities.T.reshape(3, res, r2)
-        w = state.inv_mass.reshape(res, r2)
-        lam = state.lambda_dist.reshape(nfam, res, r2)
+        if n_bodies > 1:
+            x = to_wide(state.positions)
+            v = to_wide(state.velocities)
+            w = jnp.transpose(
+                state.inv_mass.reshape(n_bodies, res, r2), (1, 0, 2)
+            ).reshape(res, lanes)
+            lam = jnp.transpose(
+                state.lambda_dist.reshape(n_bodies, nfam, res, r2),
+                (1, 2, 0, 3)).reshape(nfam, res, lanes)
+        else:
+            x = state.positions.T.reshape(3, res, r2)
+            v = state.velocities.T.reshape(3, res, r2)
+            w = state.inv_mass.reshape(res, r2)
+            lam = state.lambda_dist.reshape(nfam, res, r2)
         if lane_padded:
-            pad3 = ((0, 0), (0, 0), (0, r2p - r2))
+            pad3 = ((0, 0), (0, 0), (0, r2p - lanes))
             x = jnp.pad(x, pad3)
             v = jnp.pad(v, pad3)
             lam = jnp.pad(lam, pad3)
-            w = jnp.pad(w, ((0, 0), (0, r2p - r2)))  # pads pinned (w=0)
+            w = jnp.pad(w, ((0, 0), (0, r2p - lanes)))  # pads pinned (w=0)
         xo, vo, lamo = call(x, v, w, lam)
         if lane_padded:
-            xo = xo[..., :r2]
-            vo = vo[..., :r2]
-            lamo = lamo[..., :r2]
+            xo = xo[..., :lanes]
+            vo = vo[..., :lanes]
+            lamo = lamo[..., :lanes]
+        if n_bodies > 1:
+            return state.replace(
+                positions=from_wide(xo),
+                velocities=from_wide(vo),
+                lambda_dist=jnp.transpose(
+                    lamo.reshape(nfam, res, n_bodies, r2), (2, 0, 1, 3)
+                ).reshape(n_bodies, -1),
+            )
         return state.replace(
             positions=xo.reshape(3, -1).T,
             velocities=vo.reshape(3, -1).T,

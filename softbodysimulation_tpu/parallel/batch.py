@@ -94,6 +94,37 @@ def make_sharded_lattice_step(spec, cfg: SolverConfig, dt: float, mesh: Mesh,
     return jax.jit(fn)
 
 
+def make_sharded_pallas_rollout(spec, cfg: SolverConfig, dt_sub: float,
+                                n_substeps: int, mesh: Mesh, n_bodies: int,
+                                axis: str = "dp", **kernel_kw):
+    """DP over chips x the fused ensemble Pallas kernel per shard.
+
+    Each chip runs ``kernels.lattice_pallas.make_pallas_substep_runner_
+    streamed(..., n_bodies=B_local)`` on its contiguous slab of bodies —
+    the whole multi-chip ensemble advances in ONE fused kernel per chip
+    with zero hot-loop collectives.  Raw substep semantics (no external
+    forces), matching the single-chip runner; use the XLA
+    ``make_sharded_lattice_step`` when the per-step force lifecycle is
+    needed.  ``n_bodies`` is the GLOBAL body count and must divide by the
+    mesh size."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..kernels import lattice_pallas as _pallas
+
+    n_shards = mesh.devices.size
+    if n_bodies % n_shards:
+        raise ValueError(f"n_bodies={n_bodies} must divide the "
+                         f"{n_shards}-device mesh")
+    local = _pallas.make_pallas_substep_runner_streamed(
+        spec, cfg, dt_sub, n_substeps, n_bodies=n_bodies // n_shards,
+        **kernel_kw)
+    spec_b = jax.tree.map(lambda _: P(axis), _state_structure(spec))
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_b,), out_specs=spec_b,
+                   check_rep=False)
+    return jax.jit(fn)
+
+
 def make_sharded_general_step(topo, cfg: SolverConfig, dt: float, mesh: Mesh,
                               n_steps: int = 1, axis: str = "dp"):
     """Batched GENERAL-engine (arbitrary mesh) step sharded over chips: the

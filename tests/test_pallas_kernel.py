@@ -128,11 +128,13 @@ def test_pallas_step_ext_force_matches_xla_step():
         assert np.abs(np.asarray(out.ext_force)).max() == 0.0
 
 
-def test_streamed_kernel_matches_xla_engine():
+@pytest.mark.parametrize("v_resident", [None, False])
+def test_streamed_kernel_matches_xla_engine(v_resident):
     """The HBM-streaming variant (res > VMEM: lambdas/velocities streamed
     via explicit DMA, masks recomputed in-pass) must match the XLA engine
     exactly like the resident kernel does.  Small res here; res 64 runs on
-    hardware (BENCHMARKS.md)."""
+    hardware (BENCHMARKS.md).  v_resident=False forces the per-substep
+    velocity-plane DMA path that big res uses (auto keeps v in VMEM)."""
     cfg = SolverConfig(substeps=8, iterations=2, damping=0.02,
                        solve_mode=SolveMode.JACOBI,
                        lambda_mode=LambdaMode.DECAY, lambda_decay=0.97,
@@ -143,7 +145,7 @@ def test_streamed_kernel_matches_xla_engine():
     ref = lat_engine.make_substep_runner(spec, cfg, 1 / 480, 12)(state)
     with pltpu.force_tpu_interpret_mode():
         out = lp.make_pallas_substep_runner_streamed(
-            spec, cfg, 1 / 480, 12)(state)
+            spec, cfg, 1 / 480, 12, v_resident=v_resident)(state)
     dpos = np.abs(np.asarray(out.positions)
                   - np.asarray(ref.positions)).max()
     dlam = np.abs(np.asarray(out.lambda_dist)
@@ -190,6 +192,42 @@ def test_streamed_kernel_solve_mode_parity(name, cfg_kw):
                   - np.asarray(ref.lambda_dist)).max()
     assert dpos < 1e-5, f"streamed {name} mismatch {dpos}"
     assert dlam < 1e-5, f"streamed {name} lambda mismatch {dlam}"
+
+
+def test_streamed_kernel_ensemble_matches_batched_engine():
+    """n_bodies > 1 folds bodies into lanes exactly like the XLA
+    lane-folded ensemble engine (solvers.lattice.make_batched_step);
+    with zero external forces the two must agree — including across the
+    body-boundary roll masking and the lane padding (5 bodies x res 4:
+    320 lanes -> padded 384)."""
+    from softbodysimulation_tpu.parallel import batch as pbatch
+
+    cfg = SolverConfig(substeps=4, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET,
+                       ground_height=0.0, friction=0.3)
+    spec = lattice.lattice_spec(4, braced=True)
+    base = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0),
+                                         mass=0.01)
+    nb = 5
+    batched = pbatch.replicate_state(base, nb)
+    rng = np.random.default_rng(2)
+    offs = jnp.asarray(rng.uniform(-1, 1, (nb, 1, 3)) * 0.3
+                       + np.array([0, 0.5, 0]), jnp.float32)
+    batched = batched.replace(positions=batched.positions + offs)
+    n_steps = 3
+    ref = lat_engine.make_batched_step(spec, cfg, 1 / 120, nb,
+                                       n_steps=n_steps)(batched)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, (1 / 120) / cfg.substeps,
+            n_steps * cfg.substeps, n_bodies=nb)(batched)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_dist)
+                  - np.asarray(ref.lambda_dist)).max()
+    assert dpos < 1e-5, f"ensemble streamed/xla mismatch {dpos}"
+    assert dlam < 1e-5, f"ensemble lambda mismatch {dlam}"
 
 
 @pytest.mark.parametrize(

@@ -68,6 +68,25 @@ class TestSharded:
         assert np.allclose(np.asarray(out_s.positions),
                            np.asarray(out_l.positions), atol=1e-5)
 
+    def test_sharded_pallas_rollout_matches_xla(self):
+        """DP shard_map x the fused ensemble Pallas kernel per shard must
+        match the (unsharded) lane-folded XLA engine on the virtual mesh
+        (raw rollout: zero external forces)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        spec, batched = make_ensemble(16, res=4)
+        cfg = cfg_default(lambda_mode=LambdaMode.RESET)
+        mesh = pbatch.make_mesh(8)
+        sharded = pbatch.shard_batched_state(batched, mesh)
+        n_sub = 3 * cfg.substeps
+        with pltpu.force_tpu_interpret_mode():
+            out_s = pbatch.make_sharded_pallas_rollout(
+                spec, cfg, DT / cfg.substeps, n_sub, mesh, 16)(sharded)
+            got = np.asarray(out_s.positions)
+        ref = lat_engine.make_batched_step(spec, cfg, DT, 16,
+                                           n_steps=3)(batched)
+        assert np.allclose(got, np.asarray(ref.positions), atol=1e-5)
+
     def test_sharded_ensemble_diagnostics(self):
         spec, batched = make_ensemble(16)
         mesh = pbatch.make_mesh(8)
