@@ -651,6 +651,25 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         # store-out and the next family's prefetch
                     prev_store[0].wait()
 
+                def stream_families_no_lambda_io(process, store_now):
+                    # RESET x iterations=1 specialization: every pass
+                    # zeroes lambda before use, so the slab LOADS are dead
+                    # and the stores only matter for the final state's
+                    # lambda output — predicated on the last substep.
+                    # Removes ALL per-substep lambda HBM traffic
+                    # (2 x nfam x res x lanes x 4 bytes per substep).
+                    zero = jnp.zeros((res, r2p), jnp.float32)
+                    for fi, fam in enumerate(spec.families):
+                        plane = fi % 2
+                        lam_f = process(fi, fam, zero)
+
+                        @pl.when(store_now)
+                        def _(lam_f=lam_f, fi=fi, plane=plane):
+                            slots[plane] = lam_f
+                            st = store_lam(fi, plane)
+                            st.start()
+                            st.wait()
+
                 def solve_pass(fam, fi, lam_f, mask, relax_f):
                     """One masked constraint pass on the pred planes —
                     mirrors the resident kernel's solve_family_pass.
@@ -766,7 +785,12 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             lam_f = solve_pass(fam, fi, lam_f, valid, relax)
                         return lam_f
 
-                    stream_families(family_solve)
+                    if (cfg.lambda_mode == LambdaMode.RESET
+                            and cfg.iterations == 1):
+                        stream_families_no_lambda_io(
+                            family_solve, step_i == n_substeps - 1)
+                    else:
+                        stream_families(family_solve)
 
                     # ---- contacts (componentwise; mirrors resident kernel)
                     if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:

@@ -194,6 +194,54 @@ def test_streamed_kernel_solve_mode_parity(name, cfg_kw):
     assert dlam < 1e-5, f"streamed {name} lambda mismatch {dlam}"
 
 
+def test_streamed_kernel_reset_single_iteration_specialization():
+    """RESET x iterations=1 (the headline bench regime) skips all lambda
+    slab loads and defers the store to the last substep — positions AND
+    the final lambda output must still match the XLA engine exactly."""
+    cfg = SolverConfig(substeps=8, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET, fast_math=True,
+                       gravity_is_acceleration=True,
+                       ground_height=0.0, friction=0.3)
+    spec = lattice.lattice_spec(6, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.6, 0),
+                                          mass=0.001)
+    ref = lat_engine.make_substep_runner(spec, cfg, 1 / 480, 11)(state)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480, 11)(state)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_dist)
+                  - np.asarray(ref.lambda_dist)).max()
+    assert dpos < 1e-5, f"reset-x1 specialization mismatch {dpos}"
+    assert dlam < 1e-6, f"reset-x1 lambda mismatch {dlam}"
+
+
+def test_streamed_kernel_approx_math_tracks_exact():
+    """approx_math (rsqrt + approximate reciprocal) is an opt-in solver
+    perturbation; over a short healthy rollout it must track the exact
+    kernel to ~1e-4 (bench.py enforces <1e-3 against the XLA engine over
+    2000 substeps on hardware before accepting its number)."""
+    cfg = SolverConfig(substeps=4, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET, fast_math=True,
+                       gravity_is_acceleration=True,
+                       ground_height=0.0, friction=0.3)
+    spec = lattice.lattice_spec(5, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.6, 0),
+                                          mass=0.001)
+    with pltpu.force_tpu_interpret_mode():
+        exact = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480, 16)(state)
+        approx = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480, 16, approx_math=True)(state)
+    d = np.abs(np.asarray(exact.positions)
+               - np.asarray(approx.positions)).max()
+    assert np.isfinite(np.asarray(approx.positions)).all()
+    assert d < 1e-4, f"approx_math drift {d}"
+
+
 def test_streamed_kernel_ensemble_matches_batched_engine():
     """n_bodies > 1 folds bodies into lanes exactly like the XLA
     lane-folded ensemble engine (solvers.lattice.make_batched_step);
