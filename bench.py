@@ -74,9 +74,12 @@ def build():
 
 # total wall budget: a COLD Mosaic compile of the Pallas kernel can take
 # ~10 min through the remote-compile relay; the XLA engine compiles in
-# ~30 s.  We measure XLA first (a guaranteed result), then spend remaining
-# budget trying to beat it with the Pallas kernel.
-BUDGET_SECONDS = float(os.environ.get("BENCH_BUDGET", "900"))
+# ~30 s (but the relay occasionally takes minutes for it too).  We measure
+# XLA first (a guaranteed result), then spend remaining budget trying to
+# beat it with the Pallas kernel — the budget must leave room for the
+# pallas attempt even after a slow XLA phase, or the headline silently
+# falls back to the slower engine.
+BUDGET_SECONDS = float(os.environ.get("BENCH_BUDGET", "1500"))
 PALLAS_COMPILE_ALLOWANCE = 700.0
 
 

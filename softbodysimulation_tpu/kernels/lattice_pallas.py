@@ -467,15 +467,19 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         dt_sub: float, n_substeps: int,
                                         approx_math: bool = False,
                                         v_resident=None,
+                                        lam_resident=None,
                                         n_bodies: int = 1):
-    """Grid-blocked variant for lattices beyond VMEM (res > ~40): positions,
-    predictions and inverse masses stay VMEM-resident; velocities stream
-    per-coordinate-plane and the per-family multipliers stream HBM<->VMEM
-    once per constraint pass via explicit async DMA.  Family masks are
-    recomputed from iotas inside each pass (never materialized per family),
-    and the constraint math runs per coordinate so peak temporaries stay at
-    a few planes — res 64 (262k particles) fits the ~16 MB VMEM budget
-    where the resident kernel OOMs above res 40.
+    """The flagship fused kernel: per-coordinate-plane structure with a
+    residency ladder.  Positions, predictions and inverse masses are
+    always VMEM-resident; velocities and the per-family multipliers are
+    VMEM-resident when they fit (see the residency ladder below) and
+    stream HBM<->VMEM via explicit async DMA when they don't.  Family
+    masks are recomputed from iotas inside each pass (never materialized
+    per family), and the constraint math runs per coordinate so peak
+    temporaries stay at a few planes — res 64 (262k particles) fits the
+    ~16 MB VMEM budget where the resident kernel OOMs above res 40, and
+    at small/medium res it beats both the resident kernel and the XLA
+    stencil engine (BENCHMARKS.md).
 
     Full solve/lambda-mode parity with the resident kernel (round 2):
     JACOBI and COLORED (exact family-parity GS — two masked passes per
@@ -501,7 +505,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     res^2), and the same roll/mask argument kills constraint leakage at
     body boundaries.  Input/output: batched SimState with a leading body
     axis.  Raw substep semantics (no external forces), one shared
-    config — the lane-folded ensemble bench path, fused."""
+    config — the lane-folded ensemble bench path, fused.
+
+    Residency ladder (each auto-enabled when the VMEM budget allows,
+    measured against the ~16 MB scoped limit including Mosaic stack
+    temporaries): ``v_resident`` keeps velocities in scratch for the
+    whole call (res <= ~48); ``lam_resident`` additionally keeps every
+    lambda slab in scratch — zero per-pass slab DMA in all solve/lambda
+    modes (res <= ~40 braced).  Above the budget, velocities stream per
+    plane and lambda slabs stream double-buffered per family pass; in
+    RESET x iterations=1 the slab loads are skipped entirely and stores
+    are predicated on the last substep."""
     _check_supported(cfg, spec)
     res = spec.res
     r2 = res * res
@@ -575,9 +589,20 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # v_resident=None => auto; pass a bool to force (tests cover both).
     if v_resident is None:
         v_resident = 21 * res * r2p * 4 <= 15_000_000
+    # All-lambda VMEM residency: when the nfam slabs ALSO fit next to the
+    # live buffers and stack temporaries, hold the whole multiplier state
+    # in scratch for the entire call — zero per-pass slab DMA in every
+    # solve/lambda mode (the COLORED x many-iterations faithful config
+    # pays 2 passes x nfam x iterations slab round-trips per substep
+    # otherwise).  Auto budget: (21 + nfam) res-planes under 15 MB.
+    if lam_resident is None:
+        lam_resident = (v_resident
+                        and (21 + nfam) * res * r2p * 4 <= 15_000_000)
+    elif lam_resident and not v_resident:
+        raise ValueError("lam_resident requires v_resident")
 
     def kernel(x_in, v_hbm, w_ref, lam_hbm, xo_ref, vo_hbm, lamo_hbm):
-        def scoped(pred, slots, sem, vres=None):
+        def scoped(pred, sem, slots=None, vres=None, lres=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
             cp_x = pltpu.make_async_copy(x_in, xo_ref, sem.at[2])
@@ -585,7 +610,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             cp_v = pltpu.make_async_copy(
                 v_hbm, vres if v_resident else vo_hbm, sem.at[0])
             cp_v.start()
-            cp_l = pltpu.make_async_copy(lam_hbm, lamo_hbm, sem.at[1])
+            cp_l = pltpu.make_async_copy(
+                lam_hbm, lres if lam_resident else lamo_hbm, sem.at[1])
             cp_l.start()
             cp_x.wait()
             cp_v.wait()
@@ -627,6 +653,12 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     pred[c] = pc
 
                 def stream_families(process):
+                    # lam_resident: every slab already lives in scratch —
+                    # pure compute, no DMA, no double buffer.
+                    if lam_resident:
+                        for fi, fam in enumerate(spec.families):
+                            lres[fi] = process(fi, fam, lres[fi])
+                        return
                     # Double-buffered lambda slabs: family fi lives in VMEM
                     # plane fi%2; while ``process(fi, fam, lam_f)`` computes
                     # and applies, fi+1's slab streams in and fi-1's streams
@@ -786,7 +818,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         return lam_f
 
                     if (cfg.lambda_mode == LambdaMode.RESET
-                            and cfg.iterations == 1):
+                            and cfg.iterations == 1 and not lam_resident):
                         stream_families_no_lambda_io(
                             family_solve, step_i == n_substeps - 1)
                     else:
@@ -927,15 +959,25 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             if v_resident:
                 cp_out = pltpu.make_async_copy(vres, vo_hbm, sem.at[0])
                 cp_out.start()
+            if lam_resident:
+                cp_lout = pltpu.make_async_copy(lres, lamo_hbm, sem.at[1])
+                cp_lout.start()
+                cp_lout.wait()
+            if v_resident:
                 cp_out.wait()
 
         scratch = dict(
             pred=pltpu.VMEM((3, res, r2p), jnp.float32),
-            slots=pltpu.VMEM((3, res, r2p), jnp.float32),
             sem=pltpu.SemaphoreType.DMA((3,)),
         )
+        if not (v_resident and lam_resident):
+            # lambda-slab / velocity-plane staging; dead weight when both
+            # are resident, so only allocated for the streaming paths
+            scratch["slots"] = pltpu.VMEM((3, res, r2p), jnp.float32)
         if v_resident:
             scratch["vres"] = pltpu.VMEM((3, res, r2p), jnp.float32)
+        if lam_resident:
+            scratch["lres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         pl.run_scoped(scoped, **scratch)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -194,10 +194,16 @@ def test_streamed_kernel_solve_mode_parity(name, cfg_kw):
     assert dlam < 1e-5, f"streamed {name} lambda mismatch {dlam}"
 
 
-def test_streamed_kernel_reset_single_iteration_specialization():
-    """RESET x iterations=1 (the headline bench regime) skips all lambda
-    slab loads and defers the store to the last substep — positions AND
-    the final lambda output must still match the XLA engine exactly."""
+@pytest.mark.parametrize("resident_kw", [
+    {},                                          # auto: all-lambda VMEM
+    dict(lam_resident=False),                    # no-lambda-io path
+    dict(lam_resident=False, v_resident=False),  # full streaming path
+])
+def test_streamed_kernel_reset_single_iteration_specialization(resident_kw):
+    """RESET x iterations=1 (the headline bench regime): with resident
+    lambda the slabs never touch HBM mid-call; without, the loads are
+    skipped and the store deferred to the last substep.  Positions AND
+    the final lambda output must match the XLA engine in every variant."""
     cfg = SolverConfig(substeps=8, iterations=1, damping=0.02,
                        solve_mode=SolveMode.JACOBI,
                        lambda_mode=LambdaMode.RESET, fast_math=True,
@@ -209,7 +215,7 @@ def test_streamed_kernel_reset_single_iteration_specialization():
     ref = lat_engine.make_substep_runner(spec, cfg, 1 / 480, 11)(state)
     with pltpu.force_tpu_interpret_mode():
         out = lp.make_pallas_substep_runner_streamed(
-            spec, cfg, 1 / 480, 11)(state)
+            spec, cfg, 1 / 480, 11, **resident_kw)(state)
     dpos = np.abs(np.asarray(out.positions)
                   - np.asarray(ref.positions)).max()
     dlam = np.abs(np.asarray(out.lambda_dist)
