@@ -457,10 +457,18 @@ def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
     ``cfg.substeps`` substeps each, ``state.ext_force`` consumed on the
     first substep and zeroed after — drop-in for
     ``solvers.lattice.make_step`` (the flagship scene runs fused
-    end-to-end, VELOCITY_REFLECT floor and SDF colliders included)."""
-    return make_pallas_substep_runner(
-        spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
-        loop_inside=loop_inside, with_ext=True)
+    end-to-end, VELOCITY_REFLECT floor and SDF colliders included).
+    Prefers the streamed kernel (the fastest engine, BENCHMARKS.md);
+    falls back to the VMEM-resident kernel for the corners the streamed
+    with_ext path refuses (big res, joint g+ext max_force clamping)."""
+    try:
+        return make_pallas_substep_runner_streamed(
+            spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
+            with_ext=True)
+    except NotImplementedError:
+        return make_pallas_substep_runner(
+            spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
+            loop_inside=loop_inside, with_ext=True)
 
 
 def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
@@ -468,7 +476,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         approx_math: bool = False,
                                         v_resident=None,
                                         lam_resident=None,
-                                        n_bodies: int = 1):
+                                        n_bodies: int = 1,
+                                        with_ext: bool = False):
     """The flagship fused kernel: per-coordinate-plane structure with a
     residency ladder.  Positions, predictions and inverse masses are
     always VMEM-resident; velocities and the per-family multipliers are
@@ -600,8 +609,27 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         and (21 + nfam) * res * r2p * 4 <= 15_000_000)
     elif lam_resident and not v_resident:
         raise ValueError("lam_resident requires v_resident")
+    if with_ext:
+        # ext forces are a first-substep velocity impulse on the resident
+        # v buffer; force-mode max_force clamps (g + ext) jointly, which
+        # this decomposition cannot replicate — the resident kernel covers
+        # that corner
+        if not v_resident:
+            raise NotImplementedError(
+                "streamed with_ext needs v_resident (res <= ~48)")
+        if cfg.max_force > 0 and not cfg.gravity_is_acceleration:
+            raise NotImplementedError(
+                "streamed with_ext: max_force in force-units gravity mode "
+                "clamps g+ext jointly — use the resident kernel")
 
-    def kernel(x_in, v_hbm, w_ref, lam_hbm, xo_ref, vo_hbm, lamo_hbm):
+    def kernel(*refs):
+        if with_ext:
+            (x_in, v_hbm, w_ref, lam_hbm, f_hbm,
+             xo_ref, vo_hbm, lamo_hbm) = refs
+        else:
+            x_in, v_hbm, w_ref, lam_hbm = refs[:4]
+            xo_ref, vo_hbm, lamo_hbm = refs[4:]
+            f_hbm = None
         def scoped(pred, sem, slots=None, vres=None, lres=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
@@ -627,6 +655,24 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     slots.at[plane], lamo_hbm.at[fi], sem.at[plane])
 
             def substep(step_i, carry):
+                if with_ext:
+                    # first-substep velocity impulse (the reference force
+                    # lifecycle: accumulator consumed once, then zero —
+                    # exact for fused rollouts since later steps see a
+                    # zeroed buffer anyway).  pred[c] doubles as staging.
+                    @pl.when(step_i == 0)
+                    def _apply_ext():
+                        for c in range(3):
+                            cp = pltpu.make_async_copy(
+                                f_hbm.at[c], pred.at[c], sem.at[0])
+                            cp.start()
+                            cp.wait()
+                            fc = pred[c]
+                            if cfg.max_force > 0:
+                                fc = jnp.clip(fc, -cfg.max_force,
+                                              cfg.max_force)
+                            vres[c] = vres[c] + dt * w * fc
+
                 # ---- predict, one coordinate plane at a time
                 for c, gc in ((0, gx), (1, gy), (2, gz)):
                     if v_resident:
@@ -982,6 +1028,10 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    # x (and ext force, when present) stream in via DMA from ANY memspace
+    in_specs = [aspec, aspec, vspec, aspec]
+    if with_ext:
+        in_specs.append(aspec)
     call = pl.pallas_call(
         kernel,
         out_shape=(
@@ -989,7 +1039,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # v
             jax.ShapeDtypeStruct((nfam, res, r2p), jnp.float32),  # lambda
         ),
-        in_specs=[aspec, aspec, vspec, aspec],  # x streams in via DMA
+        in_specs=in_specs,
         out_specs=(vspec, aspec, aspec),
     )
 
@@ -1018,17 +1068,27 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             v = state.velocities.T.reshape(3, res, r2)
             w = state.inv_mass.reshape(res, r2)
             lam = state.lambda_dist.reshape(nfam, res, r2)
+        if with_ext:
+            f = (to_wide(state.ext_force) if n_bodies > 1
+                 else state.ext_force.T.reshape(3, res, r2))
         if lane_padded:
             pad3 = ((0, 0), (0, 0), (0, r2p - lanes))
             x = jnp.pad(x, pad3)
             v = jnp.pad(v, pad3)
             lam = jnp.pad(lam, pad3)
             w = jnp.pad(w, ((0, 0), (0, r2p - lanes)))  # pads pinned (w=0)
-        xo, vo, lamo = call(x, v, w, lam)
+            if with_ext:
+                f = jnp.pad(f, pad3)
+        if with_ext:
+            xo, vo, lamo = call(x, v, w, lam, f)
+        else:
+            xo, vo, lamo = call(x, v, w, lam)
         if lane_padded:
             xo = xo[..., :lanes]
             vo = vo[..., :lanes]
             lamo = lamo[..., :lanes]
+        extra = ({"ext_force": jnp.zeros_like(state.ext_force)}
+                 if with_ext else {})
         if n_bodies > 1:
             return state.replace(
                 positions=from_wide(xo),
@@ -1036,11 +1096,13 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 lambda_dist=jnp.transpose(
                     lamo.reshape(nfam, res, n_bodies, r2), (2, 0, 1, 3)
                 ).reshape(n_bodies, -1),
+                **extra,
             )
         return state.replace(
             positions=xo.reshape(3, -1).T,
             velocities=vo.reshape(3, -1).T,
             lambda_dist=lamo.reshape(-1),
+            **extra,
         )
 
     return fn
