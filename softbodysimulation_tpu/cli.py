@@ -52,6 +52,12 @@ def main(argv=None):
                       help="schedule an impulse at a step, e.g. "
                            "120:0,80,0@0,1,0:0.8 (repeatable; applied "
                            "through the interaction Session)")
+    runp.add_argument("--engine", choices=("auto", "xla", "pallas"),
+                      default="auto",
+                      help="lattice scenes: 'pallas' fuses the whole step "
+                           "in the streamed Mosaic kernel (TPU; the "
+                           "fastest engine), 'auto'/'xla' use the XLA "
+                           "stencil engine")
     runp.add_argument("--platform", default=None,
                       help="force a jax platform (e.g. cpu)")
 
@@ -92,6 +98,23 @@ def main(argv=None):
 
     kw = {"dt": args.dt} if args.dt else {}
     state, step, info = SCENES[args.scene](**kw)
+    if getattr(args, "engine", "auto") == "pallas":
+        if "spec" not in info:
+            print("--engine pallas needs a lattice scene", file=sys.stderr)
+            return 2
+        if args.platform == "cpu":
+            # Mosaic needs real TPU hardware; on CPU run the kernel in
+            # interpret mode (debugging / CI).  The context stays open for
+            # the rest of the process — the CLI exits when the run ends.
+            import contextlib
+
+            from jax.experimental.pallas import tpu as _pltpu
+
+            _stack = contextlib.ExitStack()
+            _stack.enter_context(_pltpu.force_tpu_interpret_mode())
+        from .kernels.lattice_pallas import make_pallas_step
+
+        step = make_pallas_step(info["spec"], info["config"], info["dt"])
     from .diag.profiling import StepTimer
 
     seq_topo = info.get("topology")

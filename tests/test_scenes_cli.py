@@ -61,6 +61,18 @@ def test_cli_run_with_export_and_checkpoint(tmp_path):
     assert os.path.exists(obj) and os.path.exists(ckpt)
 
 
+def test_cli_run_pallas_engine(tmp_path):
+    """--engine pallas fuses the lattice step in the streamed Mosaic
+    kernel (interpret mode on the cpu platform)."""
+    ckpt = os.path.join(tmp_path, "s.npz")
+    r = _run_cli("run", "flagship", "--steps", "3", "--platform", "cpu",
+                 "--engine", "pallas", "--log-every", "0",
+                 "--checkpoint", ckpt)
+    assert r.returncode == 0, r.stderr
+    assert "done: 3 steps" in r.stdout
+    assert os.path.exists(ckpt)
+
+
 def test_cli_unknown_scene_fails_cleanly():
     r = _run_cli("run", "nope", "--platform", "cpu")
     assert r.returncode == 2
