@@ -15,8 +15,12 @@ mask (computed in-kernel from broadcasted iotas) and are zeroed, exactly as
 in the XLA engine — the two implementations are semantically identical and
 cross-checked in tests.
 
-Supported config subset (asserted): COLORED or JACOBI solve,
-RESET/DECAY/WARM_START lambda modes, XPBD-inequality or no floor.
+Full config parity with the XLA engine: COLORED/JACOBI solve,
+RESET/DECAY/WARM_START lambda modes, both floor modes (XPBD inequality
+and VELOCITY_REFLECT), SDF colliders, clamps, and the external-force
+lifecycle.  The one asserted exception is particle self-collision
+(``_check_supported``), which has no stencil formulation — the general
+engine covers it.
 """
 
 from __future__ import annotations
@@ -495,9 +499,11 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     family with the lambda slab held in VMEM across both), RESET/DECAY/
     WARM_START (warm start streams one extra pre-application loop over the
     family slabs per substep, decay folded in), both floor modes, SDF
-    colliders and clamps; external forces are not applied (raw substep
-    semantics).  ``approx_math`` swaps sqrt/divide for rsqrt + approximate
-    reciprocal as in the resident kernel (opt-in, bench regime).
+    colliders and clamps.  ``with_ext=True`` adds the reference force
+    lifecycle (``state.ext_force`` consumed as a first-substep impulse,
+    then zeroed); the default is raw substep semantics.  ``approx_math``
+    swaps sqrt/divide for rsqrt + approximate reciprocal as in the
+    resident kernel (opt-in, bench regime).
 
     Lane padding: Mosaic requires the lane (last) dim of DMA'd/rolled
     blocks to be a multiple of 128, which res like 40 (r2=1600) violates.
@@ -513,8 +519,9 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     (lane = b*res^2 + y*res + z), the masks become body-local (cc mod
     res^2), and the same roll/mask argument kills constraint leakage at
     body boundaries.  Input/output: batched SimState with a leading body
-    axis.  Raw substep semantics (no external forces), one shared
-    config — the lane-folded ensemble bench path, fused.
+    axis.  One shared config; ``with_ext`` works here too (batched
+    ext-force consumed on the first substep) — the lane-folded ensemble
+    bench path, fused.
 
     Residency ladder (each auto-enabled when the VMEM budget allows,
     measured against the ~16 MB scoped limit including Mosaic stack
@@ -562,7 +569,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             a = roll2(a, dx, 0)
         return a
 
-    def fam_mask_f32(fam):
+    def fam_masks(fam):
         """(valid, parity0) masks recomputed from iotas (never stored).
         For ensembles the cell coordinate is body-local (cc mod res^2) —
         exactly the tiled masks of the lane-folded XLA engine."""
@@ -821,7 +828,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
                             lim = cfg.warm_start_clamp * rest / wmax
                             lam_f = jnp.clip(lam_f, -lim, lim)
-                        valid, _ = fam_mask_f32(fam)
+                        valid, _ = fam_masks(fam)
                         if cfg.fast_math:
                             dl = lam_f * valid.astype(jnp.float32)
                         else:
@@ -851,7 +858,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                               lam_f * cfg.lambda_decay,
                                               lam_f)
                         # WARM_START: decay applied by the pre-apply loop
-                        valid, parity0 = fam_mask_f32(fam)
+                        valid, parity0 = fam_masks(fam)
                         if cfg.solve_mode == SolveMode.COLORED:
                             # exact GS: even then odd parity class, slab
                             # resident across both passes

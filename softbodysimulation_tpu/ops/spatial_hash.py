@@ -17,6 +17,7 @@ proper particle-particle resolver designed for XLA's static-shape regime:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import SolverConfig
@@ -71,7 +72,10 @@ def self_collision_project(pred, inv_mass, cfg: SolverConfig):
     pj = pred[cand_idx]                       # (N, 27, K, 3)
     wj = inv_mass[cand_idx]                   # (N, 27, K)
     d = pred[:, None, None, :] - pj
-    dist = jnp.linalg.norm(d, axis=-1)
+    # guarded sqrt (NOT jnp.linalg.norm): the self-pair has d == 0 exactly,
+    # and sqrt'(0) = inf poisons every gradient through this pass — the
+    # downstream where-masks cannot block the NaN cotangents
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-24))
     not_self = cand_idx != jnp.arange(n)[:, None, None]
     overlap = 2.0 * radius - dist
     wi = inv_mass[:, None, None]
@@ -104,8 +108,6 @@ def self_collision_project_dense(pred, inv_mass, cfg: SolverConfig):
     path up to ~16k particles.  Positions are centered first to keep the
     |x|^2 cancellation benign at contact scale.
     """
-    import jax
-
     n = pred.shape[0]
     radius = cfg.particle_radius
     block = max(8, min(cfg.dense_row_block, n))
@@ -162,8 +164,6 @@ def _blocked_layout(pred, inv_mass, order, cfg: SolverConfig):
     and its overflow diagnostic.  Pads replicate the last real particle's
     position (so the final block's AABB is not inflated) and are excluded
     from every pair by the id < n mask."""
-    import jax
-
     n = pred.shape[0]
     block = max(8, min(cfg.collision_block_size, n))
     npad = ((n + block - 1) // block) * block
@@ -217,8 +217,6 @@ def self_collision_project_blocked(pred, inv_mass, order,
     room).  O(N * M * B) flops vs dense's O(N^2) — the exact path for 64k+
     self-colliding particles (BASELINE config 4 at scale).
     """
-    import jax
-
     (x, w, ids, xb, wb, idb, touch, d2ab, n, block, nb) = _blocked_layout(
         pred, inv_mass, order, cfg)
     m_nbr = min(cfg.block_neighbors, nb)

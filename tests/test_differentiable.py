@@ -82,3 +82,40 @@ def test_grad_finite_with_floor_contact():
 
     g = np.asarray(jax.grad(loss)(jnp.zeros((3, 3))))
     assert np.isfinite(g).all()
+
+
+def test_grad_finite_through_self_collision_backends():
+    """Gradients through every self-collision backend must be finite.
+
+    Regression: the hash backend used jnp.linalg.norm, whose sqrt VJP is
+    differentiated at the always-present self-pair distance of exactly 0 —
+    every gradient through a self-colliding rollout came back NaN (the
+    downstream where-masks cannot block the 0*inf cotangents)."""
+    from softbodysimulation_tpu.ops import spatial_hash
+
+    rng = np.random.default_rng(9)
+    pred = jnp.asarray(rng.uniform(0, 0.4, (24, 3)), jnp.float32)
+    w = jnp.ones(24)
+    from softbodysimulation_tpu import SolverConfig
+    for backend in ("hash", "sorted", "dense", "blocked"):
+        cfg = SolverConfig(particle_radius=0.06, self_collision_omega=1.0,
+                           collision_block_size=8, block_neighbors=4,
+                           sorted_window=8)
+
+        def loss(p, backend=backend, cfg=cfg):
+            if backend == "sorted":
+                order = spatial_hash.morton_order(p, cfg)
+                out = spatial_hash.self_collision_project_sorted(
+                    p, w, order, cfg)
+            elif backend == "blocked":
+                order = spatial_hash.morton_order(p, cfg)
+                out = spatial_hash.self_collision_project_blocked(
+                    p, w, order, cfg)
+            elif backend == "dense":
+                out = spatial_hash.self_collision_project_dense(p, w, cfg)
+            else:
+                out = spatial_hash.self_collision_project(p, w, cfg)
+            return jnp.sum(out ** 2)
+
+        g = np.asarray(jax.grad(loss)(pred))
+        assert np.isfinite(g).all(), f"{backend}: NaN gradients"
