@@ -616,6 +616,10 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         and (21 + nfam) * res * r2p * 4 <= 15_000_000)
     elif lam_resident and not v_resident:
         raise ValueError("lam_resident requires v_resident")
+    # Roll caching (see solve_pass): rides the lam_resident small-res
+    # budget with +nfam planes (wres2) and +3 stack planes (dc reuse)
+    roll_cached = (lam_resident
+                   and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
     if with_ext:
         # ext forces are a first-substep velocity impulse on the resident
         # v buffer; force-mode max_force clamps (g + ext) jointly, which
@@ -637,7 +641,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             x_in, v_hbm, w_ref, lam_hbm = refs[:4]
             xo_ref, vo_hbm, lamo_hbm = refs[4:]
             f_hbm = None
-        def scoped(pred, sem, slots=None, vres=None, lres=None):
+        def scoped(pred, sem, slots=None, vres=None, lres=None, wres2=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
             cp_x = pltpu.make_async_copy(x_in, xo_ref, sem.at[2])
@@ -652,6 +656,10 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             cp_v.wait()
             cp_l.wait()
             w = w_ref[:]
+            if roll_cached:
+                # partner inv-mass rolls are static for the whole call
+                for _fi, _fam in enumerate(spec.families):
+                    wres2[_fi] = roll_fwd2(w, _fam)
 
             def load_lam(fi, plane):
                 return pltpu.make_async_copy(
@@ -758,17 +766,28 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 def solve_pass(fam, fi, lam_f, mask, relax_f):
                     """One masked constraint pass on the pred planes —
                     mirrors the resident kernel's solve_family_pass.
-                    relax_f=None => exact GS; float => Jacobi scaling."""
+                    relax_f=None => exact GS; float => Jacobi scaling.
+
+                    Roll economy: the naive pass does 10 pltpu.rolls
+                    (cross-lane, relatively expensive).  When the budget
+                    allows (roll_cached: the lam_resident regime), the
+                    static partner inv-mass roll comes from the wres
+                    scratch and the 3 dc planes from len_sq are reused by
+                    the correction loop (pred is unchanged in between) —
+                    6 rolls per pass instead of 10."""
                     rest = spec.rest_lengths[fi]
                     alpha = spec.compliances[fi] * inv_dt2
                     if cfg.min_alpha_tilde > 0:
                         alpha = max(alpha, cfg.min_alpha_tilde)
                     len_sq = None
+                    dcs = []
                     for c in range(3):
                         dc = roll_fwd2(pred[c], fam) - pred[c]
+                        if roll_cached:
+                            dcs.append(dc)
                         len_sq = (dc * dc if len_sq is None
                                   else len_sq + dc * dc)
-                    wb = roll_fwd2(w, fam)
+                    wb = wres2[fi] if roll_cached else roll_fwd2(w, fam)
                     denom = w + wb + alpha
                     if approx_math:
                         inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
@@ -808,7 +827,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                          cfg.lambda_clamp)
                     scale = dl * inv_len if approx_math else dl / length
                     for c in range(3):
-                        dc = roll_fwd2(pred[c], fam) - pred[c]
+                        dc = (dcs[c] if roll_cached
+                              else roll_fwd2(pred[c], fam) - pred[c])
                         dp = dc * scale
                         pred[c] = (pred[c] - w * dp
                                    + roll_bwd2(wb * dp, fam))
@@ -823,7 +843,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         lam_f = lam_f * cfg.lambda_decay
                         if cfg.warm_start_fraction != 1.0:
                             lam_f = lam_f * cfg.warm_start_fraction
-                        wb = roll_fwd2(w, fam)
+                        wb = (wres2[fi] if roll_cached
+                              else roll_fwd2(w, fam))
                         if cfg.warm_start_clamp > 0:
                             wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
                             lim = cfg.warm_start_clamp * rest / wmax
@@ -834,14 +855,18 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         else:
                             dl = jnp.where(valid, lam_f, 0.0)
                         len_sq = None
+                        dcs = []
                         for c in range(3):
                             dc = roll_fwd2(pred[c], fam) - pred[c]
+                            if roll_cached:
+                                dcs.append(dc)
                             len_sq = (dc * dc if len_sq is None
                                       else len_sq + dc * dc)
                         length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
                         scale = dl / length
                         for c in range(3):
-                            dc = roll_fwd2(pred[c], fam) - pred[c]
+                            dc = (dcs[c] if roll_cached
+                                  else roll_fwd2(pred[c], fam) - pred[c])
                             dp = dc * scale
                             pred[c] = (pred[c] - w * dp
                                        + roll_bwd2(wb * dp, fam))
@@ -1031,6 +1056,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             scratch["vres"] = pltpu.VMEM((3, res, r2p), jnp.float32)
         if lam_resident:
             scratch["lres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
+        if roll_cached:
+            scratch["wres2"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         pl.run_scoped(scoped, **scratch)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
