@@ -611,9 +611,11 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # solve/lambda mode (the COLORED x many-iterations faithful config
     # pays 2 passes x nfam x iterations slab round-trips per substep
     # otherwise).  Auto budget: (21 + nfam) res-planes under 15 MB.
+    # budget 15.5 MB: res-48 braced (34 planes = 15.04 MB) compiles and
+    # runs 6% faster than v-res-only on hardware; res 64 stays excluded
     if lam_resident is None:
         lam_resident = (v_resident
-                        and (21 + nfam) * res * r2p * 4 <= 15_000_000)
+                        and (21 + nfam) * res * r2p * 4 <= 15_500_000)
     elif lam_resident and not v_resident:
         raise ValueError("lam_resident requires v_resident")
     # Roll caching (see solve_pass): rides the lam_resident small-res
