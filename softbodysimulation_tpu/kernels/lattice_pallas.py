@@ -481,7 +481,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         v_resident=None,
                                         lam_resident=None,
                                         n_bodies: int = 1,
-                                        with_ext: bool = False):
+                                        with_ext: bool = False,
+                                        dc_cache=None):
     """The flagship fused kernel: per-coordinate-plane structure with a
     residency ladder.  Positions, predictions and inverse masses are
     always VMEM-resident; velocities and the per-family multipliers are
@@ -618,10 +619,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         and (21 + nfam) * res * r2p * 4 <= 15_500_000)
     elif lam_resident and not v_resident:
         raise ValueError("lam_resident requires v_resident")
-    # Roll caching (see solve_pass): rides the lam_resident small-res
-    # budget with +nfam planes (wres2) and +3 stack planes (dc reuse)
-    roll_cached = (lam_resident
-                   and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
+    # Roll caching (see solve_pass): the static wb roll cache (wres2)
+    # rides the lam_resident small-res budget with +nfam planes; the dc
+    # reuse costs only ~3 extra stack planes and is measured to fit (and
+    # win +9%) up to res 64's 1.05 MB planes — auto-on there too
+    # (dc_cache overrides for probing).
+    wb_cached = (lam_resident
+                 and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
+    if dc_cache is None:
+        dc_cached = wb_cached or res * r2p * 4 <= 1_100_000
+    else:
+        dc_cached = dc_cache
     if with_ext:
         # ext forces are a first-substep velocity impulse on the resident
         # v buffer; force-mode max_force clamps (g + ext) jointly, which
@@ -658,7 +666,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             cp_v.wait()
             cp_l.wait()
             w = w_ref[:]
-            if roll_cached:
+            if wb_cached:
                 # partner inv-mass rolls are static for the whole call
                 for _fi, _fam in enumerate(spec.families):
                     wres2[_fi] = roll_fwd2(w, _fam)
@@ -772,7 +780,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
 
                     Roll economy: the naive pass does 10 pltpu.rolls
                     (cross-lane, relatively expensive).  When the budget
-                    allows (roll_cached: the lam_resident regime), the
+                    allows (wb_cached / dc_cached; the lam_resident regime), the
                     static partner inv-mass roll comes from the wres
                     scratch and the 3 dc planes from len_sq are reused by
                     the correction loop (pred is unchanged in between) —
@@ -785,11 +793,11 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     dcs = []
                     for c in range(3):
                         dc = roll_fwd2(pred[c], fam) - pred[c]
-                        if roll_cached:
+                        if dc_cached:
                             dcs.append(dc)
                         len_sq = (dc * dc if len_sq is None
                                   else len_sq + dc * dc)
-                    wb = wres2[fi] if roll_cached else roll_fwd2(w, fam)
+                    wb = wres2[fi] if wb_cached else roll_fwd2(w, fam)
                     denom = w + wb + alpha
                     if approx_math:
                         inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
@@ -829,7 +837,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                          cfg.lambda_clamp)
                     scale = dl * inv_len if approx_math else dl / length
                     for c in range(3):
-                        dc = (dcs[c] if roll_cached
+                        dc = (dcs[c] if dc_cached
                               else roll_fwd2(pred[c], fam) - pred[c])
                         dp = dc * scale
                         pred[c] = (pred[c] - w * dp
@@ -845,7 +853,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         lam_f = lam_f * cfg.lambda_decay
                         if cfg.warm_start_fraction != 1.0:
                             lam_f = lam_f * cfg.warm_start_fraction
-                        wb = (wres2[fi] if roll_cached
+                        wb = (wres2[fi] if wb_cached
                               else roll_fwd2(w, fam))
                         if cfg.warm_start_clamp > 0:
                             wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
@@ -860,14 +868,14 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         dcs = []
                         for c in range(3):
                             dc = roll_fwd2(pred[c], fam) - pred[c]
-                            if roll_cached:
+                            if dc_cached:
                                 dcs.append(dc)
                             len_sq = (dc * dc if len_sq is None
                                       else len_sq + dc * dc)
                         length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
                         scale = dl / length
                         for c in range(3):
-                            dc = (dcs[c] if roll_cached
+                            dc = (dcs[c] if dc_cached
                                   else roll_fwd2(pred[c], fam) - pred[c])
                             dp = dc * scale
                             pred[c] = (pred[c] - w * dp
@@ -1058,7 +1066,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             scratch["vres"] = pltpu.VMEM((3, res, r2p), jnp.float32)
         if lam_resident:
             scratch["lres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
-        if roll_cached:
+        if wb_cached:
             scratch["wres2"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         pl.run_scoped(scoped, **scratch)
 
