@@ -621,13 +621,16 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         raise ValueError("lam_resident requires v_resident")
     # Roll caching (see solve_pass): the static wb roll cache (wres2)
     # rides the lam_resident small-res budget with +nfam planes; the dc
-    # reuse costs only ~3 extra stack planes and is measured to fit (and
-    # win +9%) up to res 64's 1.05 MB planes — auto-on there too
-    # (dc_cache overrides for probing).
+    # reuse costs ~3 extra stack planes.  At big res it only fits next to
+    # approx_math's leaner temporaries (measured: res 64 approx + dc
+    # compiles and wins +9%; res 64 EXACT + dc crashes the Mosaic compile
+    # — sqrt/divide lowering needs the stack dc reuse takes), so the
+    # big-res auto-enable is approx-only (dc_cache overrides for probing).
     wb_cached = (lam_resident
                  and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
     if dc_cache is None:
-        dc_cached = wb_cached or res * r2p * 4 <= 1_100_000
+        dc_cached = wb_cached or (approx_math
+                                  and res * r2p * 4 <= 1_100_000)
     else:
         dc_cached = dc_cache
     if with_ext:
