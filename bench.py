@@ -97,11 +97,15 @@ def measure(step, state, n):
                 break
     p = np.asarray(state.positions)  # full fetch + final sync
     elapsed = time.perf_counter() - t0
-    # sanity: simulation must have stayed healthy or the number is void
-    assert np.isfinite(p).all(), "non-finite state after benchmark"
-    assert p[:, 1].min() > -1e-2, "floor violated after benchmark"
+    # sanity: simulation must have stayed healthy or the number is void.
+    # Explicit raises (not assert): the health gates must survive python -O.
+    if not np.isfinite(p).all():
+        raise RuntimeError("non-finite state after benchmark")
+    if p[:, 1].min() <= -1e-2:
+        raise RuntimeError("floor violated after benchmark")
     height = p[:, 1].max() - p[:, 1].min()
-    assert height > 0.5, f"cube degenerated during benchmark: {height}"
+    if height <= 0.5:
+        raise RuntimeError(f"cube degenerated during benchmark: {height}")
     return n * calls * SUBSTEPS_PER_CALL / elapsed
 
 
@@ -147,9 +151,11 @@ def main():
                 if xla_warm_pos is not None:
                     # same 2000-substep rollout from the same start: the
                     # kernel must track the XLA engine or its number is void
+                    # (explicit raise so the gate survives python -O)
                     drift = float(np.abs(wp - xla_warm_pos).max())
-                    assert drift < 1e-3, \
-                        f"{name} diverges from xla engine: {drift}"
+                    if drift >= 1e-3:
+                        raise RuntimeError(
+                            f"{name} diverges from xla engine: {drift}")
                 results[name] = measure(fn, warm, n)
                 break
             except Exception as e:  # noqa: BLE001 — compile/runtime failure

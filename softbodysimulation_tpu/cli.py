@@ -102,10 +102,14 @@ def main(argv=None):
         if "spec" not in info:
             print("--engine pallas needs a lattice scene", file=sys.stderr)
             return 2
-        if args.platform == "cpu":
-            # Mosaic needs real TPU hardware; on CPU run the kernel in
-            # interpret mode (debugging / CI).  The context stays open for
-            # the rest of the process — the CLI exits when the run ends.
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            # Mosaic needs real TPU hardware; on any other backend (whether
+            # selected by --platform or just the host's default) run the
+            # kernel in interpret mode (debugging / CI).  The context stays
+            # open for the rest of the process — the CLI exits when the run
+            # ends.
             import contextlib
 
             from jax.experimental.pallas import tpu as _pltpu
@@ -190,10 +194,24 @@ def main(argv=None):
         if args.log_every and (i + 1) % args.log_every == 0:
             p = np.asarray(state.positions)
             rate = timer.tick(args.log_every)
+            extra = ""
+            cfgl = info.get("config")
+            if (cfgl is not None and cfgl.enable_self_collision
+                    and cfgl.self_collision_backend == "blocked"):
+                # exactness precondition of the blocked contact backend:
+                # overflow > 0 means dropped pairs — raise block_neighbors
+                from .diag.diagnostics import blocked_overflow
+
+                ovf = blocked_overflow(state, cfgl)
+                extra = f" contact_overflow={ovf}"
+                if ovf:
+                    print(f"WARNING: blocked self-collision overflow {ovf} "
+                          "(dropped pairs) — raise "
+                          "SolverConfig.block_neighbors", file=sys.stderr)
             print(f"step {i + 1:6d}  ymin={p[:, 1].min():+.4f} "
                   f"ymean={p[:, 1].mean():+.4f} "
                   f"finite={bool(np.isfinite(p).all())} "
-                  f"steps/s={rate:.1f}")
+                  f"steps/s={rate:.1f}{extra}")
     if exporter is not None:
         exporter.close()
     np.asarray(state.positions)

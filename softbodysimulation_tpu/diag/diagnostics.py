@@ -48,6 +48,26 @@ def diagnostics(state: SimState, topo: Topology,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _blocked_overflow_impl(positions, inv_mass, cfg):
+    from ..ops import spatial_hash as _sh
+
+    order = _sh.morton_order(positions, cfg)
+    return _sh.self_collision_blocked_overflow(
+        positions, inv_mass, order, cfg)
+
+
+def blocked_overflow(state: SimState, cfg: SolverConfig) -> int:
+    """Worst-case AABB-touching neighbor blocks dropped by the 'blocked'
+    self-collision backend for the CURRENT positions (0 => the blocked pass
+    is exact here).  The production-visible surface for the exactness
+    precondition of ``ops.spatial_hash.self_collision_project_blocked`` —
+    long runs should sample this (the CLI's ``--log-every`` does) and raise
+    ``block_neighbors`` if it ever goes positive.
+    """
+    return int(_blocked_overflow_impl(state.positions, state.inv_mass, cfg))
+
+
 def format_diagnostics(d: Dict[str, jax.Array]) -> str:
     """Human-readable one-liner (the Debug.Log analog,
     ``SoftBodySimulator.cs:629-630``)."""

@@ -107,6 +107,13 @@ def self_collision_project_dense(pred, inv_mass, cfg: SolverConfig):
     but dense f32 on the MXU: exact and faster than the gather-bound hash
     path up to ~16k particles.  Positions are centered first to keep the
     |x|^2 cancellation benign at contact scale.
+
+    Boundary-classification caveat: the Gram identity loses ~1e-7 absolute
+    precision to cancellation for close pairs even after centering
+    (mitigated by Precision.HIGHEST), so a pair sitting exactly at the
+    overlap boundary can classify differently than the hash path's direct
+    (xi-xj)^2 — a one-ulp cross-backend inconsistency, within the
+    cross-backend test tolerances.
     """
     n = pred.shape[0]
     radius = cfg.particle_radius
@@ -212,10 +219,15 @@ def self_collision_project_blocked(pred, inv_mass, order,
 
     Arithmetic per surviving pair is identical to the dense backend; the
     result is exact whenever no block has more than ``block_neighbors``
-    AABB-touching blocks (checkable via ``self_collision_blocked_overflow``;
-    with cell-scale blocks and physical densities the bound holds with
-    room).  O(N * M * B) flops vs dense's O(N^2) — the exact path for 64k+
-    self-colliding particles (BASELINE config 4 at scale).
+    AABB-touching blocks — when the bound breaks, the pass silently drops
+    the overflowing pairs (asymmetric, momentum-biased corrections).  The
+    precondition is checkable per state via
+    ``self_collision_blocked_overflow``, surfaced through
+    ``diag.diagnostics.blocked_overflow`` and logged by the CLI's
+    ``--log-every`` on blocked-backend scenes; with cell-scale blocks and
+    physical densities the bound holds with room.  O(N * M * B) flops vs
+    dense's O(N^2) — the exact path for 64k+ self-colliding particles
+    (BASELINE config 4 at scale).
     """
     (x, w, ids, xb, wb, idb, touch, d2ab, n, block, nb) = _blocked_layout(
         pred, inv_mass, order, cfg)
