@@ -1,0 +1,611 @@
+"""Fused Pallas TPU kernel: the general-topology (mesh) substep loop in one
+kernel, built on the windowed one-hot MXU structure.
+
+The XLA windowed backend (``solvers/general._solve_distance_windowed`` +
+``topology/windows.py``) already removed every gather/scatter HLO from the
+mesh sweep, but at single-instance scale the sweep is per-op dispatch-bound
+(~45 us for ~16 ops on <100 KB operands, BENCHMARKS.md).  This kernel fuses
+the ENTIRE substep loop — predict, K Jacobi iterations of the windowed
+distance sweep (optionally Chebyshev-accelerated), contacts, finalize —
+into one Mosaic program with everything VMEM-resident: positions,
+velocities, multiplier slabs, and the one-hot block matrices themselves.
+Per-op dispatch cost disappears; the sweep runs at MXU/VPU speed.
+
+Formulation (leaner than the XLA backend's, same arithmetic):
+
+* particle planes live component-major ``(3, Npad)`` — sublane = coordinate,
+  lane = (RCM-renumbered) particle index, so every block's particle window
+  is a static lane slice ``pred[:, base:base+W]`` (no window-extraction
+  matmul at all);
+* the endpoint-difference ``d = pb - pa`` comes from ONE signed one-hot
+  matmul per block: ``d = win @ Gd_k`` with ``Gd_k[w, s] = +1`` at slot s's
+  b endpoint, ``-1`` at its a endpoint.  {0, +-1} entries are exact in
+  bf16, and the MXU's mixed bf16 x f32 product is measured bit-exact
+  (scripts/probe_mesh_kernel.py), so ``d`` equals the XLA backend's
+  ``pb - pa`` to the last ulp;
+* the correction scatter exploits that the per-endpoint weights are the
+  DESTINATION particle's inverse mass: correction_a = -w_a dp,
+  correction_b = +w_b dp, so  delta = w * (dp @ Gd_k^T)  — one signed
+  matmul (the gather matrix transposed) and a single elementwise inverse-
+  mass scale on the accumulated delta, instead of the XLA backend's
+  2S-wide two-sided scatter;
+* per-edge static quantities (rest, alpha, relax = omega/maxdeg, clamp
+  bounds) and per-call quantities (wa+wb denominators, validity guards)
+  are precomputed outside the kernel into (K, 1, S) slabs.
+
+Capability envelope mirrors the XLA windowed backend: JACOBI solve mode
+(plus its Chebyshev acceleration), RESET/DECAY/WARM_START lambda modes,
+both floor modes, sphere/box SDF colliders, clamps, external-force
+lifecycle.  Bending, volume and self-collision fall back to the general
+engine (``_check_supported``).
+
+Reference semantics carried over (citations in ops/distance.py and
+solvers/general.py): XPBD distance projection ``XPBDSoftBody.compute:
+106-179``, predict/finalize ``SoftBodyCPU.cs:294-324``, floor
+``XPBDSoftBody.compute:272-316`` / ``SoftBodyCPU.cs:352-400``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import FloorMode, LambdaMode, SolveMode, SolverConfig
+from ..core.state import SimState, Topology
+
+SEG = 128          # lane alignment of window bases
+VMEM_BUDGET = 14_000_000   # leave ~2 MB of the ~16 MB scope for Mosaic stack
+
+
+def _check_supported(cfg: SolverConfig, topo: Topology):
+    if cfg.solve_mode != SolveMode.JACOBI:
+        raise NotImplementedError(
+            "mesh pallas kernel: COLORED solve has no windowed formulation "
+            "— use the general engine")
+    if cfg.enable_self_collision:
+        raise NotImplementedError(
+            "mesh pallas kernel: self-collision requires the general "
+            "engine's contact backends")
+    if cfg.enable_bending and topo.n_hinges > 0:
+        raise NotImplementedError(
+            "mesh pallas kernel: bending runs in the general engine")
+    if cfg.enable_volume and topo.triangles.shape[0] > 0:
+        raise NotImplementedError(
+            "mesh pallas kernel: volume constraint runs in the general "
+            "engine")
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshKernelPlan:
+    """Host-built static structure for the fused mesh kernel."""
+
+    gd: np.ndarray        # (K, W, S) bf16 signed gather one-hots
+    gs: np.ndarray        # (K, S, W) bf16 = gd transposed (scatter)
+    bases: Tuple[int, ...]  # per-block window base (static, SEG-aligned)
+    ea: np.ndarray        # (K*S,) padded endpoint indices (for per-call wa)
+    eb: np.ndarray
+    rest: np.ndarray      # (K, 1, S) f32
+    alpha: np.ndarray     # (K, 1, S) f32  (compliance * inv_dt2, floored)
+    relax: np.ndarray     # (K, 1, S) f32  omega / max-degree, valid-masked
+    warm_scale: np.ndarray  # (K, 1, S) f32  1/maxdeg (warm-start pre-apply)
+    valid: np.ndarray     # (K, 1, S) f32  1 = real edge
+    dl_bound: Optional[np.ndarray]   # (K, 1, S) f32 or None (no clamp)
+    n_blocks: int
+    block_edges: int
+    window: int
+    n_pad: int            # padded particle-lane count
+    vmem_bytes: int
+
+
+def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
+                    block_edges: int = 256,
+                    max_window: int = 1024) -> MeshKernelPlan:
+    """Build the blocked signed-one-hot structure from a topology whose
+    particles are RCM-renumbered and whose edges are sorted by min endpoint
+    (``topology/build.build_windowed_topology`` produces exactly this).
+    Raises if any block's window exceeds ``max_window`` (mesh bandwidth too
+    large) or the resident structure would blow the VMEM budget."""
+    edges = np.asarray(topo.edges, np.int64)
+    n = topo.n_particles
+    e = edges.shape[0]
+    if e == 0:
+        raise NotImplementedError("mesh kernel needs at least one edge")
+    mins = edges.min(axis=1)
+    if not (np.diff(mins) >= 0).all():
+        raise NotImplementedError(
+            "mesh kernel needs window-sorted edges — build the topology "
+            "with build_windowed_topology / topology_from_mesh("
+            "windowed=True)")
+
+    s = int(block_edges)
+    k = -(-e // s)
+    epad = k * s
+    ea = np.concatenate([edges[:, 0], np.full(epad - e, edges[-1, 0])])
+    eb = np.concatenate([edges[:, 1], np.full(epad - e, edges[-1, 1])])
+    valid = (np.arange(epad) < e).astype(np.float32)
+
+    blk_a = ea.reshape(k, s)
+    blk_b = eb.reshape(k, s)
+    blk_min = np.minimum(blk_a, blk_b).min(axis=1)
+    blk_max = np.maximum(blk_a, blk_b).max(axis=1)
+    bases = (blk_min // SEG) * SEG
+    span = int((blk_max - bases + 1).max())
+    w = SEG * -(-span // SEG)
+    if w > max_window:
+        raise NotImplementedError(
+            f"mesh kernel window {w} > {max_window}: bandwidth too large "
+            "(is the topology RCM-renumbered?)")
+    n_pad = SEG * max(-(-n // SEG), int((bases.max() + w) // SEG))
+
+    gd = np.zeros((k, w, s), np.float32)
+    kk, ss = np.meshgrid(np.arange(k), np.arange(s), indexing="ij")
+    la = (blk_a - bases[:, None]).astype(np.int64)
+    lb = (blk_b - bases[:, None]).astype(np.int64)
+    vm = valid.reshape(k, s)
+    # padded slots keep all-zero columns: d = 0, scatter = 0
+    gd[kk, la, ss] -= vm
+    gd[kk, lb, ss] += vm
+
+    deg = np.asarray(topo.degree, np.float32)
+    maxdeg = np.maximum(np.maximum(deg[ea], deg[eb]), 1.0)
+    omega = cfg.omega if cfg.omega > 0 else 1.0
+    relax = (valid * omega / maxdeg).astype(np.float32)
+    warm_scale = (valid / maxdeg).astype(np.float32)
+
+    rest = np.concatenate([
+        np.asarray(topo.rest_lengths, np.float32),
+        np.full(epad - e, 1.0, np.float32)])
+    comp = np.concatenate([
+        np.asarray(topo.compliance, np.float32), np.zeros(epad - e,
+                                                          np.float32)])
+    inv_dt2 = 1.0 / (dt_sub * dt_sub)
+    alpha = comp * inv_dt2
+    if cfg.min_alpha_tilde > 0:
+        alpha = np.maximum(alpha, cfg.min_alpha_tilde)
+
+    bound = None
+    if cfg.max_dlambda > 0 or cfg.max_dlambda_rel > 0:
+        bound = np.full(epad, np.inf, np.float32)
+        if cfg.max_dlambda > 0:
+            bound = np.minimum(bound, cfg.max_dlambda)
+        if cfg.max_dlambda_rel > 0:
+            bound = np.minimum(bound, cfg.max_dlambda_rel * rest)
+
+    def slab(a):
+        return np.ascontiguousarray(a.reshape(k, 1, s), np.float32)
+
+    gd_bf = gd.astype(jnp.bfloat16)
+    plan = MeshKernelPlan(
+        gd=gd_bf,
+        gs=np.ascontiguousarray(np.transpose(gd_bf, (0, 2, 1))),
+        bases=tuple(int(b) for b in bases),
+        ea=ea.astype(np.int32),
+        eb=eb.astype(np.int32),
+        rest=slab(rest),
+        alpha=slab(alpha),
+        relax=slab(relax),
+        warm_scale=slab(warm_scale),
+        valid=slab(valid),
+        dl_bound=None if bound is None else slab(bound),
+        n_blocks=k,
+        block_edges=s,
+        window=w,
+        n_pad=int(n_pad),
+        vmem_bytes=int(
+            2 * k * w * s * 2            # gd + gs (bf16)
+            + 10 * k * s * 4             # per-edge slabs (incl. dynamic)
+            + 12 * n_pad * 4 * 3         # particle planes + scratch
+        ),
+    )
+    if plan.vmem_bytes > VMEM_BUDGET:
+        raise NotImplementedError(
+            f"mesh kernel structure ~{plan.vmem_bytes / 1e6:.1f} MB exceeds "
+            "the VMEM budget — use the XLA windowed backend")
+    return plan
+
+
+def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
+                             dt_sub: float, n_substeps: int,
+                             with_ext: bool = False,
+                             approx_math: bool = False,
+                             block_edges: int = 256,
+                             plan: Optional[MeshKernelPlan] = None):
+    """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
+    raw substeps of the general-mesh XPBD loop in ONE fused kernel
+    (``with_ext=True`` adds the reference force lifecycle: ``ext_force``
+    consumed on the first substep, zeroed after).  Semantically equivalent
+    to ``solvers.general`` with ``distance_backend='windowed'`` — tested in
+    interpret mode (tests/test_mesh_pallas.py).  ``approx_math`` swaps
+    sqrt/divide for rsqrt + approximate reciprocal (opt-in, bench regime),
+    as in the lattice kernels."""
+    _check_supported(cfg, topo)
+    if plan is None:
+        plan = build_mesh_plan(topo, cfg, dt_sub, block_edges=block_edges)
+    k_blocks, s_edges, w_win = plan.n_blocks, plan.block_edges, plan.window
+    n = topo.n_particles
+    n_pad = plan.n_pad
+    e_real = topo.n_edges
+    dt = dt_sub
+    inv_dt2 = 1.0 / (dt * dt)
+    gx, gy, gz = cfg.gravity
+
+    accelerate = (cfg.jacobi_rho > 0
+                  and cfg.iterations > cfg.jacobi_cheby_delay)
+    rho2 = cfg.jacobi_rho ** 2
+    gamma = cfg.jacobi_gamma
+    has_contacts = (cfg.floor_mode == FloorMode.XPBD_INEQUALITY
+                    or bool(cfg.sphere_colliders)
+                    or bool(cfg.box_colliders))
+
+    gd_c = jnp.asarray(plan.gd)
+    gs_c = jnp.asarray(plan.gs)
+    rest_c = jnp.asarray(plan.rest)
+    alpha_c = jnp.asarray(plan.alpha)
+    relax_c = jnp.asarray(plan.relax)
+    warm_c = jnp.asarray(plan.warm_scale)
+    bound_c = (None if plan.dl_bound is None
+               else jnp.asarray(plan.dl_bound))
+    ea_c = jnp.asarray(plan.ea)
+    eb_c = jnp.asarray(plan.eb)
+    valid_c = jnp.asarray(plan.valid)
+
+    def kernel(*refs):
+        (x_in, v_in, w_in, lam_in, di_in, act_in, wlim_in,
+         gd_ref, gs_ref, rest_ref, alpha_ref, relax_ref, warm_ref) = refs[:13]
+        if with_ext:
+            bnd_ref = refs[13] if bound_c is not None else None
+            f_ref = refs[14] if bound_c is not None else refs[13]
+            xo_ref, vo_ref, lamo_ref = refs[-3:]
+        else:
+            bnd_ref = refs[13] if bound_c is not None else None
+            xo_ref, vo_ref, lamo_ref = refs[-3:]
+            f_ref = None
+
+        def scoped(pred, delta, prev, tmp):
+            xo_ref[:] = x_in[:]
+            vo_ref[:] = v_in[:]
+            lamo_ref[:] = lam_in[:]
+            w = w_in[:]                        # (1, n_pad)
+            pinned = w == 0.0
+
+            def sweep(relax_mode):
+                """One windowed Jacobi distance sweep applied to pred.
+
+                relax_mode='solve'  — full XPBD projection (lambda updated);
+                relax_mode='warm'   — warm-start pre-application (applies
+                the carried, decayed multiplier along current directions and
+                stores the scaled multiplier back).  Mirrors
+                general._solve_distance_windowed / _warm_apply_distance."""
+                delta[:] = jnp.zeros_like(delta)
+                for kb in range(k_blocks):
+                    b0 = plan.bases[kb]
+                    win = pred[:, b0:b0 + w_win]           # (3, W) static
+                    d = lax.dot_general(
+                        win, gd_ref[kb], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (3, S)
+                    d0, d1, d2 = d[0:1], d[1:2], d[2:3]
+                    len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (1, S)
+                    if approx_math:
+                        inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
+                        length = len_sq * inv_len
+                    else:
+                        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
+                    if relax_mode == "solve":
+                        lam_f = lamo_ref[kb]               # (1, S)
+                        cerr = length - rest_ref[kb]
+                        dl = (-cerr - alpha_ref[kb] * lam_f) * di_in[kb]
+                        if bnd_ref is not None:
+                            b = bnd_ref[kb]
+                            dl = jnp.clip(dl, -b, b)
+                        dl = dl * relax_ref[kb]
+                        active = (act_in[kb] > 0.5) & (length
+                                                       >= cfg.eps_length)
+                        dl = jnp.where(active, dl, 0.0)
+                        lam_f = lam_f + dl
+                        if cfg.lambda_clamp > 0:
+                            lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
+                                             cfg.lambda_clamp)
+                        lamo_ref[kb] = lam_f
+                    else:
+                        # warm pre-apply: scaled carried multiplier, clamped
+                        lam_f = lamo_ref[kb] * warm_ref[kb]
+                        if cfg.warm_start_fraction != 1.0:
+                            lam_f = lam_f * cfg.warm_start_fraction
+                        if cfg.warm_start_clamp > 0:
+                            lim = wlim_in[kb]
+                            lam_f = jnp.clip(lam_f, -lim, lim)
+                        lamo_ref[kb] = lam_f
+                        dl = jnp.where(valid_ref_k(kb), lam_f, 0.0)
+                    scale = (dl * inv_len if approx_math
+                             else dl / length)             # (1, S)
+                    dp = d * scale                          # (3, S) bcast
+                    wd = lax.dot_general(
+                        dp, gs_ref[kb], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (3, W)
+                    delta[:, b0:b0 + w_win] += wd
+                # destination-weighted overlap-add: correction_i = w_i * sum
+                for c in range(3):
+                    pred[c:c + 1] += w * delta[c:c + 1]
+
+            def valid_ref_k(kb):
+                return relax_ref[kb] > 0.0   # valid-masked relax slab
+
+            def contacts():
+                if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
+                    gh = cfg.ground_height
+                    pen = gh - pred[1:2]
+                    alpha_col = cfg.collision_compliance * inv_dt2
+                    denom = w + alpha_col
+                    dl = pen / jnp.maximum(denom, 1e-30)
+                    hit = ((pen > 0)
+                           & (w >= cfg.static_inv_mass_eps)
+                           & (jnp.abs(denom) >= cfg.eps_denominator))
+                    pred[1:2] += jnp.where(hit, w * dl, 0.0)
+                    fr = min(max(cfg.friction, 0.0), 1.0)
+                    pred[0:1] -= jnp.where(
+                        hit, (pred[0:1] - xo_ref[0:1]) * fr, 0.0)
+                    pred[2:3] -= jnp.where(
+                        hit, (pred[2:3] - xo_ref[2:3]) * fr, 0.0)
+                if cfg.box_colliders:
+                    fr = min(max(cfg.friction, 0.0), 1.0)
+                    for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
+                        loc = [pred[0:1] - cx, pred[1:2] - cy,
+                               pred[2:3] - cz]
+                        fd = [hx - jnp.abs(loc[0]), hy - jnp.abs(loc[1]),
+                              hz - jnp.abs(loc[2])]
+                        inside = (fd[0] > 0) & (fd[1] > 0) & (fd[2] > 0)
+                        act = inside & (w >= cfg.static_inv_mass_eps)
+                        m0 = (fd[0] <= fd[1]) & (fd[0] <= fd[2])
+                        m1 = (~m0) & (fd[1] <= fd[2])
+                        m2 = (~m0) & (~m1)
+                        nvec = []
+                        for c, mc in enumerate((m0, m1, m2)):
+                            sg = jnp.where(loc[c] < 0, -1.0, 1.0)
+                            push = jnp.where(act & mc, sg * fd[c], 0.0)
+                            pred[c:c + 1] += push
+                            nvec.append(jnp.where(mc, sg, 0.0))
+                        vn = None
+                        for c in range(3):
+                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            vn = (velc * nvec[c] if vn is None
+                                  else vn + velc * nvec[c])
+                        for c in range(3):
+                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            vt = velc - vn * nvec[c]
+                            pred[c:c + 1] -= jnp.where(act, vt * (dt * fr),
+                                                       0.0)
+                if cfg.sphere_colliders:
+                    fr = min(max(cfg.friction, 0.0), 1.0)
+                    for cx, cy, cz, radius in cfg.sphere_colliders:
+                        dvs = [pred[0:1] - cx, pred[1:2] - cy,
+                               pred[2:3] - cz]
+                        dist = jnp.sqrt(jnp.maximum(
+                            dvs[0] ** 2 + dvs[1] ** 2 + dvs[2] ** 2, 1e-24))
+                        penet = radius - dist
+                        act = (penet > 0) & (w >= cfg.static_inv_mass_eps)
+                        for c in range(3):
+                            nc = dvs[c] / dist
+                            pred[c:c + 1] += jnp.where(act, nc * penet, 0.0)
+                        vn = None
+                        for c in range(3):
+                            nc = dvs[c] / dist
+                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            vn = (velc * nc if vn is None
+                                  else vn + velc * nc)
+                        for c in range(3):
+                            nc = dvs[c] / dist
+                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            vt = velc - vn * nc
+                            pred[c:c + 1] -= jnp.where(act, vt * (dt * fr),
+                                                       0.0)
+
+            def substep(step_i, carry):
+                # ---- lambda lifecycle (general._substep)
+                if cfg.lambda_mode == LambdaMode.RESET:
+                    lamo_ref[:] = jnp.zeros_like(lamo_ref)
+                else:
+                    lamo_ref[:] = lamo_ref[:] * cfg.lambda_decay
+
+                # ---- predict (per coordinate plane)
+                for c, gc in ((0, gx), (1, gy), (2, gz)):
+                    vc = vo_ref[c:c + 1]
+                    ext = None
+                    if with_ext:
+                        ext = f_ref[c:c + 1] * jnp.where(step_i == 0, 1.0,
+                                                         0.0)
+                    if cfg.gravity_is_acceleration:
+                        if ext is not None:
+                            if cfg.max_force > 0:
+                                ext = jnp.clip(ext, -cfg.max_force,
+                                               cfg.max_force)
+                            vc = vc + dt * (jnp.where(w > 0, gc, 0.0)
+                                            + w * ext)
+                        else:
+                            vc = vc + dt * jnp.where(w > 0, gc, 0.0)
+                    else:
+                        force = (gc if ext is None else gc + ext)
+                        if cfg.max_force > 0:
+                            force = jnp.clip(force, -cfg.max_force,
+                                             cfg.max_force)
+                        vc = vc + dt * w * force
+                    if cfg.damping_mode.value == "per_step":
+                        vc = vc * (1.0 - min(max(cfg.damping, 0.0), 1.0))
+                    else:
+                        vc = vc * (1.0 - cfg.damping * dt)
+                    if cfg.max_velocity > 0:
+                        vc = jnp.clip(vc, -cfg.max_velocity,
+                                      cfg.max_velocity)
+                    vo_ref[c:c + 1] = vc
+                    pc = xo_ref[c:c + 1] + dt * vc
+                    if cfg.world_bounds > 0:
+                        pc = jnp.clip(pc, -cfg.world_bounds,
+                                      cfg.world_bounds)
+                    pred[c:c + 1] = pc
+
+                if cfg.lambda_mode == LambdaMode.WARM_START:
+                    sweep("warm")
+
+                # ---- solver iterations
+                if accelerate:
+                    prev[:] = pred[:]
+
+                    def iteration(it, om):
+                        tmp[:] = pred[:]
+                        sweep("solve")
+                        if has_contacts:
+                            contacts()
+                        om_next = jnp.where(
+                            it < cfg.jacobi_cheby_delay, 1.0,
+                            jnp.where(it == cfg.jacobi_cheby_delay,
+                                      2.0 / (2.0 - rho2),
+                                      4.0 / (4.0 - rho2 * om)))
+                        for c in range(3):
+                            newc = pred[c:c + 1]
+                            curc = tmp[c:c + 1]
+                            acc = om_next * (gamma * (newc - curc)
+                                             + curc - prev[c:c + 1]) \
+                                + prev[c:c + 1]
+                            prev[c:c + 1] = curc
+                            pred[c:c + 1] = acc
+                        if has_contacts:
+                            contacts()
+                        return om_next
+
+                    lax.fori_loop(0, cfg.iterations, iteration,
+                                  jnp.ones((), jnp.float32))
+                else:
+                    def iteration(_, carry2):
+                        sweep("solve")
+                        if has_contacts:
+                            contacts()
+                        return carry2
+
+                    lax.fori_loop(0, cfg.iterations, iteration, 0)
+
+                # ---- finalize (+ optional velocity-reflect floor)
+                if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
+                    for c in range(3):
+                        vo_ref[c:c + 1] = jnp.where(
+                            pinned, 0.0,
+                            (pred[c:c + 1] - xo_ref[c:c + 1]) / dt)
+                    gh = cfg.ground_height
+                    x1 = jnp.where(pinned, xo_ref[1:2], pred[1:2])
+                    pen = gh - x1
+                    hit = (pen > 0) & (w > 0)
+                    x1 = jnp.where(hit, gh + cfg.floor_offset, x1)
+                    v1 = vo_ref[1:2]
+                    falling = hit & (v1 < 0)
+                    vy = (jnp.abs(v1) * cfg.restitution
+                          + pen * cfg.penetration_kick)
+                    v1n = jnp.where(falling, vy, v1)
+                    normal_force = jnp.abs(v1n) + pen * cfg.normal_force_scale
+                    h_speed = jnp.sqrt(jnp.maximum(
+                        vo_ref[0:1] ** 2 + vo_ref[2:3] ** 2, 1e-24))
+                    moving = h_speed > 1e-3
+                    fmag = jnp.minimum(
+                        h_speed,
+                        normal_force * cfg.floor_friction_coeff * dt)
+                    scalef = jnp.where(falling & moving, fmag / h_speed, 0.0)
+                    vo_ref[0:1] = vo_ref[0:1] - vo_ref[0:1] * scalef
+                    vo_ref[1:2] = v1n
+                    vo_ref[2:3] = vo_ref[2:3] - vo_ref[2:3] * scalef
+                    xo_ref[0:1] = jnp.where(pinned, xo_ref[0:1], pred[0:1])
+                    xo_ref[1:2] = x1
+                    xo_ref[2:3] = jnp.where(pinned, xo_ref[2:3], pred[2:3])
+                else:
+                    for c in range(3):
+                        vo_ref[c:c + 1] = jnp.where(
+                            pinned, 0.0,
+                            (pred[c:c + 1] - xo_ref[c:c + 1]) / dt)
+                        xo_ref[c:c + 1] = jnp.where(pinned, xo_ref[c:c + 1],
+                                                    pred[c:c + 1])
+                return carry
+
+            lax.fori_loop(0, n_substeps, substep, 0)
+
+        pl.run_scoped(
+            scoped,
+            pred=pltpu.VMEM((3, n_pad), jnp.float32),
+            delta=pltpu.VMEM((3, n_pad), jnp.float32),
+            prev=pltpu.VMEM((3, n_pad), jnp.float32),
+            tmp=pltpu.VMEM((3, n_pad), jnp.float32),
+        )
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_inputs = 13 + (1 if bound_c is not None else 0) + (1 if with_ext
+                                                         else 0)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # x
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # v
+            jax.ShapeDtypeStruct((k_blocks, 1, s_edges), jnp.float32),
+        ),
+        in_specs=[vspec] * n_inputs,
+        out_specs=(vspec, vspec, vspec),
+    )
+
+    @jax.jit
+    def fn(state: SimState) -> SimState:
+        x = jnp.pad(state.positions.T, ((0, 0), (0, n_pad - n)))
+        v = jnp.pad(state.velocities.T, ((0, 0), (0, n_pad - n)))
+        w = jnp.pad(state.inv_mass[None, :], ((0, 0), (0, n_pad - n)))
+        lam = jnp.pad(state.lambda_dist,
+                      (0, k_blocks * s_edges - e_real)
+                      ).reshape(k_blocks, 1, s_edges)
+        # per-call slabs (inv_mass is dynamic state: SetPinned)
+        wa = state.inv_mass[ea_c]
+        wb = state.inv_mass[eb_c]
+        denom = wa + wb + jnp.asarray(plan.alpha).reshape(-1)
+        denom_inv = (1.0 / jnp.maximum(denom, 1e-30)
+                     ).reshape(k_blocks, 1, s_edges)
+        act = (valid_c.reshape(-1) *
+               ((jnp.abs(denom) >= cfg.eps_denominator)
+                & ((wa >= cfg.static_inv_mass_eps)
+                   | (wb >= cfg.static_inv_mass_eps))).astype(jnp.float32)
+               ).reshape(k_blocks, 1, s_edges)
+        if cfg.warm_start_clamp > 0:
+            wmax = jnp.maximum(jnp.maximum(wa, wb), 1e-12)
+            wlim = (cfg.warm_start_clamp
+                    * jnp.asarray(plan.rest).reshape(-1) / wmax
+                    ).reshape(k_blocks, 1, s_edges)
+        else:
+            wlim = jnp.zeros((k_blocks, 1, s_edges), jnp.float32)
+
+        args = [x, v, w, lam, denom_inv, act, wlim,
+                gd_c, gs_c, rest_c, alpha_c, relax_c, warm_c]
+        if bound_c is not None:
+            args.append(bound_c)
+        if with_ext:
+            args.append(jnp.pad(state.ext_force.T,
+                                ((0, 0), (0, n_pad - n))))
+        xo, vo, lamo = call(*args)
+        out = state.replace(
+            positions=xo[:, :n].T,
+            velocities=vo[:, :n].T,
+            lambda_dist=lamo.reshape(-1)[:e_real],
+        )
+        if with_ext:
+            out = out.replace(ext_force=jnp.zeros_like(state.ext_force))
+        return out
+
+    return fn
+
+
+def make_mesh_pallas_step(topo: Topology, cfg: SolverConfig, dt: float,
+                          n_steps: int = 1, approx_math: bool = False):
+    """Full step semantics fused in one kernel: ``n_steps`` frames of
+    ``cfg.substeps`` substeps, ``ext_force`` consumed on the first substep
+    and zeroed — drop-in for ``solvers.general.make_step`` on supported
+    configs (JACOBI + windowed-buildable topology)."""
+    return make_mesh_substep_runner(
+        topo, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
+        with_ext=True, approx_math=approx_math)

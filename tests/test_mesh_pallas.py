@@ -1,0 +1,159 @@
+"""Fused Pallas mesh-substep kernel vs the general XLA engine (windowed
+backend), interpret mode on CPU.  The same comparison runs on hardware via
+scripts/bench_mesh_kernel.py."""
+
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from softbodysimulation_tpu import (FloorMode, LambdaMode, SolveMode,
+                                    SolverConfig, state_from_topology)
+from softbodysimulation_tpu.kernels import mesh_pallas
+from softbodysimulation_tpu.solvers import general
+from softbodysimulation_tpu.topology import build, mesh
+from softbodysimulation_tpu.topology.edges import unique_edges
+
+DT = 1.0 / 60.0
+
+
+def sphere_topo(sub=2, compliance=1e-3):
+    m = mesh.icosphere(sub)
+    pos2, topo = build.build_windowed_topology(
+        m.vertices, unique_edges(m.triangles), compliance,
+        triangles=m.triangles)
+    return pos2 + np.array([0, 0.8, 0], np.float32), topo
+
+
+def run_pair(cfg, n_steps=5, pin=None, poke=False, **runner_kw):
+    pos, topo = sphere_topo()
+    st = state_from_topology(topo, pos)
+    if pin is not None:
+        st = st.replace(
+            inv_mass=st.inv_mass.at[np.asarray(pin)].set(0.0))
+    if poke:
+        f = np.zeros_like(pos)
+        f[:10] = (4.0, 8.0, 2.0)
+        st = st.replace(ext_force=np.asarray(f))
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=n_steps)
+    out_r = ref_fn(st)
+    with pltpu.force_tpu_interpret_mode():
+        pal_fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True, **runner_kw)
+        out_p = pal_fn(st)
+    return out_p, out_r
+
+
+def assert_close(out_p, out_r, tol_pos=2e-5, tol_lam=1e-6):
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    dlam = np.abs(np.asarray(out_p.lambda_dist)
+                  - np.asarray(out_r.lambda_dist)).max()
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+    assert dpos < tol_pos, f"kernel/engine position mismatch {dpos}"
+    assert dlam < tol_lam, f"kernel/engine lambda mismatch {dlam}"
+
+
+@pytest.mark.parametrize(
+    "lmode,rho,floor",
+    [
+        (LambdaMode.RESET, 0.9, FloorMode.XPBD_INEQUALITY),
+        (LambdaMode.RESET, 0.0, FloorMode.XPBD_INEQUALITY),
+        (LambdaMode.DECAY, 0.9, FloorMode.VELOCITY_REFLECT),
+        (LambdaMode.WARM_START, 0.0, FloorMode.XPBD_INEQUALITY),
+    ],
+)
+def test_mesh_kernel_matches_engine(lmode, rho, floor):
+    cfg = SolverConfig(substeps=4, iterations=4, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, lambda_mode=lmode,
+                       lambda_decay=0.98, jacobi_rho=rho,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3, floor_mode=floor)
+    assert_close(*run_pair(cfg))
+
+
+def test_mesh_kernel_ext_force_and_pins():
+    cfg = SolverConfig(substeps=4, iterations=3, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET, jacobi_rho=0.9,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    out_p, out_r = run_pair(cfg, pin=[0, 5], poke=True)
+    assert_close(out_p, out_r)
+    # pinned particles must not move and ext_force must be consumed
+    assert np.abs(np.asarray(out_p.ext_force)).max() == 0.0
+
+
+def test_mesh_kernel_sdf_colliders_and_clamps():
+    cfg = SolverConfig(substeps=2, iterations=3,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.9,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       ground_height=-0.2, friction=0.2,
+                       sphere_colliders=((0.0, 0.35, 0.0, 0.3),),
+                       box_colliders=((0.5, 0.4, 0.0, 0.2, 0.2, 0.2),),
+                       max_dlambda_rel=0.1, lambda_clamp=100.0,
+                       max_velocity=20.0, world_bounds=1000.0)
+    assert_close(*run_pair(cfg))
+
+
+def test_mesh_kernel_force_mode_gravity():
+    cfg = SolverConfig(substeps=2, iterations=2,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       gravity_is_acceleration=False, max_force=100.0,
+                       ground_height=0.0)
+    assert_close(*run_pair(cfg, poke=True))
+
+
+def test_mesh_kernel_approx_math_tracks_engine():
+    cfg = SolverConfig(substeps=4, iterations=2,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    out_p, out_r = run_pair(cfg, approx_math=True)
+    # approx reciprocal/rsqrt: looser budget, same trajectory
+    assert_close(out_p, out_r, tol_pos=5e-3, tol_lam=5e-4)
+
+
+def test_mesh_kernel_step_wrapper_matches_engine_step():
+    pos, topo = sphere_topo()
+    cfg = SolverConfig(substeps=3, iterations=3,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.9,
+                       lambda_mode=LambdaMode.DECAY,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    st = state_from_topology(topo, pos)
+    out_r = general.make_step(topo, cfg, DT, n_steps=4)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = mesh_pallas.make_mesh_pallas_step(topo, cfg, DT,
+                                                  n_steps=4)(st)
+    assert_close(out_p, out_r)
+
+
+def test_mesh_kernel_rejects_unsupported():
+    pos, topo = sphere_topo()
+    with pytest.raises(NotImplementedError):
+        mesh_pallas.make_mesh_substep_runner(
+            topo, SolverConfig(solve_mode=SolveMode.COLORED), DT, 4)
+    with pytest.raises(NotImplementedError):
+        mesh_pallas.make_mesh_substep_runner(
+            topo, SolverConfig(solve_mode=SolveMode.JACOBI,
+                               enable_self_collision=True), DT, 4)
+    # a topology whose bandwidth genuinely exceeds the window bound is
+    # refused (the un-renumbered path a user would hit by skipping
+    # build_windowed_topology)
+    n = 4096
+    rng = np.random.default_rng(0)
+    far = np.stack([np.arange(n // 2),
+                    n // 2 + rng.permutation(n // 2)], axis=1)
+    pos = rng.standard_normal((n, 3)).astype(np.float32)
+    topo3 = build.build_topology(pos, far.astype(np.int32), 1e-3,
+                                 color=False)
+    with pytest.raises(NotImplementedError):
+        mesh_pallas.make_mesh_substep_runner(
+            topo3, SolverConfig(solve_mode=SolveMode.JACOBI), DT, 4,
+            block_edges=128)
