@@ -115,6 +115,10 @@ class SolverConfig:
                                       # else gather/incidence; "gather" /
                                       # "windowed" force one (same
                                       # arithmetic, different execution)
+    bending_backend: str = "auto"     # JACOBI bending-sweep mechanics, same
+                                      # contract as distance_backend ("auto"
+                                      # = windowed signed one-hots when the
+                                      # topology carries bend_windows)
     # Chebyshev semi-iterative acceleration of the Jacobi iterations
     # (classic accelerated-PBD recurrence); rho = spectral-radius estimate,
     # 0 disables.  gamma under-relaxes the inner update for contact safety.
@@ -231,6 +235,9 @@ class SolverConfig:
         if self.distance_backend not in ("auto", "gather", "windowed"):
             raise ValueError(
                 "distance_backend must be auto|gather|windowed")
+        if self.bending_backend not in ("auto", "gather", "windowed"):
+            raise ValueError(
+                "bending_backend must be auto|gather|windowed")
         if self.self_collision_backend not in ("hash", "sorted", "dense",
                                                "blocked"):
             raise ValueError(

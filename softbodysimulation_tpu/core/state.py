@@ -129,6 +129,51 @@ _register(
 
 
 @dataclasses.dataclass(frozen=True)
+class HingeWindows:
+    """Windowed signed-one-hot incidence for the bending (dihedral) Jacobi
+    sweep (``topology/windows.py:build_hinge_windows``).  Exploits that the
+    bending gradients are translation-invariant (only the differences
+    e0 = pB-pA, e1 = pC-pA, e2 = pD-pA enter, ``ops/bending.py``) and that
+    grad_A = -(grad_B + grad_C + grad_D): ONE signed matrix per block
+    serves both sides —
+
+    G   — (Kb, W, 3S) signed gather: lane blocks [0,S) -> e0 (+1 at B,
+          -1 at A), [S,2S) -> e1 (+1 at C, -1 at A), [2S,3S) -> e2
+          (+1 at D, -1 at A); ``e = window^T @ G``.
+    GT  — (Kb, 3S, W) = G transposed: scattering [dl*gB | dl*gC | dl*gD]
+          through it lands +dl*g_X on each tip and -dl*(gB+gC+gD) = dl*gA
+          on A; the per-particle inverse-mass weight is applied AFTER the
+          overlap-add (correction_i = w_i * accumulated sum).
+    wsel — (Kb, W, 4S) {0,1} gather for the four endpoint inverse masses
+          (needed in the XPBD denominator).
+    """
+
+    G: jax.Array
+    GT: jax.Array
+    wsel: jax.Array
+    valid: jax.Array              # (Kb, S) 1.0 real hinge / 0.0 padding
+    inv_maxdeg: jax.Array         # (Kb, S) validity-masked 1/max-degree
+    win_onehot: jax.Array
+    seg_onehot: jax.Array
+    n_blocks: int
+    block_hinges: int
+    window: int
+    n_segs: int
+    seg: int = 128
+
+    def replace(self, **kw) -> "HingeWindows":
+        return dataclasses.replace(self, **kw)
+
+
+_register(
+    HingeWindows,
+    data_fields=("G", "GT", "wsel", "valid", "inv_maxdeg", "win_onehot",
+                 "seg_onehot"),
+    meta_fields=("n_blocks", "block_hinges", "window", "n_segs", "seg"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class Topology:
     """Static constraint topology (device arrays; shapes fixed at trace time).
 
@@ -177,6 +222,7 @@ class Topology:
     windows: Optional[Windows] = None   # MXU one-hot distance backend
                                         # (requires RCM-renumbered, window
                                         # -sorted edges; build.py wires it)
+    bend_windows: Optional["HingeWindows"] = None  # MXU bending backend
 
     @property
     def n_edges(self) -> int:
@@ -212,6 +258,7 @@ _register(
         "incidence",
         "bend_incidence",
         "windows",
+        "bend_windows",
     ),
     meta_fields=("num_colors", "num_bend_colors", "n_particles"),
 )

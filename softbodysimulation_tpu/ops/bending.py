@@ -23,9 +23,16 @@ def bending_delta_lambda(pa, pb, pc, pd, wa, wb, wc, wd, rest_angle,
     Hinge edge a-b, opposite tips c, d.  C = acos(n1.n2) - rest_angle with
     n1 = normalize((b-a) x (c-a)), n2 = normalize((d-a) x (b-a)).
     """
-    e0 = pb - pa
-    e1 = pc - pa
-    e2 = pd - pa
+    return bending_delta_lambda_rel(
+        pb - pa, pc - pa, pd - pa, wa, wb, wc, wd, rest_angle,
+        compliance, lam, dt, cfg)
+
+
+def bending_delta_lambda_rel(e0, e1, e2, wa, wb, wc, wd, rest_angle,
+                             compliance, lam, dt, cfg: SolverConfig):
+    """Same math in hinge-relative coordinates: e0 = pB-pA, e1 = pC-pA,
+    e2 = pD-pA (the constraint is translation-invariant, so the windowed
+    MXU backend gathers these differences directly via signed one-hots)."""
     n1 = jnp.cross(e0, e1)
     n2 = jnp.cross(e2, e0)
     l1sq = jnp.sum(n1 * n1, axis=-1)

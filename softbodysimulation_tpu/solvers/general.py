@@ -216,6 +216,65 @@ def _solve_bending_jacobi(pred, lam, inv_mass, topo: Topology,
     return pred + delta, lam
 
 
+def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
+                            cfg: SolverConfig, dt, omega):
+    """Jacobi bending sweep as dense signed-one-hot block matmuls (MXU).
+
+    Arithmetic matches ``_solve_bending_jacobi`` (same
+    ``bending_delta_lambda`` guards, same omega/max-degree scaling); the
+    4-endpoint gathers/scatters ride the MXU instead of ``bend_incidence``
+    walks.  One signed matrix per block serves both directions: the gather
+    computes the difference vectors e0/e1/e2 directly (bending is
+    translation-invariant), and scattering [dl*gB | dl*gC | dl*gD] through
+    its transpose lands -dl*(gB+gC+gD) = dl*gA on the hinge root, so the
+    A-side never needs its own matrix (see ``core.state.HingeWindows``).
+    The per-endpoint inverse-mass weight is the DESTINATION particle's, so
+    it is applied after the overlap-add.  Requires ``topo.bend_windows``.
+    """
+    win = topo.bend_windows
+    kb, s, w = win.n_blocks, win.block_hinges, win.window
+    n = pred.shape[0]
+    seg = win.seg
+    n_pad = win.n_segs * seg
+
+    xw = jnp.concatenate([pred, inv_mass[:, None]], axis=1)       # (N, 4)
+    xw = jnp.pad(xw, ((0, n_pad - n), (0, 0)))
+    seg_flat = xw.reshape(win.n_segs, seg * 4)
+    win_flat = win.win_onehot @ seg_flat                          # (P, 4seg)
+    wdat = win_flat.reshape(kb, w, 4)
+
+    e012 = lax.dot_general(win.G, wdat[..., :3],
+                           (((1,), (1,)), ((0,), (0,))),
+                           preferred_element_type=jnp.float32)    # (Kb,3S,3)
+    e0, e1, e2 = e012[:, :s], e012[:, s:2 * s], e012[:, 2 * s:]
+    wabcd = lax.dot_general(win.wsel, wdat[..., 3:],
+                            (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)   # (Kb,4S,1)
+    wabcd = wabcd[..., 0]
+    wa, wb = wabcd[:, :s], wabcd[:, s:2 * s]
+    wc, wd = wabcd[:, 2 * s:3 * s], wabcd[:, 3 * s:]
+
+    lam_pad = jnp.pad(lam, (0, kb * s - lam.shape[0])).reshape(kb, s)
+    rest = jnp.pad(topo.rest_angles, (0, kb * s - lam.shape[0])
+                   ).reshape(kb, s)
+    comp = jnp.pad(topo.bend_compliance, (0, kb * s - lam.shape[0])
+                   ).reshape(kb, s)
+    dl, _ga, gb, gc, gd = _bending.bending_delta_lambda_rel(
+        e0, e1, e2, wa, wb, wc, wd, rest, comp, lam_pad, dt, cfg)
+    dl = dl * (omega * win.inv_maxdeg)
+    lam_pad = lam_pad + dl
+
+    dlb = dl[..., None]
+    uu = jnp.concatenate([dlb * gb, dlb * gc, dlb * gd], axis=1)  # (Kb,3S,3)
+    wdelta = lax.dot_general(win.GT, uu,
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # (Kb,W,3)
+    pieces = wdelta.reshape(kb * (w // seg), seg * 3)
+    delta = (win.seg_onehot @ pieces).reshape(n_pad, 3)[:n]
+    return pred + inv_mass[:, None] * delta, \
+        lam_pad.reshape(-1)[:lam.shape[0]]
+
+
 # ---------------------------------------------------------------- substep
 def _warm_apply_distance(pred, lam, inv_mass, topo: Topology,
                          cfg: SolverConfig):
@@ -294,6 +353,12 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     if use_windowed and topo.windows is None:
         raise ValueError("distance_backend='windowed' requires a topology "
                          "built with build_windowed_topology")
+    use_windowed_bend = (cfg.bending_backend == "windowed"
+                         or (cfg.bending_backend == "auto"
+                             and topo.bend_windows is not None))
+    if use_windowed_bend and topo.bend_windows is None:
+        raise ValueError("bending_backend='windowed' requires a topology "
+                         "with hinge windows (build_windowed_topology)")
 
     if cfg.enable_self_collision and cfg.self_collision_backend in (
             "sorted", "blocked"):
@@ -348,6 +413,9 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
             if cfg.solve_mode == SolveMode.COLORED:
                 pred, lam_b = _solve_bending_colored(
                     pred, lam_b, state.inv_mass, topo, cfg, dt)
+            elif use_windowed_bend:
+                pred, lam_b = _solve_bending_windowed(
+                    pred, lam_b, state.inv_mass, topo, cfg, dt, omega)
             else:
                 pred, lam_b = _solve_bending_jacobi(
                     pred, lam_b, state.inv_mass, topo, cfg, dt, omega)

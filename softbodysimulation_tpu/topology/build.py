@@ -197,6 +197,8 @@ def build_windowed_topology(
         rest_lengths = np.asarray(rest_lengths, np.float32)[sortperm]
     if hinges is not None and len(hinges):
         hinges = rank[np.asarray(hinges, np.int64)].astype(np.int32)
+        # window-sort hinges too, so the bending sweep can block them
+        hinges = hinges[_windows.sort_hinges_by_window(hinges)]
     if triangles is not None and len(triangles):
         triangles = rank[np.asarray(triangles, np.int64)].astype(np.int32)
 
@@ -212,7 +214,18 @@ def build_windowed_topology(
         e2, n, deg.astype(np.float32),
         block_edges=block_edges, max_window=max_window,
         seg_align=seg_align, dtype=window_dtype)
-    return pos2.astype(np.float32), topo.replace(windows=win)
+    bwin = None
+    if hinges is not None and len(hinges):
+        try:
+            bwin = _windows.build_hinge_windows(
+                hinges, n, np.asarray(topo.bend_degree),
+                block_hinges=min(block_edges, 128),
+                max_window=max_window, seg_align=seg_align,
+                dtype=window_dtype)
+        except ValueError:
+            bwin = None    # bandwidth too large: gather bending fallback
+    return pos2.astype(np.float32), topo.replace(windows=win,
+                                                 bend_windows=bwin)
 
 
 def validate_topology(topo: Topology) -> dict:

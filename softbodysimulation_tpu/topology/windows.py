@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.state import Windows
+from ..core.state import HingeWindows, Windows
 
 
 def rcm_order(edges: np.ndarray, n: int) -> np.ndarray:
@@ -128,6 +128,91 @@ def build_windows(edges: np.ndarray, n_particles: int, degree: np.ndarray,
         n_blocks=K,
         block_edges=S,
         window=W,
+        n_segs=int(n_segs),
+        seg=seg,
+    )
+
+
+def sort_hinges_by_window(hinges: np.ndarray):
+    """Stable-sort hinges by min endpoint (block locality)."""
+    return np.argsort(hinges.min(axis=1), kind="stable")
+
+
+def build_hinge_windows(hinges: np.ndarray, n_particles: int,
+                        bend_degree: np.ndarray,
+                        block_hinges: int = 128, max_window: int = 1024,
+                        seg_align: int = 128,
+                        dtype=np.float32) -> HingeWindows:
+    """Build the signed one-hot window structure for the bending sweep
+    (same blocking discipline as ``build_windows``; see
+    ``core.state.HingeWindows`` for the algebra).  ``hinges`` must be
+    RCM-renumbered AND sorted by min endpoint; raises ValueError when a
+    block's window exceeds ``max_window``."""
+    import jax.numpy as jnp
+
+    h = len(hinges)
+    s = int(block_hinges)
+    k = max(1, -(-h // s))
+    hpad = k * s
+    pad = np.tile(hinges[-1:], (hpad - h, 1)) if hpad > h else \
+        np.zeros((0, 4), hinges.dtype)
+    hg = np.vstack([hinges, pad]).astype(np.int64)
+    valid = (np.arange(hpad) < h).astype(np.float32).reshape(k, s)
+
+    seg = int(seg_align)
+    blocks = hg.reshape(k, s, 4)
+    bases = (blocks.min(axis=(1, 2)) // seg) * seg
+    spans = blocks.max(axis=(1, 2)) - bases + 1
+    w = int(seg * -(-int(spans.max()) // seg))
+    if w > max_window:
+        raise ValueError(
+            f"hinge windows need window {w} > max_window {max_window}; "
+            "mesh bandwidth too large — use the gather bending path")
+
+    n_segs = max(-(-n_particles // seg), int((bases.max() + w) // seg))
+    piece_seg = (bases[:, None] // seg + np.arange(w // seg)[None, :])
+    p = k * (w // seg)
+    piece_seg = piece_seg.reshape(p)
+    win_onehot = np.zeros((p, n_segs), np.float32)
+    win_onehot[np.arange(p), piece_seg] = 1.0
+    seg_onehot = win_onehot.T.copy()
+
+    loc = blocks - bases[:, None, None]          # (k, s, 4) in [0, w)
+    kk, ss = np.meshgrid(np.arange(k), np.arange(s), indexing="ij")
+    vm = valid.reshape(k, s)
+    # signed gather: lane block i in {0,1,2} computes e_i (tip - A).
+    # padded slots keep all-zero columns (e = 0 -> geom_ok guard kills dl)
+    g = np.zeros((k, w, 3 * s), np.float32)
+    for i, tip in enumerate((1, 2, 3)):          # B, C, D
+        g[kk, loc[:, :, tip], ss + i * s] += vm
+        g[kk, loc[:, :, 0], ss + i * s] -= vm
+    # endpoint inverse-mass gather ({0,1}; 4 lane blocks A,B,C,D)
+    wsel = np.zeros((k, w, 4 * s), np.float32)
+    for i in range(4):
+        wsel[kk, loc[:, :, i], ss + i * s] = vm
+
+    deg = np.asarray(bend_degree, np.float32)
+    maxdeg = np.maximum(
+        np.maximum(np.maximum(deg[hg[:, 0]], deg[hg[:, 1]]),
+                   np.maximum(deg[hg[:, 2]], deg[hg[:, 3]])), 1.0)
+    inv_maxdeg = (valid.reshape(-1) / maxdeg).reshape(k, s).astype(
+        np.float32)
+
+    # {0, +-1} entries are exact in bf16 (halves HBM traffic; the mixed
+    # bf16 x f32 dot keeps f32 data/accumulation — same as Windows)
+    jdt = jnp.bfloat16 if str(dtype) in ("bf16", "bfloat16") else jnp.float32
+    return HingeWindows(
+        G=jnp.asarray(g, jdt),
+        GT=jnp.asarray(np.ascontiguousarray(np.transpose(g, (0, 2, 1))),
+                       jdt),
+        wsel=jnp.asarray(wsel, jdt),
+        valid=jnp.asarray(valid),
+        inv_maxdeg=jnp.asarray(inv_maxdeg),
+        win_onehot=jnp.asarray(win_onehot),
+        seg_onehot=jnp.asarray(seg_onehot),
+        n_blocks=k,
+        block_hinges=s,
+        window=w,
         n_segs=int(n_segs),
         seg=seg,
     )

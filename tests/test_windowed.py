@@ -156,3 +156,47 @@ def test_windowed_backend_is_differentiable():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert abs(g[1]) > 1e-3   # raising the start raises the outcome
+
+
+# ----------------------------------------- windowed bending (round 3)
+def test_windowed_bending_matches_gather_backend():
+    """The signed-one-hot bending sweep must track the incidence-gather
+    bending sweep (same bending_delta_lambda guards, same relaxation)."""
+    import dataclasses
+
+    m = mesh.icosphere(2)
+    pos, topo = build.topology_from_mesh(
+        m, compliance=1e-4, bending=True, bend_compliance=1e-3,
+        windowed=True)
+    assert topo.bend_windows is not None
+    cfg_w = SolverConfig(substeps=2, iterations=5, damping=0.01,
+                         solve_mode=SolveMode.JACOBI, enable_bending=True,
+                         ground_height=-2.0)
+    cfg_g = dataclasses.replace(cfg_w, bending_backend="gather")
+    st = state_from_topology(topo, pos + np.array([0, 1.0, 0], np.float32))
+    # squash the sphere so the hinges are materially bent
+    st = st.replace(positions=st.positions * np.array([1.0, 0.6, 1.0],
+                                                      np.float32))
+    ow = general.make_step(topo, cfg_w, DT, n_steps=25)(st)
+    og = general.make_step(topo, cfg_g, DT, n_steps=25)(st)
+    assert np.abs(np.asarray(ow.positions)
+                  - np.asarray(og.positions)).max() < 1e-4
+    assert np.abs(np.asarray(ow.lambda_bend)
+                  - np.asarray(og.lambda_bend)).max() < 1e-5
+    # the sweep did real work
+    assert np.abs(np.asarray(ow.lambda_bend)).max() > 0
+
+
+def test_windowed_bending_respects_pins_and_stays_finite():
+    m = mesh.icosphere(2)
+    pos, topo = build.topology_from_mesh(
+        m, compliance=1e-4, bending=True, windowed=True)
+    cfg = SolverConfig(substeps=2, iterations=4, enable_bending=True,
+                       solve_mode=SolveMode.JACOBI, ground_height=0.0)
+    st = state_from_topology(topo, pos + np.array([0, 1.0, 0], np.float32))
+    st = st.replace(inv_mass=st.inv_mass.at[np.array([3, 7])].set(0.0))
+    p0 = np.asarray(st.positions)[[3, 7]].copy()
+    out = general.make_step(topo, cfg, DT, n_steps=30)(st)
+    p = np.asarray(out.positions)
+    assert np.isfinite(p).all()
+    assert np.abs(p[[3, 7]] - p0).max() < 1e-6
