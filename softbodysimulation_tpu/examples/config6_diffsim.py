@@ -21,7 +21,11 @@ from ..topology import lattice
 
 def run(res: int = 3, steps: int = 60, dt: float = 1 / 60,
         target=(1.5, 0.4, 0.0), lr: float = 4.0, opt_iters: int = 40,
-        verbose: bool = True):
+        verbose: bool = True, engine: str = "xla"):
+    """``engine='pallas'`` runs the forward rollout through the fused
+    Mosaic kernel with the XLA engine as the custom-VJP backward
+    (``kernels/diff.py``) — the primal gets the kernel speedup, the
+    gradient stays exact for the XLA semantics both engines share."""
     spec = lattice.lattice_spec(res, braced=True)
     cfg = SolverConfig(
         substeps=2, iterations=2, damping=0.01,
@@ -30,10 +34,19 @@ def run(res: int = 3, steps: int = 60, dt: float = 1 / 60,
     state0 = lat_engine.make_lattice_state(spec, center=(0.0, 0.6, 0.0))
     target = jnp.asarray(target, jnp.float32)
 
+    if engine == "pallas":
+        from ..kernels.diff import make_differentiable_lattice_runner
+
+        rollout = make_differentiable_lattice_runner(
+            spec, cfg, dt / cfg.substeps, steps * cfg.substeps)
+    else:
+        def rollout(s):
+            return lat_engine.multi_step_fn(s, spec, cfg, dt, steps)
+
     def loss(v0):
         s = state0.replace(
             velocities=jnp.broadcast_to(v0, state0.velocities.shape))
-        s = lat_engine.multi_step_fn(s, spec, cfg, dt, steps)
+        s = rollout(s)
         com = s.positions.mean(axis=0)
         return jnp.sum((com - target) ** 2)
 

@@ -1,0 +1,92 @@
+"""Differentiable fused kernels: custom-VJP pairing of a Pallas forward
+with the XLA engine's backward.
+
+The fused Mosaic kernels (``lattice_pallas``, ``mesh_pallas``) are the
+fastest engines but Mosaic programs carry no autodiff rules, so they would
+silently exit the differentiable-rollout story (``jax.grad`` through whole
+simulations, examples/config6_diffsim.py).  The two implementations are
+semantically identical to their XLA twins — cross-checked by the
+interpret-mode equivalence suites and on hardware (BENCHMARKS.md) — so the
+honest gradient of the kernel IS the gradient of the XLA engine evaluated
+at the same point:
+
+  forward  — the Pallas kernel (fast primal);
+  backward — ``jax.vjp`` of the XLA engine's rollout, linearized at the
+             SAME input state.
+
+The cotangent is exact for the XLA engine and correct for the kernel up to
+the engines' fp-level output difference (~1e-6 positions over thousands of
+substeps) — the standard straight-through-at-equal-semantics construction.
+The backward replays the forward rollout once (reverse-mode through a
+``lax.scan`` checkpoints per step), so grad cost matches differentiating
+the XLA engine directly; only the primal gets the kernel speedup — exactly
+what optimisation loops (many forward evaluations per gradient) want.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..core.state import SimState
+
+
+def pair_with_vjp(kernel_fn, xla_fn):
+    """Return ``kernel_fn`` wrapped so reverse-mode AD flows through
+    ``xla_fn``'s VJP.  Both must be ``SimState -> SimState`` with the same
+    semantics (e.g. a fused Pallas runner and its XLA-engine twin built
+    from the same (topology, config, dt, n_substeps))."""
+
+    @jax.custom_vjp
+    def run(state: SimState) -> SimState:
+        return kernel_fn(state)
+
+    def fwd(state: SimState):
+        return kernel_fn(state), state
+
+    def bwd(state: SimState, ct):
+        _, vjp = jax.vjp(xla_fn, state)
+        return vjp(ct)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def make_differentiable_lattice_runner(spec, cfg, dt_sub: float,
+                                       n_substeps: int, **pallas_kw):
+    """Differentiable fused lattice rollout: streamed Pallas kernel forward
+    (resident fallback), XLA stencil engine backward."""
+    from ..solvers import lattice as lat_engine
+    from . import lattice_pallas
+
+    try:
+        pal = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec, cfg, dt_sub, n_substeps, **pallas_kw)
+    except NotImplementedError:
+        pal = lattice_pallas.make_pallas_substep_runner(
+            spec, cfg, dt_sub, n_substeps)
+    ref = lat_engine.make_substep_runner(spec, cfg, dt_sub, n_substeps)
+    return pair_with_vjp(pal, ref)
+
+
+def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
+                                    n_substeps: int, **pallas_kw):
+    """Differentiable fused mesh rollout: mesh Pallas kernel forward,
+    general-engine (windowed backend) backward."""
+    from ..solvers import general
+    from . import mesh_pallas
+
+    from jax import lax
+
+    pal = mesh_pallas.make_mesh_substep_runner(
+        topo, cfg, dt_sub, n_substeps, **pallas_kw)
+
+    @jax.jit
+    def ref(state: SimState) -> SimState:
+        def body(carry, _):
+            return general._substep(carry, topo, cfg, dt_sub,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, state, None, length=n_substeps)
+        return out
+
+    return pair_with_vjp(pal, ref)
