@@ -165,53 +165,68 @@ def main(argv=None):
         # keeps stepping
         exporter = AsyncExporter()
 
+    # live keyboard interaction during --watch (SoftBodyInteractor.cs:37-67
+    # hotkeys minus the mouse ray; no-op when stdin is not a TTY)
+    from .interact import keyboard as _keyboard
+
     timer = StepTimer()
     t0 = time.perf_counter()
     first_frame = True
-    for i in range(args.steps):
-        for force, pos_p, rad in pokes.get(i, ()):
-            sess.poke(force, pos_p, rad)
-        state = sess.step(1)
-        if args.watch and (i + 1) % args.watch == 0:
-            from .io import terminal as _terminal
+    last_action = ""
+    with _keyboard.raw_stdin() as poll_keys:
+        for i in range(args.steps):
+            for force, pos_p, rad in pokes.get(i, ()):
+                sess.poke(force, pos_p, rad)
+            if args.watch:
+                rep = _keyboard.apply_keys(sess, poll_keys())
+                if rep["acted"]:
+                    last_action = "+".join(rep["acted"])
+                if rep["quit"]:
+                    state = sess.state
+                    break
+            state = sess.step(1)
+            if args.watch and (i + 1) % args.watch == 0:
+                from .io import terminal as _terminal
 
-            cfgw = info.get("config")
-            status = (f"step {i + 1}/{args.steps}  scene={args.scene}  "
-                      f"poked={sum(1 for s in pokes if s <= i)}")
-            _terminal.show(
-                _terminal.frame(
-                    state, watch_topo, cols=args.watch_cols,
-                    ground_height=getattr(cfgw, "ground_height", None),
-                    status=status),
-                first=first_frame)
-            first_frame = False
-            if args.watch_fps > 0:
-                time.sleep(1.0 / args.watch_fps)
-        if exporter is not None and (i + 1) % args.export_every == 0:
-            base, ext = os.path.splitext(args.export)
-            exporter.submit(f"{base}.{i + 1:04d}{ext or '.obj'}",
-                            state, seq_topo)
-        if args.log_every and (i + 1) % args.log_every == 0:
-            p = np.asarray(state.positions)
-            rate = timer.tick(args.log_every)
-            extra = ""
-            cfgl = info.get("config")
-            if (cfgl is not None and cfgl.enable_self_collision
-                    and cfgl.self_collision_backend == "blocked"):
-                # exactness precondition of the blocked contact backend:
-                # overflow > 0 means dropped pairs — raise block_neighbors
-                from .diag.diagnostics import blocked_overflow
+                cfgw = info.get("config")
+                status = (f"step {i + 1}/{args.steps}  scene={args.scene}  "
+                          f"poked={sum(1 for s in pokes if s <= i)}"
+                          + (f"  [{last_action}]" if last_action else "")
+                          + "\n" + _keyboard.legend())
+                _terminal.show(
+                    _terminal.frame(
+                        state, watch_topo, cols=args.watch_cols,
+                        ground_height=getattr(cfgw, "ground_height", None),
+                        status=status),
+                    first=first_frame)
+                first_frame = False
+                if args.watch_fps > 0:
+                    time.sleep(1.0 / args.watch_fps)
+            if exporter is not None and (i + 1) % args.export_every == 0:
+                base, ext = os.path.splitext(args.export)
+                exporter.submit(f"{base}.{i + 1:04d}{ext or '.obj'}",
+                                state, seq_topo)
+            if args.log_every and (i + 1) % args.log_every == 0:
+                p = np.asarray(state.positions)
+                rate = timer.tick(args.log_every)
+                extra = ""
+                cfgl = info.get("config")
+                if (cfgl is not None and cfgl.enable_self_collision
+                        and cfgl.self_collision_backend == "blocked"):
+                    # exactness precondition of the blocked contact backend:
+                    # overflow > 0 means dropped pairs — raise block_neighbors
+                    from .diag.diagnostics import blocked_overflow
 
-                ovf = blocked_overflow(state, cfgl)
-                extra = f" contact_overflow={ovf}"
-                if ovf:
-                    print(f"WARNING: blocked self-collision overflow {ovf} "
-                          "(dropped pairs) — raise "
-                          "SolverConfig.block_neighbors", file=sys.stderr)
-            print(f"step {i + 1:6d}  ymin={p[:, 1].min():+.4f} "
-                  f"ymean={p[:, 1].mean():+.4f} "
-                  f"finite={bool(np.isfinite(p).all())} "
-                  f"steps/s={rate:.1f}{extra}")
+                    ovf = blocked_overflow(state, cfgl)
+                    extra = f" contact_overflow={ovf}"
+                    if ovf:
+                        print(f"WARNING: blocked self-collision overflow {ovf} "
+                              "(dropped pairs) — raise "
+                              "SolverConfig.block_neighbors", file=sys.stderr)
+                print(f"step {i + 1:6d}  ymin={p[:, 1].min():+.4f} "
+                      f"ymean={p[:, 1].mean():+.4f} "
+                      f"finite={bool(np.isfinite(p).all())} "
+                      f"steps/s={rate:.1f}{extra}")
     if exporter is not None:
         exporter.close()
     np.asarray(state.positions)

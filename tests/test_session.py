@@ -112,3 +112,35 @@ def test_session_failsafe():
     s.step(4)
     assert events, "failsafe should have fired"
     assert np.isfinite(np.asarray(s.state.positions)).all()
+
+
+# ------------------------------------- live keyboard interaction (round 3)
+def test_keyboard_apply_keys_drives_session():
+    from softbodysimulation_tpu.interact import keyboard
+
+    sess = make_session(gravity=(0.0, 0.0, 0.0))
+    com0 = np.asarray(sess.state.positions).mean(axis=0)
+
+    rep = keyboard.apply_keys(sess, ["d"])          # poke +x
+    assert rep["acted"] == ["poke +x"]
+    sess.step(2)
+    com1 = np.asarray(sess.state.positions).mean(axis=0)
+    assert com1[0] > com0[0] + 1e-5
+
+    rep = keyboard.apply_keys(sess, ["p"])          # pin near COM
+    assert rep["acted"] == ["pin"]
+    assert (np.asarray(sess.state.inv_mass) == 0).any()
+    rep = keyboard.apply_keys(sess, ["u"])
+    assert (np.asarray(sess.state.inv_mass) > 0).all()
+
+    rep = keyboard.apply_keys(sess, ["r", "q"])     # restart + quit
+    assert rep["restarted"] and rep["quit"]
+    np.testing.assert_allclose(np.asarray(sess.state.positions).mean(axis=0),
+                               com0, atol=1e-6)
+
+
+def test_keyboard_raw_stdin_degrades_without_tty():
+    from softbodysimulation_tpu.interact import keyboard
+
+    with keyboard.raw_stdin() as poll:
+        assert poll() == []          # pytest stdin is a pseudofile: no-op
