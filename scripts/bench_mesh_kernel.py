@@ -8,6 +8,7 @@ program.  Validates the kernel against the XLA trajectory before accepting
 its number.  Prints one JSON line per row.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -70,18 +71,30 @@ def main():
     from softbodysimulation_tpu.core.state import SimState  # noqa: F401
     import jax  # noqa: E402
 
-    steps_per_call = SUBSTEPS_PER_CALL // cfg.substeps
-    fn_x = general.make_step(topo, cfg, DT, n_steps=steps_per_call)
-    rate_x, warm_x = measure(fn_x, st, n, SUBSTEPS_PER_CALL)
+    # XLA side at 50 steps/call (200 substeps) — the r2 suite's framing;
+    # 500-step calls nest lax.scan too deep and compile pathologically
+    # (CLAUDE.md).  Rates are per-substep, so the framing is fair.
+    xla_steps = 50
+    fn_x = general.make_step(topo, cfg, DT, n_steps=xla_steps)
+    rate_x, warm_x = measure(fn_x, st, n, xla_steps * cfg.substeps)
     emit(row="bunny_xla_windowed", particle_substeps_per_s=float(
         f"{rate_x:.4g}"), n=n, e=topo.n_edges)
 
-    # validation horizon: 60 frames (pre-/early-impact, before free-fall
-    # shell crumple turns chaotic — BENCHMARKS.md "Chaos caveat")
-    VAL_SUBSTEPS = 240
-    fn_x_short = general.make_step(topo, cfg, DT,
-                                   n_steps=VAL_SUBSTEPS // cfg.substeps)
-    ref_pos = np.asarray(fn_x_short(st).positions)
+    # validation horizon: 15 frames / 60 substeps — strictly PRE-impact
+    # (the bunny falls from +1.0; impact ~0.4 s in).  Post-impact shell
+    # crumple is chaotic and amplifies benign ulp-level formulation
+    # differences to ~1e-2 (BENCHMARKS.md "Chaos caveat"); the control row
+    # below quantifies that with the two XLA backends against each other.
+    fn_x_val = general.make_step(topo, cfg, DT, n_steps=15)
+    VAL_SUBSTEPS = 15 * cfg.substeps
+    ref_pos = np.asarray(fn_x_val(st).positions)
+
+    cfg_g = dataclasses.replace(cfg, distance_backend="gather")
+    fn_g = general.make_step(topo, cfg_g, DT, n_steps=xla_steps)
+    chaos = float(np.abs(np.asarray(fn_g(st).positions)
+                         - np.asarray(fn_x(st).positions)).max())
+    emit(row="chaos_control_gather_vs_windowed_200sub",
+         drift=float(f"{chaos:.3g}"))
 
     for s_blk in BLOCK_EDGES:
         for approx in (False, True):
@@ -90,11 +103,12 @@ def main():
                 fn_p_short = mesh_pallas.make_mesh_substep_runner(
                     topo, cfg, dt_sub, VAL_SUBSTEPS,
                     with_ext=True, approx_math=approx, block_edges=s_blk)
+
                 wp = np.asarray(fn_p_short(st).positions)
                 drift = float(np.abs(wp - ref_pos).max())
                 if not np.isfinite(wp).all():
                     raise RuntimeError("non-finite kernel output")
-                if drift >= (1e-2 if approx else 1e-3):
+                if drift >= (3e-3 if approx else 1e-4):
                     raise RuntimeError(f"kernel diverges from XLA: {drift}")
                 fn_p = mesh_pallas.make_mesh_substep_runner(
                     topo, cfg, dt_sub, SUBSTEPS_PER_CALL,

@@ -34,10 +34,16 @@ from softbodysimulation_tpu.topology.objloader import load_obj  # noqa: E402
 RESULTS = []
 
 
-def measure(name, fn, state, particles, work_per_call, repeats=4):
+def measure(name, fn, state, particles, work_per_call, repeats=4,
+            pair=None):
     """Best-of-N, synced per call by host fetch.  The relay produces
     sporadic multi-second stragglers (queue hiccups), so time-window
-    averages are useless here — the best call is the honest device time."""
+    averages are useless here — the best call is the honest device time.
+
+    ``pair`` groups engine A/B rows measured in THIS process on the same
+    workload: the emitted artifact carries the pairing and the relative
+    speedups, so a stale-artifact-vs-doc contradiction (the r2 verdict's
+    item 3) is structurally impossible to misread."""
     out = fn(state)
     np.asarray(out.positions)  # compile + sync
     out = fn(out)
@@ -51,9 +57,18 @@ def measure(name, fn, state, particles, work_per_call, repeats=4):
     p = np.asarray(out.positions)  # health check only; not timed
     ps = particles * work_per_call / best
     finite = bool(np.isfinite(p).all())
-    RESULTS.append({"workload": name, "particle_substeps_per_sec": ps,
-                    "particles": particles, "finite": finite})
-    print(f"{name:42s} {ps:.3e} ps/s  finite={finite}", flush=True)
+    row = {"workload": name, "particle_substeps_per_sec": ps,
+           "particles": particles, "finite": finite}
+    if pair is not None:
+        row["pair"] = pair
+        prev = [r for r in RESULTS if r.get("pair") == pair]
+        if prev:
+            row["speedup_vs_first_in_pair"] = ps / prev[0][
+                "particle_substeps_per_sec"]
+    RESULTS.append(row)
+    extra = (f"  [{pair} x{row.get('speedup_vs_first_in_pair', 1):.2f}]"
+             if pair and "speedup_vs_first_in_pair" in row else "")
+    print(f"{name:42s} {ps:.3e} ps/s  finite={finite}{extra}", flush=True)
 
 
 def main():
@@ -68,15 +83,24 @@ def main():
                        ground_height=0.0, friction=0.3)
     st = lat.make_lattice_state(spec, center=(0, 0.6, 0), mass=0.001)
     L = 2000   # long calls amortize the ~25-50 ms relay dispatch overhead
+    fn = lat.make_substep_runner(spec, cfg, 1 / 480, L)
+    measure("lattice 64k (xla stencil)", fn, st, spec.n_particles, L,
+            pair="lattice64k")
+    try:
+        fn = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480, L, approx_math=True)
+        measure("lattice 64k (pallas streamed, approx)", fn, st,
+                spec.n_particles, L, pair="lattice64k")
+    except Exception as e:  # noqa: BLE001
+        print(f"streamed pallas unavailable: {type(e).__name__}: {e}",
+              flush=True)
     try:
         fn = lattice_pallas.make_pallas_substep_runner(
             spec, cfg, 1 / 480, L, approx_math=True)
         measure("lattice 64k (pallas, VMEM-resident, approx recip)", fn, st,
-                spec.n_particles, L)
+                spec.n_particles, L, pair="lattice64k")
     except Exception as e:  # noqa: BLE001
         print(f"pallas unavailable: {type(e).__name__}: {e}", flush=True)
-    fn = lat.make_substep_runner(spec, cfg, 1 / 480, L)
-    measure("lattice 64k (xla stencil)", fn, st, spec.n_particles, L)
 
     # 1a. big-lattice streamed pallas kernel (res 64 = 262k particles; the
     # resident kernel OOMs above res 40 — ROADMAP #2 resolved)
@@ -107,12 +131,12 @@ def main():
     Lf = 200
     fn_f = lat.make_substep_runner(spec_f, cfg_f, 1 / 240, Lf)
     measure("lattice 64k FAITHFUL flagship (colored+decay+reflect x9it)",
-            fn_f, st_f, spec_f.n_particles, Lf)
+            fn_f, st_f, spec_f.n_particles, Lf, pair="faithful")
     try:  # same faithful config fused in the streamed kernel (round 2)
         fn_fp = lattice_pallas.make_pallas_substep_runner_streamed(
             spec_f, cfg_f, 1 / 240, Lf)
         measure("lattice 64k FAITHFUL flagship (streamed pallas)",
-                fn_fp, st_f, spec_f.n_particles, Lf)
+                fn_fp, st_f, spec_f.n_particles, Lf, pair="faithful")
     except Exception as e:  # noqa: BLE001
         print(f"faithful streamed unavailable: {type(e).__name__}: {e}",
               flush=True)
@@ -141,7 +165,8 @@ def main():
     steps = 50
     fnm = general.make_step(topo, cfgm, 1 / 60, n_steps=steps)
     measure(f"bunny mesh {topo.n_particles}p/{topo.n_edges}e (gather)",
-            fnm, stm, topo.n_particles, steps * cfgm.substeps)
+            fnm, stm, topo.n_particles, steps * cfgm.substeps,
+            pair="bunny")
 
     # 2b. bunny — windowed one-hot MXU backend (RCM + block matmuls)
     pos_w, topo_w = build.topology_from_mesh(
@@ -149,9 +174,27 @@ def main():
         window_dtype="bf16")
     stw = state_from_topology(
         topo_w, pos_w + np.array([0, 1.0, 0], np.float32))
-    fnw = general.make_step(topo_w, cfgm, 1 / 60, n_steps=steps)
+    import dataclasses as _dc
+
+    cfgw = _dc.replace(cfgm, distance_backend="windowed")
+    fnw = general.make_step(topo_w, cfgw, 1 / 60, n_steps=steps)
     measure(f"bunny mesh {topo_w.n_particles}p (windowed one-hot MXU)",
-            fnw, stw, topo_w.n_particles, steps * cfgm.substeps)
+            fnw, stw, topo_w.n_particles, steps * cfgm.substeps,
+            pair="bunny")
+
+    # 2b'. fused mesh-substep Pallas kernel (round 3): the whole windowed
+    # sweep + substep loop in one Mosaic program
+    try:
+        from softbodysimulation_tpu.kernels import mesh_pallas
+
+        Lm = 2000
+        fnk = mesh_pallas.make_mesh_substep_runner(
+            topo_w, cfgw, (1 / 60) / cfgw.substeps, Lm, with_ext=True)
+        measure(f"bunny mesh {topo_w.n_particles}p (fused pallas kernel)",
+                fnk, stw, topo_w.n_particles, Lm, pair="bunny")
+    except Exception as e:  # noqa: BLE001
+        print(f"mesh kernel unavailable: {type(e).__name__}: {e}",
+              flush=True)
 
     # 2c. bunny ensemble x64, windowed backend under vmap (the one-hot
     # matrices are shared across the batch, so the MXU lanes fill up)
@@ -278,7 +321,17 @@ def main():
     steps_b = 20
     fn_b2 = general.make_step(topo_b, cfg_b, 1 / 60, n_steps=steps_b)
     measure(f"self-collision 2x{n_b}p (blocked MXU, exact)", fn_b2, st_b,
-            2 * n_b, steps_b * cfg_b.substeps)
+            2 * n_b, steps_b * cfg_b.substeps, pair="contact64k")
+
+    # 4e. fused Pallas blocked-contact kernel (round 3), same scene
+    try:
+        cfg_bp = cfg_b.replace(self_collision_backend="blocked_pallas")
+        fn_bp = general.make_step(topo_b, cfg_bp, 1 / 60, n_steps=steps_b)
+        measure(f"self-collision 2x{n_b}p (blocked pallas kernel)", fn_bp,
+                st_b, 2 * n_b, steps_b * cfg_bp.substeps, pair="contact64k")
+    except Exception as e:  # noqa: BLE001
+        print(f"contact kernel unavailable: {type(e).__name__}: {e}",
+              flush=True)
 
     print(json.dumps(RESULTS), flush=True)
 

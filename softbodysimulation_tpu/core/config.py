@@ -239,9 +239,10 @@ class SolverConfig:
             raise ValueError(
                 "bending_backend must be auto|gather|windowed")
         if self.self_collision_backend not in ("hash", "sorted", "dense",
-                                               "blocked"):
+                                               "blocked", "blocked_pallas"):
             raise ValueError(
-                "self_collision_backend must be hash|sorted|dense|blocked")
+                "self_collision_backend must be hash|sorted|dense|blocked"
+                "|blocked_pallas")
         if self.sorted_window < 1:
             raise ValueError("sorted_window must be >= 1")
         if self.dense_row_block < 1:

@@ -361,7 +361,7 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
                          "with hinge windows (build_windowed_topology)")
 
     if cfg.enable_self_collision and cfg.self_collision_backend in (
-            "sorted", "blocked"):
+            "sorted", "blocked", "blocked_pallas"):
         # Morton neighbor ordering built ONCE per substep from the predicted
         # positions; the window/blocked passes reuse it across iterations
         sc_order = _spatial_hash.morton_order(pred, cfg)
@@ -376,6 +376,12 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
                     pred, state.inv_mass, sc_order, cfg)
             elif cfg.self_collision_backend == "blocked":
                 pred = _spatial_hash.self_collision_project_blocked(
+                    pred, state.inv_mass, sc_order, cfg)
+            elif cfg.self_collision_backend == "blocked_pallas":
+                from ..kernels.contact_pallas import (
+                    self_collision_project_blocked_pallas)
+
+                pred = self_collision_project_blocked_pallas(
                     pred, state.inv_mass, sc_order, cfg)
             elif cfg.self_collision_backend == "dense":
                 pred = _spatial_hash.self_collision_project_dense(
