@@ -482,7 +482,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         lam_resident=None,
                                         n_bodies: int = 1,
                                         with_ext: bool = False,
-                                        dc_cache=None):
+                                        dc_cache=None,
+                                        mask_cache=None):
     """The flagship fused kernel: per-coordinate-plane structure with a
     residency ladder.  Positions, predictions and inverse masses are
     always VMEM-resident; velocities and the per-family multipliers are
@@ -619,18 +620,27 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         and (21 + nfam) * res * r2p * 4 <= 15_500_000)
     elif lam_resident and not v_resident:
         raise ValueError("lam_resident requires v_resident")
-    # Roll caching (see solve_pass): the static wb roll cache (wres2)
-    # rides the lam_resident small-res budget with +nfam planes; the dc
-    # reuse costs ~3 extra stack planes.  At big res it only fits next to
+    # Cache ladder (see solve_pass).  Round-3 measurement: pltpu.roll at
+    # these plane sizes costs <1 us (scripts/probe_roll3d.py), so the old
+    # static wb-roll cache (wres2) was the WRONG thing to spend +nfam
+    # planes on — the per-pass expensive part is the ~8-op iota/div/mod/
+    # compare mask reconstruction plus the static guard chain.  The same
+    # budget now prefers a per-family MASK cache (mres): one f32 plane per
+    # family encoding invalid=0 / even-parity=1 / odd-parity=2 with every
+    # STATIC guard (w/partner-w eps, denominator eps) folded in, so a pass
+    # does one compare instead of the full mask+guard rebuild.  wres2 is
+    # kept only as a fallback spelling (mask_cache=False probing).  The dc
+    # reuse costs ~3 extra stack planes; at big res it only fits next to
     # approx_math's leaner temporaries (measured: res 64 approx + dc
-    # compiles and wins +9%; res 64 EXACT + dc crashes the Mosaic compile
-    # — sqrt/divide lowering needs the stack dc reuse takes), so the
-    # big-res auto-enable is approx-only (dc_cache overrides for probing).
-    wb_cached = (lam_resident
-                 and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
+    # compiles and wins +9%; res 64 EXACT + dc crashes the Mosaic compile)
+    # so the big-res auto-enable is approx-only (dc_cache overrides).
+    cache_budget_ok = (lam_resident
+                       and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
+    mask_cached = cache_budget_ok if mask_cache is None else mask_cache
+    wb_cached = cache_budget_ok and not mask_cached
     if dc_cache is None:
-        dc_cached = wb_cached or (approx_math
-                                  and res * r2p * 4 <= 1_100_000)
+        dc_cached = cache_budget_ok or (approx_math
+                                        and res * r2p * 4 <= 1_100_000)
     else:
         dc_cached = dc_cache
     if with_ext:
@@ -654,7 +664,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             x_in, v_hbm, w_ref, lam_hbm = refs[:4]
             xo_ref, vo_hbm, lamo_hbm = refs[4:]
             f_hbm = None
-        def scoped(pred, sem, slots=None, vres=None, lres=None, wres2=None):
+        def scoped(pred, sem, slots=None, vres=None, lres=None, wres2=None,
+                   mres=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
             cp_x = pltpu.make_async_copy(x_in, xo_ref, sem.at[2])
@@ -673,6 +684,28 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 # partner inv-mass rolls are static for the whole call
                 for _fi, _fam in enumerate(spec.families):
                     wres2[_fi] = roll_fwd2(w, _fam)
+            if mask_cached:
+                # one f32 plane per family: invalid=0 / even=1 / odd=2,
+                # with every STATIC guard (denominator eps, endpoint
+                # inv-mass eps) folded in — a solve pass then derives its
+                # masks with one compare instead of the iota rebuild +
+                # guard chain.  fast_math skips guards by contract, so its
+                # planes encode plain validity/parity.
+                for _fi, _fam in enumerate(spec.families):
+                    _valid, _p0 = fam_masks(_fam)
+                    if not cfg.fast_math:
+                        _wb = roll_fwd2(w, _fam)
+                        _alpha = spec.compliances[_fi] * inv_dt2
+                        if cfg.min_alpha_tilde > 0:
+                            _alpha = max(_alpha, cfg.min_alpha_tilde)
+                        _denom = w + _wb + _alpha
+                        _valid = (
+                            _valid
+                            & (jnp.abs(_denom) >= cfg.eps_denominator)
+                            & ((w >= cfg.static_inv_mass_eps)
+                               | (_wb >= cfg.static_inv_mass_eps)))
+                    mres[_fi] = jnp.where(
+                        _valid, jnp.where(_p0, 1.0, 2.0), 0.0)
 
             def load_lam(fi, plane):
                 return pltpu.make_async_copy(
@@ -824,13 +857,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             scale_m = scale_m * relax_f
                         dl = dl * scale_m
                     else:
-                        active = (
-                            mask
-                            & (length >= cfg.eps_length)
-                            & (jnp.abs(denom) >= cfg.eps_denominator)
-                            & ((w >= cfg.static_inv_mass_eps)
-                               | (wb >= cfg.static_inv_mass_eps))
-                        )
+                        if mask_cached:
+                            # static guards are folded into the cached mask
+                            active = mask & (length >= cfg.eps_length)
+                        else:
+                            active = (
+                                mask
+                                & (length >= cfg.eps_length)
+                                & (jnp.abs(denom) >= cfg.eps_denominator)
+                                & ((w >= cfg.static_inv_mass_eps)
+                                   | (wb >= cfg.static_inv_mass_eps))
+                            )
                         dl = jnp.where(
                             active, dl if relax_f is None else dl * relax_f,
                             0.0)
@@ -862,7 +899,13 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             wmax = jnp.maximum(jnp.maximum(w, wb), 1e-12)
                             lim = cfg.warm_start_clamp * rest / wmax
                             lam_f = jnp.clip(lam_f, -lim, lim)
-                        valid, _ = fam_masks(fam)
+                        if mask_cached:
+                            # guard-folded lanes carry lambda == 0 (the
+                            # solve never accumulates there), so the folded
+                            # mask is numerically identical here
+                            valid = mres[fi] > 0.5
+                        else:
+                            valid, _ = fam_masks(fam)
                         if cfg.fast_math:
                             dl = lam_f * valid.astype(jnp.float32)
                         else:
@@ -896,7 +939,12 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                               lam_f * cfg.lambda_decay,
                                               lam_f)
                         # WARM_START: decay applied by the pre-apply loop
-                        valid, parity0 = fam_masks(fam)
+                        if mask_cached:
+                            m = mres[fi]
+                            valid = m > 0.5
+                            parity0 = m < 1.5
+                        else:
+                            valid, parity0 = fam_masks(fam)
                         if cfg.solve_mode == SolveMode.COLORED:
                             # exact GS: even then odd parity class, slab
                             # resident across both passes
@@ -1071,6 +1119,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             scratch["lres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         if wb_cached:
             scratch["wres2"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
+        if mask_cached:
+            scratch["mres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         pl.run_scoped(scoped, **scratch)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -306,3 +306,32 @@ def test_streamed_kernel_collider_parity(name, cfg_kw):
     dpos = np.abs(np.asarray(out.positions)
                   - np.asarray(ref.positions)).max()
     assert dpos < 1e-5, f"streamed {name} collider mismatch {dpos}"
+
+
+def test_streamed_mask_cache_bitwise_neutral():
+    """Round 3: the per-family mask cache (static guards folded into one
+    plane) is an execution-only change — results must be BITWISE equal
+    with it on and off, in the faithful COLORED mode and WARM_START."""
+    spec = lattice.lattice_spec(6, braced=True)
+    state = lat_engine.make_lattice_state(spec, center=(0, 0.8, 0),
+                                          mass=0.01)
+    for cfg in (
+        SolverConfig(substeps=4, iterations=3, damping=0.02,
+                     solve_mode=SolveMode.COLORED,
+                     lambda_mode=LambdaMode.DECAY, lambda_decay=0.99,
+                     floor_mode=FloorMode.VELOCITY_REFLECT,
+                     ground_height=0.0, fast_math=False),
+        SolverConfig(substeps=4, iterations=2, damping=0.02,
+                     solve_mode=SolveMode.JACOBI,
+                     lambda_mode=LambdaMode.WARM_START,
+                     ground_height=0.0, friction=0.3),
+    ):
+        with pltpu.force_tpu_interpret_mode():
+            on = lp.make_pallas_substep_runner_streamed(
+                spec, cfg, 1 / 480, 10, mask_cache=True)(state)
+            off = lp.make_pallas_substep_runner_streamed(
+                spec, cfg, 1 / 480, 10, mask_cache=False)(state)
+        assert (np.asarray(on.positions)
+                == np.asarray(off.positions)).all()
+        assert (np.asarray(on.lambda_dist)
+                == np.asarray(off.lambda_dist)).all()
