@@ -137,6 +137,10 @@ def main():
             spec_f, cfg_f, 1 / 240, Lf)
         measure("lattice 64k FAITHFUL flagship (streamed pallas)",
                 fn_fp, st_f, spec_f.n_particles, Lf, pair="faithful")
+        fn_fs = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec_f, cfg_f, 1 / 240, Lf, static_denom=True)
+        measure("lattice 64k FAITHFUL flagship (pallas +static_denom)",
+                fn_fs, st_f, spec_f.n_particles, Lf, pair="faithful")
     except Exception as e:  # noqa: BLE001
         print(f"faithful streamed unavailable: {type(e).__name__}: {e}",
               flush=True)

@@ -135,6 +135,10 @@ def self_collision_project_blocked_pallas(pred, inv_mass, order,
     (x, w, ids, xb, wb, idb, touch, d2ab, n, block, nb) = \
         _sh._blocked_layout(pred, inv_mass, order, cfg)
     if block % 128 != 0:
+        if pred.shape[0] < cfg.collision_block_size:
+            # tiny bodies don't need the kernel: identical XLA semantics
+            return _sh.self_collision_project_blocked(pred, inv_mass,
+                                                      order, cfg)
         raise NotImplementedError(
             "blocked_pallas needs collision_block_size % 128 == 0")
     m_nbr = min(cfg.block_neighbors, nb)

@@ -483,7 +483,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         n_bodies: int = 1,
                                         with_ext: bool = False,
                                         dc_cache=None,
-                                        mask_cache=None):
+                                        mask_cache=None,
+                                        static_denom: bool = False):
     """The flagship fused kernel: per-coordinate-plane structure with a
     residency ladder.  Positions, predictions and inverse masses are
     always VMEM-resident; velocities and the per-family multipliers are
@@ -638,6 +639,16 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                        and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
     mask_cached = cache_budget_ok if mask_cache is None else mask_cache
     wb_cached = cache_budget_ok and not mask_cached
+    # static_denom (opt-in): the XPBD denominator w + wb + alpha is static
+    # for the whole call, so its exact IEEE reciprocal can be computed ONCE
+    # per family and the per-pass full-precision divide becomes a multiply.
+    # Changes dl by ~1 ulp vs the engines' a/b division (validated against
+    # the XLA trajectory wherever benchmarked), hence not the default.
+    denom_cached = (static_denom and lam_resident
+                    and (24 + 3 * nfam) * res * r2p * 4 <= 15_500_000)
+    if static_denom and not denom_cached:
+        raise NotImplementedError(
+            "static_denom needs the lam-resident budget (+3*nfam planes)")
     if dc_cache is None:
         dc_cached = cache_budget_ok or (approx_math
                                         and res * r2p * 4 <= 1_100_000)
@@ -665,7 +676,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             xo_ref, vo_hbm, lamo_hbm = refs[4:]
             f_hbm = None
         def scoped(pred, sem, slots=None, vres=None, lres=None, wres2=None,
-                   mres=None):
+                   mres=None, dres=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
             cp_x = pltpu.make_async_copy(x_in, xo_ref, sem.at[2])
@@ -706,6 +717,13 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                | (_wb >= cfg.static_inv_mass_eps)))
                     mres[_fi] = jnp.where(
                         _valid, jnp.where(_p0, 1.0, 2.0), 0.0)
+            if denom_cached:
+                for _fi, _fam in enumerate(spec.families):
+                    _alpha = spec.compliances[_fi] * inv_dt2
+                    if cfg.min_alpha_tilde > 0:
+                        _alpha = max(_alpha, cfg.min_alpha_tilde)
+                    dres[_fi] = 1.0 / jnp.maximum(
+                        w + roll_fwd2(w, _fam) + _alpha, 1e-30)
 
             def load_lam(fi, plane):
                 return pltpu.make_async_copy(
@@ -839,13 +857,19 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
                         length = len_sq * inv_len
                         cerr = length - rest
-                        dl = (-cerr - alpha * lam_f) * pl.reciprocal(
-                            jnp.maximum(denom, 1e-30), approx=True)
+                        if denom_cached:
+                            dl = (-cerr - alpha * lam_f) * dres[fi]
+                        else:
+                            dl = (-cerr - alpha * lam_f) * pl.reciprocal(
+                                jnp.maximum(denom, 1e-30), approx=True)
                     else:
                         length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
                         cerr = length - rest
-                        dl = (-cerr - alpha * lam_f) / jnp.maximum(
-                            denom, 1e-30)
+                        if denom_cached:
+                            dl = (-cerr - alpha * lam_f) * dres[fi]
+                        else:
+                            dl = (-cerr - alpha * lam_f) / jnp.maximum(
+                                denom, 1e-30)
                     if cfg.max_dlambda > 0:
                         dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
                     if cfg.max_dlambda_rel > 0:
@@ -1121,6 +1145,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             scratch["wres2"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         if mask_cached:
             scratch["mres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
+        if denom_cached:
+            scratch["dres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         pl.run_scoped(scoped, **scratch)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)

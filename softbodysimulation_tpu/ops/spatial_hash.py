@@ -338,3 +338,32 @@ def self_collision_project_sorted(pred, inv_mass, order, cfg: SolverConfig):
                                indices_are_sorted=True,
                                unique_indices=True)
     return pred + cfg.self_collision_omega * corr[inv_order]
+
+
+# ------------------------------------------------------------- dispatch
+def project_self_collision(pred, inv_mass, order, cfg: SolverConfig):
+    """One separation pass, backend-dispatched ((N,3) flat positions).
+
+    The shared entry point for every engine (general, lattice stencil) so
+    self-collision config semantics stay identical across them.  ``order``
+    is the Morton sort computed once per substep (None for the hash/dense
+    backends, which do not use it).
+    """
+    if cfg.self_collision_backend == "sorted":
+        return self_collision_project_sorted(pred, inv_mass, order, cfg)
+    if cfg.self_collision_backend == "blocked":
+        return self_collision_project_blocked(pred, inv_mass, order, cfg)
+    if cfg.self_collision_backend == "blocked_pallas":
+        from ..kernels.contact_pallas import (
+            self_collision_project_blocked_pallas)
+
+        return self_collision_project_blocked_pallas(
+            pred, inv_mass, order, cfg)
+    if cfg.self_collision_backend == "dense":
+        return self_collision_project_dense(pred, inv_mass, cfg)
+    return self_collision_project(pred, inv_mass, cfg)
+
+
+def needs_morton_order(cfg: SolverConfig) -> bool:
+    return cfg.enable_self_collision and cfg.self_collision_backend in (
+        "sorted", "blocked", "blocked_pallas")

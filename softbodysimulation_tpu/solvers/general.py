@@ -360,8 +360,7 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         raise ValueError("bending_backend='windowed' requires a topology "
                          "with hinge windows (build_windowed_topology)")
 
-    if cfg.enable_self_collision and cfg.self_collision_backend in (
-            "sorted", "blocked", "blocked_pallas"):
+    if _spatial_hash.needs_morton_order(cfg):
         # Morton neighbor ordering built ONCE per substep from the predicted
         # positions; the window/blocked passes reuse it across iterations
         sc_order = _spatial_hash.morton_order(pred, cfg)
@@ -371,24 +370,8 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     def project_contacts(pred):
         """Unilateral contact projections (self-collision, floor, SDFs)."""
         if cfg.enable_self_collision:
-            if cfg.self_collision_backend == "sorted":
-                pred = _spatial_hash.self_collision_project_sorted(
-                    pred, state.inv_mass, sc_order, cfg)
-            elif cfg.self_collision_backend == "blocked":
-                pred = _spatial_hash.self_collision_project_blocked(
-                    pred, state.inv_mass, sc_order, cfg)
-            elif cfg.self_collision_backend == "blocked_pallas":
-                from ..kernels.contact_pallas import (
-                    self_collision_project_blocked_pallas)
-
-                pred = self_collision_project_blocked_pallas(
-                    pred, state.inv_mass, sc_order, cfg)
-            elif cfg.self_collision_backend == "dense":
-                pred = _spatial_hash.self_collision_project_dense(
-                    pred, state.inv_mass, cfg)
-            else:
-                pred = _spatial_hash.self_collision_project(
-                    pred, state.inv_mass, cfg)
+            pred = _spatial_hash.project_self_collision(
+                pred, state.inv_mass, sc_order, cfg)
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
             pred = _collision.floor_project_xpbd(
                 pred, state.positions, state.inv_mass, dt, cfg)

@@ -42,6 +42,7 @@ import numpy as np
 from jax import lax
 
 from ..core.config import FloorMode, LambdaMode, SolveMode, SolverConfig
+from ..ops import spatial_hash as _spatial_hash
 from ..core.state import SimState
 from ..topology.lattice import LatticeSpec, lattice_points
 
@@ -238,6 +239,13 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
     if cfg.world_bounds > 0:
         pred = jnp.clip(pred, -cfg.world_bounds, cfg.world_bounds)
 
+    if _spatial_hash.needs_morton_order(cfg):
+        # Morton ordering built ONCE per substep from the predicted
+        # positions (same lifecycle as the general engine)
+        sc_order = _spatial_hash.morton_order(pred.reshape(3, -1).T, cfg)
+    else:
+        sc_order = None
+
     wb_per_fam = [_roll_fwd(w, fam, res) for fam in spec.families]
 
     if cfg.lambda_mode == LambdaMode.WARM_START:
@@ -286,6 +294,12 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
             lam_parts.append(lam_f)
         lam = jnp.stack(lam_parts)
 
+        if cfg.enable_self_collision:
+            # same projection order as the general engine (self-collision
+            # before the floor/SDF projections); shared backend dispatch
+            flat = _spatial_hash.project_self_collision(
+                pred.reshape(3, -1).T, w.reshape(-1), sc_order, cfg)
+            pred = flat.T.reshape(3, res, res * res)
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
             pred = _floor_xpbd(pred, x, w, dt, cfg)
         if cfg.box_colliders:

@@ -97,3 +97,44 @@ def test_contact_kernel_rejects_unaligned_block():
     with pytest.raises(NotImplementedError):
         with pltpu.force_tpu_interpret_mode():
             self_collision_project_blocked_pallas(pred, w, order, cfg)
+
+
+def test_lattice_engine_self_collision_backends_agree():
+    """Round 3: the stencil lattice engine gains self-collision via the
+    shared backend dispatch.  Within the engine, the exact blocked backend
+    and its fused Pallas twin must produce the same trajectory, and the
+    contact pass must visibly resist compression (full trajectories are
+    NOT comparable across the stencil and general engines — their Jacobi
+    relaxation structures differ by design)."""
+    from softbodysimulation_tpu.solvers import lattice as lat_engine
+    from softbodysimulation_tpu.topology import lattice as lat_topo
+
+    res = 5
+    spec = lat_topo.lattice_spec(res, braced=True)
+    st = lat_engine.make_lattice_state(spec, center=(0.0, 0.6, 0.0))
+    base = dict(substeps=2, iterations=2, solve_mode=SolveMode.JACOBI,
+                enable_self_collision=True,
+                particle_radius=0.55 / (res - 1),
+                collision_block_size=128, block_neighbors=2,
+                ground_height=0.0, friction=0.3)
+    cfg_b = SolverConfig(self_collision_backend="blocked", **base)
+    cfg_p = SolverConfig(self_collision_backend="blocked_pallas", **base)
+    out_b = lat_engine.make_step(spec, cfg_b, 1 / 60, n_steps=8)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = lat_engine.make_step(spec, cfg_p, 1 / 60, n_steps=8)(st)
+    d = np.abs(np.asarray(out_p.positions)
+               - np.asarray(out_b.positions)).max()
+    assert d < 1e-5, f"lattice-engine contact backends disagree: {d}"
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+
+    # physics: with contact on, the settled body stays taller (particle
+    # radius resists compression) than with contact off
+    cfg_off = SolverConfig(substeps=2, iterations=2,
+                           solve_mode=SolveMode.JACOBI,
+                           ground_height=0.0, friction=0.3)
+    out_off = lat_engine.make_step(spec, cfg_off, 1 / 60, n_steps=8)(st)
+    y_on = np.asarray(out_b.positions)[:, 1]
+    y_off = np.asarray(out_off.positions)[:, 1]
+    assert np.abs(np.asarray(out_b.positions)
+                  - np.asarray(out_off.positions)).max() > 1e-4
+    assert (y_on.max() - y_on.min()) > (y_off.max() - y_off.min()) - 1e-3
