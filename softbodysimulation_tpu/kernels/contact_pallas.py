@@ -80,12 +80,14 @@ def _contact_kernel(nbr_ref, ok_ref, x_ref, sq_ref, w_ref, corr_ref, *,
     lhs5 = jnp.concatenate([xi, sqi, one_i], axis=0)      # (5, B)
     rhs5 = jnp.concatenate([-2.0 * cx, one_c, csq], axis=0)   # (5, MB)
     d2 = lax.dot_general(lhs5, rhs5, (((0,), (0,)), ((), ())),
-                         preferred_element_type=jnp.float32)  # (B, MB)
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)     # (B, MB)
     # wsum = wi + wj via K=2 contraction
     lhs2 = jnp.concatenate([wi, one_i], axis=0)           # (2, B)
     rhs2 = jnp.concatenate([one_c, cw], axis=0)           # (2, MB)
     wsum = lax.dot_general(lhs2, rhs2, (((0,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
     wi_bc = wsum - jnp.broadcast_to(cw, (b, mb))          # wi along lanes
 
     dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
@@ -102,9 +104,11 @@ def _contact_kernel(nbr_ref, ok_ref, x_ref, sq_ref, w_ref, corr_ref, *,
     # corr_i = wi * (xi * sum_j m - (m @ cx))   — both contractions in the
     # (3, B) output orientation directly
     mx = lax.dot_general(cx, mcoef, (((1,), (1,)), ((), ())),
-                         preferred_element_type=jnp.float32)  # (3, B)
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)     # (3, B)
     msum = lax.dot_general(one_c, mcoef, (((1,), (1,)), ((), ())),
-                           preferred_element_type=jnp.float32)  # (1, B)
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)   # (1, B)
     for c in range(3):
         corr_ref[c:c + 1, :] = wi * (xi[c:c + 1] * msum - mx[c:c + 1])
 
