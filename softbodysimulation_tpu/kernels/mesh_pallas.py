@@ -36,8 +36,19 @@ Formulation (leaner than the XLA backend's, same arithmetic):
 Capability envelope mirrors the XLA windowed backend: JACOBI solve mode
 (plus its Chebyshev acceleration), RESET/DECAY/WARM_START lambda modes,
 both floor modes, sphere/box SDF colliders, clamps, external-force
-lifecycle.  Bending, volume and self-collision fall back to the general
-engine (``_check_supported``).
+lifecycle, and BENDING (dihedral) constraints.  Volume and self-collision
+fall back to the general engine (``_check_supported``).
+
+Bending rides a different mechanism than distance: the hinge one-hot
+matrices are too large to keep VMEM-resident (~16 MB bf16 at bunny scale,
+4x the distance structure) and streaming them from HBM would add ~16 MB
+of DMA per sweep.  Instead the kernel SYNTHESIZES each block's four
+endpoint one-hots in-registers from tiny ``(4, S)`` int32 index slabs
+(``broadcasted_iota == idx`` compare, exact {0,1} bf16), then runs the
+same gather/scatter MXU dots — zero extra HBM traffic.  ``arccos`` has no
+Mosaic lowering, so the dihedral angle uses a branchless Cephes-style
+``asin`` polynomial (``_acos``, float32-accurate to ~1e-7 — below the
+bf16-one-hot noise floor of the validation methodology).
 
 Reference semantics carried over (citations in ops/distance.py and
 solvers/general.py): XPBD distance projection ``XPBDSoftBody.compute:
@@ -74,13 +85,106 @@ def _check_supported(cfg: SolverConfig, topo: Topology):
         raise NotImplementedError(
             "mesh pallas kernel: self-collision requires the general "
             "engine's contact backends")
-    if cfg.enable_bending and topo.n_hinges > 0:
-        raise NotImplementedError(
-            "mesh pallas kernel: bending runs in the general engine")
     if cfg.enable_volume and topo.triangles.shape[0] > 0:
         raise NotImplementedError(
             "mesh pallas kernel: volume constraint runs in the general "
             "engine")
+
+
+def _acos(x):
+    """Branchless float32 arccos for Mosaic (no ``acos``/``atan2`` lowering
+    exists): Cephes-style ``asin`` minimax polynomial with the |x|>0.5
+    range reduction, accurate to ~1e-7 rad over [-1, 1] — below the
+    validation methodology's ulp-amplification noise floor.  Used only
+    inside the Pallas kernel; interpret mode runs the same formula so
+    kernel-vs-engine comparisons see one consistent rounding."""
+    half_pi = jnp.float32(1.5707963267948966)
+    a = jnp.abs(x)
+    big = a > 0.5
+    z = jnp.where(big, (1.0 - a) * 0.5, a * a)
+    r = jnp.where(big, jnp.sqrt(jnp.maximum((1.0 - a) * 0.5, 0.0)), a)
+    p = ((((4.2163199048e-2 * z + 2.4181311049e-2) * z + 4.5470025998e-2)
+          * z + 7.4953002686e-2) * z + 1.6666752422e-1)
+    t = r + r * z * p
+    asin_a = jnp.where(big, half_pi - 2.0 * t, t)
+    return half_pi - jnp.where(x < 0, -asin_a, asin_a)
+
+
+@dataclasses.dataclass(frozen=True)
+class BendPlan:
+    """Host-built hinge-block structure for in-kernel bending.
+
+    The one-hot matrices themselves are NOT stored — they are synthesized
+    in-kernel from ``idx_loc`` (iota compare), so the only resident data is
+    a handful of (Kb, ., S) slabs."""
+
+    idx_loc: np.ndarray     # (Kb, 4, S) int32 window-local A,B,C,D indices
+    idx_glob: np.ndarray    # (4, Kb*S) int32 global indices (per-call masses)
+    bases: Tuple[int, ...]  # per-block window base (static, SEG-aligned)
+    rest: np.ndarray        # (Kb, 1, S) f32 rest dihedral angles
+    alpha: np.ndarray       # (Kb, 1, S) f32 compliance * inv_dt2
+    relax: np.ndarray       # (Kb, 1, S) f32 omega / max-bend-degree, masked
+    n_blocks: int
+    block_hinges: int
+    window: int
+
+
+def _build_bend_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
+                     block_hinges: int, max_window: int) -> BendPlan:
+    hg = np.asarray(topo.hinges, np.int64)
+    h = hg.shape[0]
+    if not (np.diff(hg.min(axis=1)) >= 0).all():
+        raise NotImplementedError(
+            "mesh kernel bending needs window-sorted hinges — build the "
+            "topology with topology_from_mesh(windowed=True)")
+    s = int(block_hinges)
+    k = -(-h // s)
+    hpad = k * s
+    if hpad > h:
+        hg = np.vstack([hg, np.tile(hg[-1:], (hpad - h, 1))])
+    valid = (np.arange(hpad) < h).astype(np.float32)
+
+    blocks = hg.reshape(k, s, 4)
+    bases = (blocks.min(axis=(1, 2)) // SEG) * SEG
+    span = int((blocks.max(axis=(1, 2)) - bases[:, None, None] + 1).max())
+    w = SEG * -(-span // SEG)
+    if w > max_window:
+        raise NotImplementedError(
+            f"mesh kernel hinge window {w} > {max_window}: bandwidth too "
+            "large — bending falls back to the general engine")
+
+    loc = (blocks - bases[:, None, None]).astype(np.int32)   # (k, s, 4)
+    idx_loc = np.ascontiguousarray(np.transpose(loc, (0, 2, 1)))
+
+    rest = np.concatenate([
+        np.asarray(topo.rest_angles, np.float32), np.zeros(hpad - h,
+                                                           np.float32)])
+    comp = np.concatenate([
+        np.asarray(topo.bend_compliance, np.float32),
+        np.zeros(hpad - h, np.float32)])
+    alpha = comp / (dt_sub * dt_sub)
+
+    bd = np.asarray(topo.bend_degree, np.float32)
+    maxdeg = np.maximum(
+        np.maximum(np.maximum(bd[hg[:, 0]], bd[hg[:, 1]]),
+                   np.maximum(bd[hg[:, 2]], bd[hg[:, 3]])), 1.0)
+    omega = cfg.omega if cfg.omega > 0 else 1.0
+    relax = (valid * omega / maxdeg).astype(np.float32)
+
+    def slab(a):
+        return np.ascontiguousarray(a.reshape(k, 1, s), np.float32)
+
+    return BendPlan(
+        idx_loc=idx_loc,
+        idx_glob=np.ascontiguousarray(hg.T.astype(np.int32)),
+        bases=tuple(int(b) for b in bases),
+        rest=slab(rest),
+        alpha=slab(alpha),
+        relax=slab(relax),
+        n_blocks=k,
+        block_hinges=s,
+        window=w,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,11 +207,13 @@ class MeshKernelPlan:
     window: int
     n_pad: int            # padded particle-lane count
     vmem_bytes: int
+    bend: Optional[BendPlan] = None
 
 
 def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
                     block_edges: int = 256,
-                    max_window: int = 1024) -> MeshKernelPlan:
+                    max_window: int = 1024,
+                    block_hinges: int = 256) -> MeshKernelPlan:
     """Build the blocked signed-one-hot structure from a topology whose
     particles are RCM-renumbered and whose edges are sorted by min endpoint
     (``topology/build.build_windowed_topology`` produces exactly this).
@@ -182,6 +288,12 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
     def slab(a):
         return np.ascontiguousarray(a.reshape(k, 1, s), np.float32)
 
+    bend = None
+    if cfg.enable_bending and topo.n_hinges > 0:
+        bend = _build_bend_plan(topo, cfg, dt_sub, block_hinges, max_window)
+        n_pad = max(n_pad,
+                    SEG * int((max(bend.bases) + bend.window) // SEG))
+
     gd_bf = gd.astype(jnp.bfloat16)
     plan = MeshKernelPlan(
         gd=gd_bf,
@@ -203,7 +315,12 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
             2 * k * w * s * 2            # gd + gs (bf16)
             + 10 * k * s * 4             # per-edge slabs (incl. dynamic)
             + 12 * n_pad * 4 * 3         # particle planes + scratch
+            + (0 if bend is None else
+               12 * bend.n_blocks * bend.block_hinges * 4   # hinge slabs
+               # transient synthesized one-hots (4 live f32 matrices)
+               + 4 * bend.window * bend.block_hinges * 4)
         ),
+        bend=bend,
     )
     if plan.vmem_bytes > VMEM_BUDGET:
         raise NotImplementedError(
@@ -257,22 +374,38 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     eb_c = jnp.asarray(plan.eb)
     valid_c = jnp.asarray(plan.valid)
 
+    bplan = plan.bend
+    in_names = ["x", "v", "w", "lam", "di", "act", "wlim",
+                "gd", "gs", "rest", "alpha", "relax", "warm"]
+    if bound_c is not None:
+        in_names.append("bound")
+    if with_ext:
+        in_names.append("f")
+    if bplan is not None:
+        in_names += ["blam", "bidx", "brest", "balpha", "brelax",
+                     "bwa", "bwb", "bwc", "bwd", "bany"]
+
     def kernel(*refs):
-        (x_in, v_in, w_in, lam_in, di_in, act_in, wlim_in,
-         gd_ref, gs_ref, rest_ref, alpha_ref, relax_ref, warm_ref) = refs[:13]
-        if with_ext:
-            bnd_ref = refs[13] if bound_c is not None else None
-            f_ref = refs[14] if bound_c is not None else refs[13]
-            xo_ref, vo_ref, lamo_ref = refs[-3:]
+        m = dict(zip(in_names, refs))
+        x_in, v_in, w_in, lam_in = m["x"], m["v"], m["w"], m["lam"]
+        di_in, act_in, wlim_in = m["di"], m["act"], m["wlim"]
+        gd_ref, gs_ref = m["gd"], m["gs"]
+        rest_ref, alpha_ref = m["rest"], m["alpha"]
+        relax_ref, warm_ref = m["relax"], m["warm"]
+        bnd_ref = m.get("bound")
+        f_ref = m.get("f")
+        if bplan is not None:
+            xo_ref, vo_ref, lamo_ref, blamo_ref = refs[len(in_names):]
         else:
-            bnd_ref = refs[13] if bound_c is not None else None
-            xo_ref, vo_ref, lamo_ref = refs[-3:]
-            f_ref = None
+            xo_ref, vo_ref, lamo_ref = refs[len(in_names):]
+            blamo_ref = None
 
         def scoped(pred, delta, prev, tmp):
             xo_ref[:] = x_in[:]
             vo_ref[:] = v_in[:]
             lamo_ref[:] = lam_in[:]
+            if bplan is not None:
+                blamo_ref[:] = m["blam"][:]
             w = w_in[:]                        # (1, n_pad)
             pinned = w == 0.0
 
@@ -337,6 +470,100 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
 
             def valid_ref_k(kb):
                 return relax_ref[kb] > 0.0   # valid-masked relax slab
+
+            def bend_sweep():
+                """Windowed bending Jacobi sweep, one-hots synthesized
+                in-registers (module docstring).  Arithmetic matches
+                ``general._solve_bending_windowed`` / ``ops/bending.py``
+                (same guards, omega/max-degree scaling; ``sin`` via
+                ``sqrt(1-cos^2)`` and ``acos`` via ``_acos`` — the only
+                Mosaic-imposed rounding differences)."""
+                bkn, bsn, bwn = (bplan.n_blocks, bplan.block_hinges,
+                                 bplan.window)
+                hi = lax.Precision.HIGHEST
+
+                def cross(u, v):
+                    return jnp.concatenate([
+                        u[1:2] * v[2:3] - u[2:3] * v[1:2],
+                        u[2:3] * v[0:1] - u[0:1] * v[2:3],
+                        u[0:1] * v[1:2] - u[1:2] * v[0:1]], axis=0)
+
+                def nsq(g):
+                    return (g[0:1] * g[0:1] + g[1:2] * g[1:2]
+                            + g[2:3] * g[2:3])
+
+                delta[:] = jnp.zeros_like(delta)
+                for kb in range(bkn):
+                    b0 = bplan.bases[kb]
+                    win = pred[:, b0:b0 + bwn]               # (3, Wb)
+                    iota = lax.broadcasted_iota(jnp.int32, (bwn, bsn), 0)
+                    idx = m["bidx"][kb]                      # (4, S)
+                    oh = [(iota == idx[i:i + 1]).astype(jnp.float32)
+                          for i in range(4)]                 # (Wb, S) {0,1}
+                    pa, pb, pc2, pd2 = (
+                        lax.dot_general(win, o, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                        precision=hi) for o in oh)  # (3, S)
+                    e0 = pb - pa
+                    e1 = pc2 - pa
+                    e2 = pd2 - pa
+                    n1 = cross(e0, e1)
+                    n2 = cross(e2, e0)
+                    l1sq = nsq(n1)
+                    l2sq = nsq(n2)
+                    geom = (l1sq >= 1e-9) & (l2sq >= 1e-9)
+                    if approx_math:
+                        inv_l1 = lax.rsqrt(jnp.maximum(l1sq, 1e-24))
+                        inv_l2 = lax.rsqrt(jnp.maximum(l2sq, 1e-24))
+                    else:
+                        inv_l1 = 1.0 / jnp.sqrt(jnp.maximum(l1sq, 1e-24))
+                        inv_l2 = 1.0 / jnp.sqrt(jnp.maximum(l2sq, 1e-24))
+                    n1n = n1 * inv_l1
+                    n2n = n2 * inv_l2
+                    cos = jnp.clip(n1n[0:1] * n2n[0:1] + n1n[1:2] * n2n[1:2]
+                                   + n1n[2:3] * n2n[2:3], -1.0, 1.0)
+                    angle = _acos(cos)
+                    cerr = angle - m["brest"][kb]
+                    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+                    sin_ok = sin >= cfg.bend_skip_sin_eps
+                    soften = sin < cfg.bend_soften_sin_eps
+                    alpha_b = m["balpha"][kb]
+                    alpha_b = jnp.where(soften,
+                                        alpha_b * cfg.bend_soften_factor,
+                                        alpha_b)
+                    neg_inv_sin = -1.0 / jnp.where(sin_ok, sin, 1.0)
+                    a_vec = (n2n - cos * n1n) * inv_l1
+                    b_vec = (n1n - cos * n2n) * inv_l2
+                    gb = neg_inv_sin * (cross(e1, a_vec) + cross(b_vec, e2))
+                    gc = neg_inv_sin * cross(a_vec, e0)
+                    gdv = neg_inv_sin * cross(e0, b_vec)
+                    ga = -gb - gc - gdv
+                    ssum = (m["bwa"][kb] * nsq(ga) + m["bwb"][kb] * nsq(gb)
+                            + m["bwc"][kb] * nsq(gc)
+                            + m["bwd"][kb] * nsq(gdv))
+                    denom = ssum + alpha_b
+                    lam_b = blamo_ref[kb]                    # (1, S)
+                    dl = (-cerr - alpha_b * lam_b) / jnp.maximum(denom,
+                                                                 1e-30)
+                    if cfg.max_dlambda > 0:
+                        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
+                    ok = geom & sin_ok & (denom >= 1e-9) & (m["bany"][kb]
+                                                            > 0.5)
+                    dl = jnp.where(ok, dl, 0.0) * m["brelax"][kb]
+                    blamo_ref[kb] = lam_b + dl
+
+                    def scat(g, o):
+                        return lax.dot_general(
+                            dl * g, o, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=hi)                    # (3, Wb)
+
+                    delta[:, b0:b0 + bwn] += (
+                        scat(ga, oh[0]) + scat(gb, oh[1])
+                        + scat(gc, oh[2]) + scat(gdv, oh[3]))
+                # destination-weighted overlap-add (same as distance)
+                for c in range(3):
+                    pred[c:c + 1] += w * delta[c:c + 1]
 
             def contacts():
                 if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
@@ -413,6 +640,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     lamo_ref[:] = jnp.zeros_like(lamo_ref)
                 else:
                     lamo_ref[:] = lamo_ref[:] * cfg.lambda_decay
+                if bplan is not None:
+                    # bending restarts fresh except in DECAY (general.
+                    # _substep: WARM_START carries distance impulses only)
+                    if cfg.lambda_mode == LambdaMode.DECAY:
+                        blamo_ref[:] = blamo_ref[:] * cfg.lambda_decay
+                    else:
+                        blamo_ref[:] = jnp.zeros_like(blamo_ref)
 
                 # ---- predict (per coordinate plane)
                 for c, gc in ((0, gx), (1, gy), (2, gz)):
@@ -460,6 +694,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     def iteration(it, om):
                         tmp[:] = pred[:]
                         sweep("solve")
+                        if bplan is not None:
+                            bend_sweep()
                         if has_contacts:
                             contacts()
                         om_next = jnp.where(
@@ -484,6 +720,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 else:
                     def iteration(_, carry2):
                         sweep("solve")
+                        if bplan is not None:
+                            bend_sweep()
                         if has_contacts:
                             contacts()
                         return carry2
@@ -540,18 +778,29 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         )
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_inputs = 13 + (1 if bound_c is not None else 0) + (1 if with_ext
-                                                         else 0)
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # x
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # v
+        jax.ShapeDtypeStruct((k_blocks, 1, s_edges), jnp.float32),
+    ]
+    if bplan is not None:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (bplan.n_blocks, 1, bplan.block_hinges), jnp.float32))
     call = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # x
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # v
-            jax.ShapeDtypeStruct((k_blocks, 1, s_edges), jnp.float32),
-        ),
-        in_specs=[vspec] * n_inputs,
-        out_specs=(vspec, vspec, vspec),
+        out_shape=tuple(out_shapes),
+        in_specs=[vspec] * len(in_names),
+        out_specs=(vspec,) * len(out_shapes),
     )
+
+    if bplan is not None:
+        bidx_c = jnp.asarray(bplan.idx_loc)
+        brest_c = jnp.asarray(bplan.rest)
+        balpha_c = jnp.asarray(bplan.alpha)
+        brelax_c = jnp.asarray(bplan.relax)
+        bha, bhb, bhc, bhd = (jnp.asarray(bplan.idx_glob[i])
+                              for i in range(4))
+        h_real = topo.n_hinges
 
     @jax.jit
     def fn(state: SimState) -> SimState:
@@ -587,12 +836,30 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         if with_ext:
             args.append(jnp.pad(state.ext_force.T,
                                 ((0, 0), (0, n_pad - n))))
-        xo, vo, lamo = call(*args)
+        if bplan is not None:
+            bkn, bsn = bplan.n_blocks, bplan.block_hinges
+            blam = jnp.pad(state.lambda_bend,
+                           (0, bkn * bsn - h_real)).reshape(bkn, 1, bsn)
+            bwa = state.inv_mass[bha].reshape(bkn, 1, bsn)
+            bwb = state.inv_mass[bhb].reshape(bkn, 1, bsn)
+            bwc = state.inv_mass[bhc].reshape(bkn, 1, bsn)
+            bwd = state.inv_mass[bhd].reshape(bkn, 1, bsn)
+            eps = cfg.static_inv_mass_eps
+            bany = ((bwa >= eps) | (bwb >= eps) | (bwc >= eps)
+                    | (bwd >= eps)).astype(jnp.float32)
+            args += [blam, bidx_c, brest_c, balpha_c, brelax_c,
+                     bwa, bwb, bwc, bwd, bany]
+            xo, vo, lamo, blamo = call(*args)
+        else:
+            xo, vo, lamo = call(*args)
+            blamo = None
         out = state.replace(
             positions=xo[:, :n].T,
             velocities=vo[:, :n].T,
             lambda_dist=lamo.reshape(-1)[:e_real],
         )
+        if blamo is not None:
+            out = out.replace(lambda_bend=blamo.reshape(-1)[:h_real])
         if with_ext:
             out = out.replace(ext_force=jnp.zeros_like(state.ext_force))
         return out

@@ -134,6 +134,95 @@ def test_mesh_kernel_step_wrapper_matches_engine_step():
     assert_close(out_p, out_r)
 
 
+def bend_topo(compliance=1e-3, bend_compliance=1e-3, lift=5.0):
+    """Hinged icosphere.  Default lift keeps it clear of the floor: at
+    pen ~ 0 an ulp-level difference flips the contact `hit` mask and
+    applies/skips a ~1e-3 friction correction, which bending then amplifies
+    (measured — the same contact-switching chaos class documented in
+    BENCHMARKS.md).  Contact-free configs compare tight; the floor test
+    below uses a short horizon."""
+    m = mesh.icosphere(2)
+    pos2, topo = build.topology_from_mesh(
+        m, compliance=compliance, bending=True,
+        bend_compliance=bend_compliance, windowed=True, block_edges=128)
+    return pos2 + np.array([0, lift, 0], np.float32), topo
+
+
+def run_bend_pair(cfg, n_steps, lift=5.0, **runner_kw):
+    pos, topo = bend_topo(lift=lift)
+    st = state_from_topology(topo, pos)
+    out_r = general.make_step(topo, cfg, DT, n_steps=n_steps)(st)
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True, **runner_kw)
+        out_p = fn(st)
+    return out_p, out_r, topo, st
+
+
+def _bend_cfg(**kw):
+    base = dict(substeps=1, iterations=1, damping=0.02,
+                solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                lambda_mode=LambdaMode.RESET, enable_bending=True,
+                distance_backend="windowed", bending_backend="windowed",
+                ground_height=0.0, friction=0.3)
+    base.update(kw)
+    return SolverConfig(**base)
+
+
+def test_mesh_kernel_bending_single_sweep_tight():
+    """One substep x one iteration: the in-kernel bending sweep must match
+    the XLA windowed bending backend to acos-polynomial accuracy (~1e-8 —
+    before the stiff system's Lyapunov amplification has anywhere to act)."""
+    out_p, out_r, _, _ = run_bend_pair(_bend_cfg(), n_steps=1)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    dlam = np.abs(np.asarray(out_p.lambda_bend)
+                  - np.asarray(out_r.lambda_bend)).max()
+    assert dpos < 1e-6, dpos
+    assert dlam < 1e-6, dlam
+
+
+@pytest.mark.parametrize("lmode,rho", [
+    (LambdaMode.RESET, 0.9),
+    (LambdaMode.DECAY, 0.0),
+    (LambdaMode.WARM_START, 0.9),
+])
+def test_mesh_kernel_bending_tracks_engine(lmode, rho):
+    """Contact-free multi-step bending rollouts (incl. Chebyshev): the
+    in-kernel sweep must track the XLA windowed bending backend to
+    acos-polynomial accuracy."""
+    cfg = _bend_cfg(substeps=4, iterations=4, lambda_mode=lmode,
+                    jacobi_rho=rho, lambda_decay=0.98)
+    out_p, out_r, topo, _ = run_bend_pair(cfg, n_steps=2)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    dlam = np.abs(np.asarray(out_p.lambda_bend)
+                  - np.asarray(out_r.lambda_bend)).max()
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+    assert dpos < 5e-6, dpos
+    assert dlam < 5e-6, dlam
+    assert out_p.lambda_bend.shape == (topo.n_hinges,)
+
+
+def test_mesh_kernel_bending_pinned_and_floor():
+    cfg = _bend_cfg(substeps=2, iterations=3, jacobi_rho=0.9,
+                    floor_mode=FloorMode.VELOCITY_REFLECT)
+    pos, topo = bend_topo(lift=0.8)   # resting ON the floor (short horizon)
+    st = state_from_topology(topo, pos)
+    st = st.replace(inv_mass=st.inv_mass.at[np.asarray([0, 3])].set(0.0))
+    out_r = general.make_step(topo, cfg, DT, n_steps=1)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, cfg.substeps,
+            block_edges=128, with_ext=True)(st)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    assert dpos < 1e-5, dpos
+    assert np.abs(np.asarray(out_p.positions)[[0, 3]]
+                  - np.asarray(pos)[[0, 3]]).max() == 0.0
+
+
 def test_mesh_kernel_rejects_unsupported():
     pos, topo = sphere_topo()
     with pytest.raises(NotImplementedError):
