@@ -86,6 +86,48 @@ def main():
          speedup_vs_all_gather=float(f"{rate_w / rate_gg:.3g}"),
          speedup_vs_gather_bend=float(f"{rate_w / rate_g:.3g}"))
 
+    # Fused mesh kernel with IN-KERNEL bending (round 3).  Validation is
+    # self-calibrating as in bench_mesh_kernel.py: this stiff workload
+    # amplifies ulp differences, so the kernel-vs-windowed drift gate is
+    # the XLA backends' own mutual spread at the same horizon.
+    from softbodysimulation_tpu.kernels import mesh_pallas  # noqa: E402
+    val_steps = 15
+    ref_pos = np.asarray(general.make_step(topo, cfg_w, 1 / 60,
+                                           n_steps=val_steps)(st).positions)
+    spread = float(np.abs(np.asarray(general.make_step(
+        topo, cfg_g, 1 / 60, n_steps=val_steps)(st).positions)
+        - ref_pos).max())
+    emit(row="control_bend_gather_vs_windowed_60sub",
+         drift=float(f"{spread:.3g}"))
+    gate = max(3.0 * spread, 1e-4)
+    sub_call = int(os.environ.get("BENCH_SUBSTEPS_PER_CALL", "2000"))
+    dt_sub = (1 / 60) / cfg_w.substeps
+    for approx in (False, True):
+        tag = "approx" if approx else "exact"
+        try:
+            wp = np.asarray(mesh_pallas.make_mesh_substep_runner(
+                topo, cfg_w, dt_sub, val_steps * cfg_w.substeps,
+                with_ext=True, approx_math=approx)(st).positions)
+            kdrift = float(np.abs(wp - ref_pos).max())
+            if not np.isfinite(wp).all():
+                raise RuntimeError("non-finite kernel output")
+            if kdrift >= gate:
+                raise RuntimeError(
+                    f"kernel drift {kdrift} exceeds the XLA spread "
+                    f"gate {gate}")
+            fn_p = mesh_pallas.make_mesh_substep_runner(
+                topo, cfg_w, dt_sub, sub_call, with_ext=True,
+                approx_math=approx)
+            rate_p, _ = measure(fn_p, st, n, sub_call)
+            emit(row=f"bunny_bending_fused_kernel_{tag}",
+                 particle_substeps_per_s=float(f"{rate_p:.4g}"),
+                 drift_vs_windowed_60sub=float(f"{kdrift:.3g}"),
+                 speedup_vs_all_gather=float(f"{rate_p / rate_gg:.3g}"),
+                 speedup_vs_best_xla=float(f"{rate_p / rate_w:.3g}"))
+        except Exception as e:  # noqa: BLE001
+            emit(row=f"bunny_bending_fused_kernel_{tag}", ok=False,
+                 err=f"{type(e).__name__}: {str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()

@@ -146,7 +146,7 @@ def _build_bend_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
 
     blocks = hg.reshape(k, s, 4)
     bases = (blocks.min(axis=(1, 2)) // SEG) * SEG
-    span = int((blocks.max(axis=(1, 2)) - bases[:, None, None] + 1).max())
+    span = int((blocks.max(axis=(1, 2)) - bases + 1).max())
     w = SEG * -(-span // SEG)
     if w > max_window:
         raise NotImplementedError(
@@ -317,8 +317,8 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
             + 12 * n_pad * 4 * 3         # particle planes + scratch
             + (0 if bend is None else
                12 * bend.n_blocks * bend.block_hinges * 4   # hinge slabs
-               # transient synthesized one-hots (4 live f32 matrices)
-               + 4 * bend.window * bend.block_hinges * 4)
+               # transient synthesized one-hots (4 live bf16 matrices)
+               + 4 * bend.window * bend.block_hinges * 2)
         ),
         bend=bend,
     )
@@ -498,7 +498,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     win = pred[:, b0:b0 + bwn]               # (3, Wb)
                     iota = lax.broadcasted_iota(jnp.int32, (bwn, bsn), 0)
                     idx = m["bidx"][kb]                      # (4, S)
-                    oh = [(iota == idx[i:i + 1]).astype(jnp.float32)
+                    # bf16 is exact for {0,1}; the mixed bf16 x f32 MXU
+                    # product is bit-exact (scripts/probe_mesh_kernel.py)
+                    # and halves the live one-hot footprint
+                    oh = [(iota == idx[i:i + 1]).astype(jnp.bfloat16)
                           for i in range(4)]                 # (Wb, S) {0,1}
                     pa, pb, pc2, pd2 = (
                         lax.dot_general(win, o, (((1,), (0,)), ((), ())),
