@@ -480,7 +480,6 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 Mosaic-imposed rounding differences)."""
                 bkn, bsn, bwn = (bplan.n_blocks, bplan.block_hinges,
                                  bplan.window)
-                hi = lax.Precision.HIGHEST
 
                 def cross(u, v):
                     return jnp.concatenate([
@@ -503,10 +502,14 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     # and halves the live one-hot footprint
                     oh = [(iota == idx[i:i + 1]).astype(jnp.bfloat16)
                           for i in range(4)]                 # (Wb, S) {0,1}
+                    # NOTE: no precision override — Mosaic rejects a bf16
+                    # rhs under fp32 contract precision ("Bad rhs type");
+                    # the default mixed bf16 x f32 MXU product is the one
+                    # measured bit-exact for {0,1} selectors
                     pa, pb, pc2, pd2 = (
                         lax.dot_general(win, o, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                        precision=hi) for o in oh)  # (3, S)
+                                        preferred_element_type=jnp.float32)
+                        for o in oh)                     # (3, S)
                     e0 = pb - pa
                     e1 = pc2 - pa
                     e2 = pd2 - pa
@@ -558,8 +561,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     def scat(g, o):
                         return lax.dot_general(
                             dl * g, o, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=hi)                    # (3, Wb)
+                            preferred_element_type=jnp.float32)  # (3, Wb)
 
                     delta[:, b0:b0 + bwn] += (
                         scat(ga, oh[0]) + scat(gb, oh[1])
