@@ -116,6 +116,33 @@ def main():
             emit(row=f"contact64k_stencil_pallas_{tag}", ok=False,
                  err=f"{type(e).__name__}: {str(e)[:200]}")
 
+    # Contact cadence (round 3): the classic PBD split — the detect+project
+    # contact pass runs every K-th substep while constraints run every
+    # substep.  Validation is physical, not trajectory drift (cadence IS an
+    # approximation): finite, and the settled body must not collapse below
+    # the contact-off rest height by more than a particle radius.
+    best = os.environ.get("BENCH_CADENCE_BLOCK", "128x4")
+    bsz, m = (int(v) for v in best.split("x"))
+    for every in (2, 4, 8):
+        cfg_c = SolverConfig(self_collision_backend="blocked_pallas",
+                             collision_block_size=bsz, block_neighbors=m,
+                             self_collision_every=every, **base)
+        tag = f"B{bsz}_M{m}_every{every}"
+        try:
+            fn_c = lat.make_substep_runner(spec, cfg_c, dt_sub,
+                                           SUBSTEPS_PER_CALL)
+            wc = np.asarray(fn_c(st).positions)
+            if not np.isfinite(wc).all():
+                raise RuntimeError("non-finite cadence rollout")
+            rate_c, _ = measure(fn_c, st, n, SUBSTEPS_PER_CALL)
+            emit(row=f"contact64k_cadence_{tag}",
+                 particle_substeps_per_s=float(f"{rate_c:.4g}"),
+                 min_y=float(f"{wc[:, 1].min():.4g}"),
+                 speedup_vs_every1_xla=float(f"{rate_c / rate_x:.3g}"))
+        except Exception as e:  # noqa: BLE001
+            emit(row=f"contact64k_cadence_{tag}", ok=False,
+                 err=f"{type(e).__name__}: {str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()

@@ -207,6 +207,17 @@ class SolverConfig:
     # flops; exact whenever <= block_neighbors blocks overlap any block's
     # reach (overflow is detectable via self_collision_blocked_overflow).
     self_collision_backend: str = "hash"
+    # Contact cadence: run the self-collision detect+project pass only on
+    # substeps whose index is a multiple of this (the classic PBD split —
+    # collision handling once per frame, constraint iterations every
+    # substep).  1 (default) = every substep, exact current semantics.
+    # K>1 trades contact latency (penetration may persist for up to K-1
+    # substeps before the next pass corrects it) for throughput: the
+    # contact pass is the dominant cost of self-colliding scenes, so
+    # K=substeps recovers most of the contact-free engine rate.  Floor and
+    # SDF colliders are NOT affected (they are cheap and skipping them
+    # tunnels).  Distance/bending/volume constraints run every substep.
+    self_collision_every: int = 1
     sorted_window: int = 16           # one-sided neighbor window ("sorted")
     dense_row_block: int = 256        # rows per lax.scan block ("dense")
     collision_block_size: int = 256   # particles per Morton block ("blocked")
@@ -251,6 +262,8 @@ class SolverConfig:
             raise ValueError("collision_block_size must be >= 8")
         if self.block_neighbors < 1:
             raise ValueError("block_neighbors must be >= 1")
+        if self.self_collision_every < 1:
+            raise ValueError("self_collision_every must be >= 1")
         if self.substeps < 1:
             raise ValueError("substeps must be >= 1")
         if self.iterations < 1:

@@ -313,7 +313,10 @@ def _warm_apply_distance(pred, lam, inv_mass, topo: Topology,
 
 
 def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
-             apply_ext):
+             apply_ext, contact_on: bool = True):
+    # contact_on is a trace-time flag: the self-collision cadence
+    # (cfg.self_collision_every) compiles substeps with the contact pass
+    # structurally absent rather than branching at runtime.
     # lambda lifecycle (LambdaMode docstring)
     if cfg.lambda_mode == LambdaMode.RESET:
         lam_d = jnp.zeros_like(state.lambda_dist)
@@ -360,7 +363,8 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         raise ValueError("bending_backend='windowed' requires a topology "
                          "with hinge windows (build_windowed_topology)")
 
-    if _spatial_hash.needs_morton_order(cfg):
+    sc_on = cfg.enable_self_collision and contact_on
+    if sc_on and _spatial_hash.needs_morton_order(cfg):
         # Morton neighbor ordering built ONCE per substep from the predicted
         # positions; the window/blocked passes reuse it across iterations
         sc_order = _spatial_hash.morton_order(pred, cfg)
@@ -369,7 +373,7 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
 
     def project_contacts(pred):
         """Unilateral contact projections (self-collision, floor, SDFs)."""
-        if cfg.enable_self_collision:
+        if sc_on:
             pred = _spatial_hash.project_self_collision(
                 pred, state.inv_mass, sc_order, cfg)
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
@@ -383,7 +387,7 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
                 pred, state.positions, state.inv_mass, dt, cfg)
         return pred
 
-    has_contacts = (cfg.enable_self_collision
+    has_contacts = (sc_on
                     or cfg.floor_mode == FloorMode.XPBD_INEQUALITY
                     or bool(cfg.sphere_colliders) or bool(cfg.box_colliders))
 
@@ -482,12 +486,38 @@ def step_fn(state: SimState, topo: Topology, cfg: SolverConfig,
     ``XPBDSoftBody.compute:100-101``).
     """
     dt_sub = dt / cfg.substeps
+    every = cfg.self_collision_every if cfg.enable_self_collision else 1
     state = _substep(state, topo, cfg, dt_sub, apply_ext=True)
     if cfg.substeps > 1:
-        def body(carry, _):
-            return _substep(carry, topo, cfg, dt_sub, apply_ext=False), None
+        if every == 1:
+            def body(carry, _):
+                return _substep(carry, topo, cfg, dt_sub,
+                                apply_ext=False), None
 
-        state, _ = lax.scan(body, state, None, length=cfg.substeps - 1)
+            state, _ = lax.scan(body, state, None, length=cfg.substeps - 1)
+        else:
+            # Contact cadence: substep i runs self-collision iff i % every
+            # == 0.  Substep 0 (above) always does.  The remaining substeps
+            # form `n_full` repeating groups of (every-1 contact-free + 1
+            # contact) — a static structure, so the scan body compiles both
+            # substep flavors once and no runtime branch is needed — plus a
+            # contact-free tail.
+            rem = cfg.substeps - 1
+            n_full, tail = divmod(rem, every)
+            if n_full:
+                def body(carry, _):
+                    s = carry
+                    for _ in range(every - 1):
+                        s = _substep(s, topo, cfg, dt_sub, apply_ext=False,
+                                     contact_on=False)
+                    s = _substep(s, topo, cfg, dt_sub, apply_ext=False,
+                                 contact_on=True)
+                    return s, None
+
+                state, _ = lax.scan(body, state, None, length=n_full)
+            for _ in range(tail):
+                state = _substep(state, topo, cfg, dt_sub, apply_ext=False,
+                                 contact_on=False)
     return state.replace(ext_force=jnp.zeros_like(state.ext_force))
 
 

@@ -205,7 +205,7 @@ def _floor_xpbd(pred, x, w, dt, cfg: SolverConfig):
 
 
 def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
-             apply_ext: bool, masks_dev):
+             apply_ext: bool, masks_dev, contact_on: bool = True):
     """One substep in (3,res,res^2) layout.  x,v,f: (3,res,r2); w: (res,r2);
     lam: (nfam,res,r2)."""
     res = spec.res
@@ -239,7 +239,8 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
     if cfg.world_bounds > 0:
         pred = jnp.clip(pred, -cfg.world_bounds, cfg.world_bounds)
 
-    if _spatial_hash.needs_morton_order(cfg):
+    sc_on = cfg.enable_self_collision and contact_on
+    if sc_on and _spatial_hash.needs_morton_order(cfg):
         # Morton ordering built ONCE per substep from the predicted
         # positions (same lifecycle as the general engine)
         sc_order = _spatial_hash.morton_order(pred.reshape(3, -1).T, cfg)
@@ -294,7 +295,7 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
             lam_parts.append(lam_f)
         lam = jnp.stack(lam_parts)
 
-        if cfg.enable_self_collision:
+        if sc_on:
             # same projection order as the general engine (self-collision
             # before the floor/SDF projections); shared backend dispatch
             flat = _spatial_hash.project_self_collision(
@@ -389,17 +390,42 @@ def step_fn(state: SimState, spec: LatticeSpec, cfg: SolverConfig,
     """One physics step = cfg.substeps substeps; external forces consumed on
     the first substep (SoftBodyParticleCPU force lifecycle)."""
     dt_sub = dt / cfg.substeps
+    every = cfg.self_collision_every if cfg.enable_self_collision else 1
     masks = _masks_dev(spec)
     x, v, w, f, lam = _to_grid(state, spec)
     x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub, True, masks)
     if cfg.substeps > 1:
-        def body(carry, _):
-            x, v, lam = carry
-            return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
-                            masks), None
+        if every == 1:
+            def body(carry, _):
+                x, v, lam = carry
+                return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
+                                masks), None
 
-        (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
-                                  length=cfg.substeps - 1)
+            (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                      length=cfg.substeps - 1)
+        else:
+            # Contact cadence (self_collision_every): substep i runs the
+            # self-collision pass iff i % every == 0.  Static group
+            # structure, same as the general engine (general.step_fn).
+            rem = cfg.substeps - 1
+            n_full, tail = divmod(rem, every)
+            if n_full:
+                def body(carry, _):
+                    x, v, lam = carry
+                    for _i in range(every - 1):
+                        x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
+                                             dt_sub, False, masks,
+                                             contact_on=False)
+                    x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
+                                         dt_sub, False, masks,
+                                         contact_on=True)
+                    return (x, v, lam), None
+
+                (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                          length=n_full)
+            for _i in range(tail):
+                x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub,
+                                     False, masks, contact_on=False)
     return _from_grid(state, x, v, lam)
 
 
@@ -505,17 +531,41 @@ def make_substep_runner(spec: LatticeSpec, cfg: SolverConfig, dt_sub: float,
     one scan level keeps (remote) compile time flat — used by benchmarks."""
     masks = _masks_dev(spec)
 
+    every = cfg.self_collision_every if cfg.enable_self_collision else 1
+
     @jax.jit
     def fn(state: SimState) -> SimState:
         x, v, w, f, lam = _to_grid(state, spec)
 
-        def body(carry, _):
-            x, v, lam = carry
-            return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
-                            masks), None
+        if every == 1:
+            def body(carry, _):
+                x, v, lam = carry
+                return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
+                                masks), None
 
-        (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
-                                  length=n_substeps)
+            (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                      length=n_substeps)
+        else:
+            # Contact cadence: pass on substeps i % every == 0 (groups of
+            # 1 contact-on + every-1 contact-free, then the tail).
+            n_full, tail = divmod(n_substeps, every)
+            if n_full:
+                def body(carry, _):
+                    x, v, lam = carry
+                    x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
+                                         dt_sub, False, masks,
+                                         contact_on=True)
+                    for _i in range(every - 1):
+                        x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
+                                             dt_sub, False, masks,
+                                             contact_on=False)
+                    return (x, v, lam), None
+
+                (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
+                                          length=n_full)
+            for _i in range(tail):
+                x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub,
+                                     False, masks, contact_on=(_i == 0))
         return _from_grid(state, x, v, lam)
 
     return fn
