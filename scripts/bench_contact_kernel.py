@@ -143,6 +143,31 @@ def main():
             emit(row=f"contact64k_cadence_{tag}", ok=False,
                  err=f"{type(e).__name__}: {str(e)[:200]}")
 
+    # Hybrid: contact-free substeps in the streamed Pallas kernel, contact
+    # substep on the stencil engine, one jit (make_hybrid_contact_runner).
+    from softbodysimulation_tpu.kernels import lattice_pallas as kp
+
+    for every, approx in ((8, False), (8, True)):
+        cfg_h = SolverConfig(self_collision_backend="blocked_pallas",
+                             collision_block_size=bsz, block_neighbors=m,
+                             self_collision_every=every, **base)
+        tag = f"B{bsz}_M{m}_every{every}" + ("_approx" if approx else "")
+        try:
+            fn_h = kp.make_hybrid_contact_runner(spec, cfg_h, dt_sub,
+                                                 SUBSTEPS_PER_CALL,
+                                                 approx_math=approx)
+            wh = np.asarray(fn_h(st).positions)
+            if not np.isfinite(wh).all():
+                raise RuntimeError("non-finite hybrid rollout")
+            rate_h, _ = measure(fn_h, st, n, SUBSTEPS_PER_CALL)
+            emit(row=f"contact64k_hybrid_{tag}",
+                 particle_substeps_per_s=float(f"{rate_h:.4g}"),
+                 min_y=float(f"{wh[:, 1].min():.4g}"),
+                 speedup_vs_every1_xla=float(f"{rate_h / rate_x:.3g}"))
+        except Exception as e:  # noqa: BLE001
+            emit(row=f"contact64k_hybrid_{tag}", ok=False,
+                 err=f"{type(e).__name__}: {str(e)[:200]}")
+
 
 if __name__ == "__main__":
     main()

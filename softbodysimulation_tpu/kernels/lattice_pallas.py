@@ -1229,3 +1229,71 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         )
 
     return fn
+
+
+def make_hybrid_contact_runner(spec: LatticeSpec, cfg: SolverConfig,
+                               dt_sub: float, n_substeps: int,
+                               approx_math: bool = False):
+    """Contact cadence WITH the fused kernel: the ``every - 1``
+    contact-free substeps of each cadence group run in the streamed Pallas
+    kernel and the contact substep runs in the XLA stencil engine
+    (``solvers/lattice._substep`` with the shared spatial-hash backend),
+    all composed inside ONE jitted program.
+
+    Semantics = ``solvers.lattice.make_substep_runner`` with
+    ``cfg.self_collision_every = every`` (contact pass on substeps
+    ``i % every == 0``), modulo the documented fp-noise difference between
+    the streamed kernel and the stencil engine on contact-free substeps
+    (BENCHMARKS.md Accuracy).  This is what lets a self-colliding lattice
+    scene keep the fused-kernel advantage instead of forfeiting it to the
+    per-substep contact pass (reference workload:
+    ``XPBDSimulatorCS.compute:213-217``).
+
+    Requires ``cfg.enable_self_collision`` and ``self_collision_every >= 2``
+    (at 1 every substep needs contact and there is nothing to fuse).
+
+    CPU/interpret note: ``pltpu.force_tpu_interpret_mode()`` must wrap the
+    CALL TO THIS FACTORY, not just the returned function — ``pallas_call``
+    captures the interpret flag at construction, so a factory built outside
+    the context produces a compiled-mode kernel that CPU then rejects."""
+    from ..solvers import lattice as _lat
+
+    every = cfg.self_collision_every
+    if not cfg.enable_self_collision or every < 2:
+        raise ValueError("hybrid contact runner needs enable_self_collision "
+                         "and self_collision_every >= 2")
+    cfg_free = cfg.replace(enable_self_collision=False)
+    inner = make_pallas_substep_runner_streamed(
+        spec, cfg_free, dt_sub, every - 1, approx_math=approx_math)
+    masks = _lat._masks_dev(spec)
+    n_full, tail = divmod(n_substeps, every)
+
+    def contact_substep(state: SimState) -> SimState:
+        x, v, w, f, lam = _lat._to_grid(state, spec)
+        x, v, lam = _lat._substep(x, v, w, f, lam, spec, cfg, dt_sub,
+                                  False, masks, contact_on=True)
+        return _lat._from_grid(state, x, v, lam)
+
+    @jax.jit
+    def fn(state: SimState) -> SimState:
+        if n_full:
+            def group(carry, _):
+                st = contact_substep(carry)
+                return inner(st), None
+
+            state, _ = lax.scan(group, state, None, length=n_full)
+        for i in range(tail):
+            if i == 0:
+                state = contact_substep(state)
+            else:
+                # a partial contact-free tail: reuse the stencil substep
+                # (compiling a second Mosaic kernel for a tail of < every-1
+                # substeps isn't worth it)
+                x, v, w, f, lam = _lat._to_grid(state, spec)
+                x, v, lam = _lat._substep(x, v, w, f, lam, spec, cfg_free,
+                                          dt_sub, False, masks,
+                                          contact_on=False)
+                state = _lat._from_grid(state, x, v, lam)
+        return state
+
+    return fn

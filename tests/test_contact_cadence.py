@@ -164,3 +164,36 @@ def test_lattice_substep_runner_cadence():
 def test_cadence_validation():
     with pytest.raises(ValueError):
         SolverConfig(self_collision_every=0)
+
+
+def test_hybrid_contact_runner_matches_stencil_cadence():
+    """The hybrid runner (streamed Pallas kernel for contact-free substeps
+    + stencil contact substep, one jit) tracks the all-stencil cadence
+    runner to fp noise, interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as kp
+
+    spec = lattice.lattice_spec(6, braced=True)
+    st = lat_engine.make_lattice_state(spec, center=(0.0, 0.55, 0.0),
+                                       mass=0.001)
+    cfg = SolverConfig(substeps=6, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, fast_math=True,
+                       gravity_is_acceleration=True,
+                       enable_self_collision=True,
+                       particle_radius=0.45 / 5,
+                       self_collision_backend="blocked",
+                       collision_block_size=128, block_neighbors=2,
+                       self_collision_every=3,
+                       ground_height=0.0, friction=0.3)
+    n_sub = 6
+    ref = lat_engine.make_substep_runner(spec, cfg, DT / 6, n_sub)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = kp.make_hybrid_contact_runner(spec, cfg, DT / 6, n_sub)(st)
+    d = np.abs(np.asarray(out.positions) - np.asarray(ref.positions)).max()
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert d < 1e-5, f"hybrid diverges from stencil cadence: {d}"
+
+    with pytest.raises(ValueError):
+        kp.make_hybrid_contact_runner(
+            spec, cfg.replace(self_collision_every=1), DT / 6, n_sub)
