@@ -60,6 +60,14 @@ def main(argv=None):
                            "stencil engine")
     runp.add_argument("--platform", default=None,
                       help="force a jax platform (e.g. cpu)")
+    runp.add_argument("--set", action="append", default=[],
+                      metavar="KEY=VAL", dest="overrides",
+                      help="override a SolverConfig field for this run "
+                           "(repeatable), e.g. --set iterations=4 "
+                           "--set self_collision_every=8 "
+                           "--set solve_mode=JACOBI; values are coerced "
+                           "from the field's current type (bool/int/"
+                           "float/str/enum-by-name)")
 
     sub.add_parser("bench", help="run the headline benchmark")
 
@@ -98,6 +106,54 @@ def main(argv=None):
 
     kw = {"dt": args.dt} if args.dt else {}
     state, step, info = SCENES[args.scene](**kw)
+    if getattr(args, "overrides", None):
+        # generic per-run SolverConfig tweaks (the reference's per-scene
+        # SoftBodySettings editability: SoftBodySettings.cs).  The step is
+        # rebuilt on the scene's own engine; --engine pallas below rebuilds
+        # again from the overridden config.
+        import enum
+
+        cfg = info["config"]
+        updates = {}
+        for kv in args.overrides:
+            key, sep, val = kv.partition("=")
+            if not sep or not hasattr(cfg, key):
+                print(f"--set: unknown config field {key!r} (see "
+                      f"core/config.SolverConfig)", file=sys.stderr)
+                return 2
+            cur = getattr(cfg, key)
+            try:
+                if isinstance(cur, bool):
+                    updates[key] = val.lower() in ("1", "true", "yes", "on")
+                elif isinstance(cur, enum.Enum):
+                    updates[key] = type(cur)[val.upper()]
+                elif isinstance(cur, int):
+                    updates[key] = int(val)
+                elif isinstance(cur, float):
+                    updates[key] = float(val)
+                elif isinstance(cur, str):
+                    updates[key] = val
+                else:
+                    print(f"--set: field {key!r} has unsupported type "
+                          f"{type(cur).__name__}", file=sys.stderr)
+                    return 2
+            except (KeyError, ValueError) as e:
+                print(f"--set: bad value for {key!r}: {e}", file=sys.stderr)
+                return 2
+        try:
+            cfg = cfg.replace(**updates)
+        except ValueError as e:
+            print(f"--set: invalid config: {e}", file=sys.stderr)
+            return 2
+        info["config"] = cfg
+        if "spec" in info:
+            from .solvers import lattice as _lat
+
+            step = _lat.make_step(info["spec"], cfg, info["dt"])
+        else:
+            from .solvers import general as _gen
+
+            step = _gen.make_step(info["topology"], cfg, info["dt"])
     if getattr(args, "engine", "auto") == "pallas":
         if "spec" not in info:
             print("--engine pallas needs a lattice scene", file=sys.stderr)

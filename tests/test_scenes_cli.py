@@ -77,3 +77,28 @@ def test_cli_unknown_scene_fails_cleanly():
     r = _run_cli("run", "nope", "--platform", "cpu")
     assert r.returncode == 2
     assert "unknown scene" in r.stderr
+
+
+def test_cli_set_overrides_config():
+    """--set rebuilds the step with the overridden SolverConfig (int,
+    float, bool and enum-by-name coercion)."""
+    r = _run_cli("run", "cpu_cube", "--steps", "10", "--platform", "cpu",
+                 "--log-every", "0", "--set", "iterations=2",
+                 "--set", "damping=0.1", "--set", "solve_mode=JACOBI")
+    assert r.returncode == 0, r.stderr
+    assert "done: 10 steps" in r.stdout
+
+
+def test_cli_set_rejects_unknown_field_and_bad_value():
+    r = _run_cli("run", "cpu_cube", "--steps", "1", "--platform", "cpu",
+                 "--set", "not_a_field=1")
+    assert r.returncode == 2
+    assert "unknown config field" in r.stderr
+    r = _run_cli("run", "cpu_cube", "--steps", "1", "--platform", "cpu",
+                 "--set", "iterations=zero")
+    assert r.returncode == 2
+    assert "bad value" in r.stderr
+    r = _run_cli("run", "cpu_cube", "--steps", "1", "--platform", "cpu",
+                 "--set", "iterations=0")
+    assert r.returncode == 2
+    assert "invalid config" in r.stderr
