@@ -337,6 +337,33 @@ def main():
         print(f"contact kernel unavailable: {type(e).__name__}: {e}",
               flush=True)
 
+    # 4f. contact cadence on the stencil engine (round 3): ONE 64k braced
+    # lattice with exact blocked contact, every=1 vs every=8 (the classic
+    # once-per-frame PBD split) — same-run pair for the cadence claim
+    # (full sweep incl. the fused hybrid: scripts/bench_contact_kernel.py)
+    res_l = 40
+    spec_l = lattice.lattice_spec(res_l, braced=True)
+    spacing_l = 1.0 / (res_l - 1)
+    base_l = dict(substeps=8, iterations=1, damping=0.02,
+                  solve_mode=SolveMode.JACOBI,
+                  lambda_mode=LambdaMode.RESET,
+                  gravity_is_acceleration=True, fast_math=True,
+                  enable_self_collision=True,
+                  particle_radius=0.55 * spacing_l,
+                  self_collision_backend="blocked",
+                  collision_block_size=256, block_neighbors=8,
+                  ground_height=0.0, friction=0.3)
+    st_l = lat.make_lattice_state(spec_l, center=(0.0, 0.55, 0.0),
+                                  mass=0.001)
+    sub_per_call = 400
+    for every in (1, 8):
+        cfg_l = SolverConfig(self_collision_every=every, **base_l)
+        fn_l = lat.make_substep_runner(spec_l, cfg_l, 1 / 480.,
+                                       sub_per_call)
+        measure(f"contact 64k stencil blocked (cadence every={every})",
+                fn_l, st_l, spec_l.n_particles, sub_per_call,
+                pair="contact_cadence64k")
+
     print(json.dumps(RESULTS), flush=True)
 
 
