@@ -464,7 +464,13 @@ def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
     end-to-end, VELOCITY_REFLECT floor and SDF colliders included).
     Prefers the streamed kernel (the fastest engine, BENCHMARKS.md);
     falls back to the VMEM-resident kernel for the corners the streamed
-    with_ext path refuses (big res, joint g+ext max_force clamping)."""
+    with_ext path refuses (big res, joint g+ext max_force clamping).
+    Self-colliding configs with a contact cadence that divides the frame
+    (``self_collision_every >= 2`` and ``substeps % every == 0``) route to
+    ``make_hybrid_contact_step`` — contact-free substeps stay fused."""
+    if (cfg.enable_self_collision and cfg.self_collision_every >= 2
+            and cfg.substeps % cfg.self_collision_every == 0):
+        return make_hybrid_contact_step(spec, cfg, dt, n_steps=n_steps)
     try:
         return make_pallas_substep_runner_streamed(
             spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
@@ -1227,6 +1233,67 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             lambda_dist=lamo.reshape(-1),
             **extra,
         )
+
+    return fn
+
+
+def make_hybrid_contact_step(spec: LatticeSpec, cfg: SolverConfig,
+                             dt: float, n_steps: int = 1):
+    """Step-semantics twin of ``make_hybrid_contact_runner``: ``n_steps``
+    frames of ``cfg.substeps`` substeps with the external-force lifecycle
+    (``state.ext_force`` consumed on the first substep of the first step,
+    zeroed after), contact on substeps ``j % every == 0`` within each
+    frame — drop-in for ``solvers.lattice.make_step`` on self-colliding
+    cadence configs (``make_pallas_step`` routes here).
+
+    Requires ``cfg.substeps % every == 0`` so every cadence group inside a
+    frame has exactly ``every - 1`` contact-free substeps and ONE streamed
+    Mosaic kernel (size every-1) covers them all:
+    frame = contact(+ext) ; (substeps/every - 1) x [inner ; contact] ;
+    inner."""
+    from ..solvers import lattice as _lat
+
+    every = cfg.self_collision_every
+    if not cfg.enable_self_collision or every < 2:
+        raise ValueError("hybrid contact step needs enable_self_collision "
+                         "and self_collision_every >= 2")
+    if cfg.substeps % every != 0:
+        raise NotImplementedError(
+            "hybrid contact step needs substeps % self_collision_every "
+            "== 0 (use the stencil engine otherwise)")
+    res = spec.res
+    r2 = res * res
+    dt_sub = dt / cfg.substeps
+    cfg_free = cfg.replace(enable_self_collision=False)
+    inner = make_pallas_substep_runner_streamed(
+        spec, cfg_free, dt_sub, every - 1)
+    masks = _lat._masks_dev(spec)
+    groups = cfg.substeps // every
+
+    @jax.jit
+    def fn(state: SimState) -> SimState:
+        f0 = state.ext_force.T.reshape(3, res, r2)
+
+        def one_step(carry, step_idx):
+            st = carry
+            fgrid = jnp.where(step_idx == 0, 1.0, 0.0) * f0
+
+            def contact(st, fg, apply_ext):
+                x, v, w, _, lam = _lat._to_grid(st, spec)
+                x, v, lam = _lat._substep(x, v, w, fg, lam, spec, cfg,
+                                          dt_sub, apply_ext, masks,
+                                          contact_on=True)
+                return _lat._from_grid(st, x, v, lam)
+
+            st = contact(st, fgrid, True)
+            for _g in range(groups - 1):
+                st = inner(st)
+                st = contact(st, jnp.zeros_like(f0), False)
+            st = inner(st)
+            return st, None
+
+        state, _ = lax.scan(one_step, state, jnp.arange(n_steps))
+        return state.replace(ext_force=jnp.zeros_like(state.ext_force))
 
     return fn
 

@@ -197,3 +197,41 @@ def test_hybrid_contact_runner_matches_stencil_cadence():
     with pytest.raises(ValueError):
         kp.make_hybrid_contact_runner(
             spec, cfg.replace(self_collision_every=1), DT / 6, n_sub)
+
+
+def test_hybrid_contact_step_matches_stencil_step():
+    """Step semantics (ext-force lifecycle + per-frame cadence):
+    make_hybrid_contact_step == solvers.lattice.make_step to fp noise;
+    make_pallas_step routes contact-cadence configs here."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as kp
+
+    spec = lattice.lattice_spec(6, braced=True)
+    st = lat_engine.make_lattice_state(spec, center=(0.0, 0.55, 0.0),
+                                       mass=0.001)
+    # a poke so the ext-force lifecycle is actually exercised
+    f = np.zeros_like(np.asarray(st.ext_force))
+    f[10] = (0.05, 0.2, -0.03)
+    st = st.replace(ext_force=jnp.asarray(f))
+    cfg = SolverConfig(substeps=6, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, fast_math=True,
+                       gravity_is_acceleration=True,
+                       enable_self_collision=True,
+                       particle_radius=0.45 / 5,
+                       self_collision_backend="blocked",
+                       collision_block_size=128, block_neighbors=2,
+                       self_collision_every=3,
+                       ground_height=0.0, friction=0.3)
+    ref = lat_engine.make_step(spec, cfg, DT, n_steps=2)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = kp.make_pallas_step(spec, cfg, DT, n_steps=2)(st)
+    d = np.abs(np.asarray(out.positions) - np.asarray(ref.positions)).max()
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert d < 1e-5, f"hybrid step diverges from stencil step: {d}"
+    assert np.abs(np.asarray(out.ext_force)).max() == 0.0
+
+    # cadence not dividing the frame: clean refusal (stencil engine path)
+    with pytest.raises(NotImplementedError):
+        kp.make_hybrid_contact_step(
+            spec, cfg.replace(self_collision_every=4), DT)
