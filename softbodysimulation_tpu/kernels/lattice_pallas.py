@@ -643,7 +643,18 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # so the big-res auto-enable is approx-only (dc_cache overrides).
     cache_budget_ok = (lam_resident
                        and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
-    mask_cached = cache_budget_ok if mask_cache is None else mask_cache
+    # The guarded (fast_math=False) mres initialization unrolls a
+    # roll+denominator+compare chain per family whose temporaries stay
+    # live across the unrolled loop in Mosaic's stack accounting, so it
+    # needs ~2 extra planes PER FAMILY on top of the resident budget.
+    # Measured (scripts/probe_ensemble_vmem.py): res-4 braced x 1024
+    # bodies (13 guarded families, 4x16384 planes) OOMs scoped vmem at
+    # 18.86M/16M with the plain budget even with dc_cache off, while the
+    # res-40 unbraced faithful config (7 guarded families, same plane
+    # bytes) compiles; fast_math skips the guard chain entirely.
+    mask_budget_ok = (cache_budget_ok and (cfg.fast_math or (
+        (24 + 4 * nfam) * res * r2p * 4 <= 15_000_000)))
+    mask_cached = mask_budget_ok if mask_cache is None else mask_cache
     wb_cached = cache_budget_ok and not mask_cached
     # static_denom (opt-in): the XPBD denominator w + wb + alpha is static
     # for the whole call, so its exact IEEE reciprocal can be computed ONCE
