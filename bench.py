@@ -23,12 +23,60 @@ bound is ~3.1e4 particle-steps/s (SURVEY §6).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _supervised_main() -> int:
+    """Run the real benchmark in a child process with a watchdog.
+
+    The axon remote-compile relay sporadically wedges: a compile RPC
+    neither completes nor errors, hanging the process forever in a
+    foreign socket read no in-process timeout can interrupt (observed
+    repeatedly at round-3 close; a fresh process usually sails through).
+    So the top-level invocation supervises: child attempts with a hard
+    timeout, retried while wall budget remains, forwarding the child's
+    single JSON line.  Opt out with BENCH_SUPERVISE=0 (the child runs
+    with it set)."""
+    budget = float(os.environ.get("BENCH_SUPERVISE_BUDGET", "2700"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1400"))
+    env = dict(os.environ, BENCH_SUPERVISE="0")
+    t0 = time.monotonic()
+    attempt = 0
+    while time.monotonic() - t0 < budget:
+        attempt += 1
+        left = budget - (time.monotonic() - t0)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=min(attempt_timeout, max(left, 60.0)),
+                capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# attempt {attempt}: wedged past the watchdog, "
+                  f"retrying", file=sys.stderr)
+            continue
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"# attempt {attempt}: rc={proc.returncode}\n"
+              + proc.stderr[-2000:], file=sys.stderr)
+    print("# benchmark failed within the supervision budget",
+          file=sys.stderr)
+    return 1
+
 import jax  # noqa: E402
+
+# Hermetic smoke mode (also exercises the supervisor's success path in
+# tests): the ambient axon site registration overrides JAX_PLATFORMS, so
+# CPU must be forced in-process before any backend init.
+if os.environ.get("BENCH_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 from softbodysimulation_tpu import (  # noqa: E402
@@ -175,4 +223,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_SUPERVISE", "1") != "0":
+        sys.exit(_supervised_main())
     main()
