@@ -31,7 +31,14 @@ Formulation (leaner than the XLA backend's, same arithmetic):
   2S-wide two-sided scatter;
 * per-edge static quantities (rest, alpha, relax = omega/maxdeg, clamp
   bounds) and per-call quantities (wa+wb denominators, validity guards)
-  are precomputed outside the kernel into (K, 1, S) slabs.
+  are precomputed outside the kernel into (K, 1, S) slabs;
+* meshes whose resident matrices would blow the VMEM budget (~20k edges
+  at W=256) automatically switch to the SYNTHESIZED spelling: the block
+  matrix is rebuilt in-registers per sweep from a (K, 2, S) int32
+  endpoint slab via two ``broadcasted_iota`` compares (the bending
+  mechanism below, applied to distance) — bitwise-identical output
+  (pinned by test), mesh size bounded only by particle planes and
+  per-edge slabs (~100k+ edges).
 
 Capability envelope mirrors the XLA windowed backend: JACOBI solve mode
 (plus its Chebyshev acceleration), RESET/DECAY/WARM_START lambda modes,
@@ -189,10 +196,26 @@ def _build_bend_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
 
 @dataclasses.dataclass(frozen=True)
 class MeshKernelPlan:
-    """Host-built static structure for the fused mesh kernel."""
+    """Host-built static structure for the fused mesh kernel.
 
-    gd: np.ndarray        # (K, W, S) bf16 signed gather one-hots
-    gs: np.ndarray        # (K, S, W) bf16 = gd transposed (scatter)
+    Two spellings of the signed one-hot structure:
+
+    * resident (``synth=False``): ``gd``/``gs`` are (K, W, S)/(K, S, W)
+      bf16 matrices held VMEM-resident for the whole call — fastest, but
+      the 2·E·W·2-byte footprint caps the mesh at ~20k edges (W=256);
+    * synthesized (``synth=True``): only a (K, 2, S) int32 endpoint-index
+      slab (``didx``) is resident and each block's matrix is rebuilt
+      in-registers per sweep from two ``broadcasted_iota`` compares —
+      the same mechanism the bending path already uses, arithmetic
+      identical ({0,±1} exact in bf16, same MXU contractions), removing
+      the matrix footprint so mesh size is bounded only by the particle
+      planes and per-edge slabs (~100k+ edges).
+
+    ``build_mesh_plan`` picks resident when it fits the VMEM budget and
+    falls back to synthesized automatically (``synth_gd`` forces)."""
+
+    gd: Optional[np.ndarray]  # (K, W, S) bf16 signed gather one-hots
+    gs: Optional[np.ndarray]  # (K, S, W) bf16 = gd transposed (scatter)
     bases: Tuple[int, ...]  # per-block window base (static, SEG-aligned)
     ea: np.ndarray        # (K*S,) padded endpoint indices (for per-call wa)
     eb: np.ndarray
@@ -208,17 +231,23 @@ class MeshKernelPlan:
     n_pad: int            # padded particle-lane count
     vmem_bytes: int
     bend: Optional[BendPlan] = None
+    didx: Optional[np.ndarray] = None  # (K, 2, S) int32 local a,b indices
+    synth: bool = False
 
 
 def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
                     block_edges: int = 256,
                     max_window: int = 1024,
-                    block_hinges: int = 256) -> MeshKernelPlan:
+                    block_hinges: int = 256,
+                    synth_gd: Optional[bool] = None) -> MeshKernelPlan:
     """Build the blocked signed-one-hot structure from a topology whose
     particles are RCM-renumbered and whose edges are sorted by min endpoint
     (``topology/build.build_windowed_topology`` produces exactly this).
-    Raises if any block's window exceeds ``max_window`` (mesh bandwidth too
-    large) or the resident structure would blow the VMEM budget."""
+    ``synth_gd``: None = auto (resident matrices when they fit the VMEM
+    budget, else in-kernel synthesis — see ``MeshKernelPlan``); a bool
+    forces.  Raises if any block's window exceeds ``max_window`` (mesh
+    bandwidth too large) or even the synthesized structure would blow the
+    VMEM budget."""
     edges = np.asarray(topo.edges, np.int64)
     n = topo.n_particles
     e = edges.shape[0]
@@ -251,14 +280,18 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
             "(is the topology RCM-renumbered?)")
     n_pad = SEG * max(-(-n // SEG), int((bases.max() + w) // SEG))
 
-    gd = np.zeros((k, w, s), np.float32)
-    kk, ss = np.meshgrid(np.arange(k), np.arange(s), indexing="ij")
     la = (blk_a - bases[:, None]).astype(np.int64)
     lb = (blk_b - bases[:, None]).astype(np.int64)
     vm = valid.reshape(k, s)
+    gd = np.zeros((k, w, s), np.float32)
+    kk, ss = np.meshgrid(np.arange(k), np.arange(s), indexing="ij")
     # padded slots keep all-zero columns: d = 0, scatter = 0
     gd[kk, la, ss] -= vm
     gd[kk, lb, ss] += vm
+    # synthesized spelling: padded slots point both endpoints at the same
+    # local index, so onehot(b) - onehot(a) cancels to the same zero column
+    didx = np.stack([np.where(vm > 0, la, 0), np.where(vm > 0, lb, 0)],
+                    axis=1).astype(np.int32)                 # (k, 2, s)
 
     deg = np.asarray(topo.degree, np.float32)
     maxdeg = np.maximum(np.maximum(deg[ea], deg[eb]), 1.0)
@@ -294,10 +327,22 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         n_pad = max(n_pad,
                     SEG * int((max(bend.bases) + bend.window) // SEG))
 
-    gd_bf = gd.astype(jnp.bfloat16)
+    base_bytes = int(
+        10 * k * s * 4               # per-edge slabs (incl. dynamic)
+        + 12 * n_pad * 4 * 3         # particle planes + scratch
+        + (0 if bend is None else
+           12 * bend.n_blocks * bend.block_hinges * 4   # hinge slabs
+           # transient synthesized one-hots (4 live bf16 matrices)
+           + 4 * bend.window * bend.block_hinges * 2))
+    resident_bytes = base_bytes + 2 * k * w * s * 2      # gd + gs (bf16)
+    # synthesized: only the int32 index slab is resident; per sweep one
+    # block's matrix plus its compare temporaries are live (~4 W x S bf16)
+    synth_bytes = base_bytes + 2 * k * s * 4 + 4 * w * s * 2
+    synth = (resident_bytes > VMEM_BUDGET if synth_gd is None
+             else bool(synth_gd))
     plan = MeshKernelPlan(
-        gd=gd_bf,
-        gs=np.ascontiguousarray(np.transpose(gd_bf, (0, 2, 1))),
+        gd=None,
+        gs=None,
         bases=tuple(int(b) for b in bases),
         ea=ea.astype(np.int32),
         eb=eb.astype(np.int32),
@@ -311,21 +356,21 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         block_edges=s,
         window=w,
         n_pad=int(n_pad),
-        vmem_bytes=int(
-            2 * k * w * s * 2            # gd + gs (bf16)
-            + 10 * k * s * 4             # per-edge slabs (incl. dynamic)
-            + 12 * n_pad * 4 * 3         # particle planes + scratch
-            + (0 if bend is None else
-               12 * bend.n_blocks * bend.block_hinges * 4   # hinge slabs
-               # transient synthesized one-hots (4 live bf16 matrices)
-               + 4 * bend.window * bend.block_hinges * 2)
-        ),
+        vmem_bytes=synth_bytes if synth else resident_bytes,
         bend=bend,
+        didx=np.ascontiguousarray(didx) if synth else None,
+        synth=synth,
     )
+    if not synth:
+        gd_bf = gd.astype(jnp.bfloat16)
+        plan = dataclasses.replace(
+            plan, gd=gd_bf,
+            gs=np.ascontiguousarray(np.transpose(gd_bf, (0, 2, 1))))
     if plan.vmem_bytes > VMEM_BUDGET:
         raise NotImplementedError(
             f"mesh kernel structure ~{plan.vmem_bytes / 1e6:.1f} MB exceeds "
-            "the VMEM budget — use the XLA windowed backend")
+            "the VMEM budget even synthesized — use the XLA windowed "
+            "backend")
     return plan
 
 
@@ -334,7 +379,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                              with_ext: bool = False,
                              approx_math: bool = False,
                              block_edges: int = 256,
-                             plan: Optional[MeshKernelPlan] = None):
+                             plan: Optional[MeshKernelPlan] = None,
+                             synth_gd: Optional[bool] = None):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
     raw substeps of the general-mesh XPBD loop in ONE fused kernel
     (``with_ext=True`` adds the reference force lifecycle: ``ext_force``
@@ -345,7 +391,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     as in the lattice kernels."""
     _check_supported(cfg, topo)
     if plan is None:
-        plan = build_mesh_plan(topo, cfg, dt_sub, block_edges=block_edges)
+        plan = build_mesh_plan(topo, cfg, dt_sub, block_edges=block_edges,
+                               synth_gd=synth_gd)
     k_blocks, s_edges, w_win = plan.n_blocks, plan.block_edges, plan.window
     n = topo.n_particles
     n_pad = plan.n_pad
@@ -362,8 +409,11 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     or bool(cfg.sphere_colliders)
                     or bool(cfg.box_colliders))
 
-    gd_c = jnp.asarray(plan.gd)
-    gs_c = jnp.asarray(plan.gs)
+    if plan.synth:
+        didx_c = jnp.asarray(plan.didx)
+    else:
+        gd_c = jnp.asarray(plan.gd)
+        gs_c = jnp.asarray(plan.gs)
     rest_c = jnp.asarray(plan.rest)
     alpha_c = jnp.asarray(plan.alpha)
     relax_c = jnp.asarray(plan.relax)
@@ -375,8 +425,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     valid_c = jnp.asarray(plan.valid)
 
     bplan = plan.bend
-    in_names = ["x", "v", "w", "lam", "di", "act", "wlim",
-                "gd", "gs", "rest", "alpha", "relax", "warm"]
+    in_names = (["x", "v", "w", "lam", "di", "act", "wlim"]
+                + (["didx"] if plan.synth else ["gd", "gs"])
+                + ["rest", "alpha", "relax", "warm"])
     if bound_c is not None:
         in_names.append("bound")
     if with_ext:
@@ -389,7 +440,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         m = dict(zip(in_names, refs))
         x_in, v_in, w_in, lam_in = m["x"], m["v"], m["w"], m["lam"]
         di_in, act_in, wlim_in = m["di"], m["act"], m["wlim"]
-        gd_ref, gs_ref = m["gd"], m["gs"]
+        gd_ref, gs_ref = m.get("gd"), m.get("gs")
+        didx_ref = m.get("didx")
         rest_ref, alpha_ref = m["rest"], m["alpha"]
         relax_ref, warm_ref = m["relax"], m["warm"]
         bnd_ref = m.get("bound")
@@ -418,11 +470,25 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 stores the scaled multiplier back).  Mirrors
                 general._solve_distance_windowed / _warm_apply_distance."""
                 delta[:] = jnp.zeros_like(delta)
+                if plan.synth:
+                    iota_ws = lax.broadcasted_iota(
+                        jnp.int32, (w_win, s_edges), 0)
                 for kb in range(k_blocks):
                     b0 = plan.bases[kb]
                     win = pred[:, b0:b0 + w_win]           # (3, W) static
+                    if plan.synth:
+                        # rebuild the block's signed one-hot in-registers
+                        # (bending's mechanism): {0,±1} exact in bf16,
+                        # identical values to the resident matrix; padded
+                        # slots have la==lb so their columns cancel to 0
+                        dloc = didx_ref[kb]                # (2, S) int32
+                        gdk = ((iota_ws == dloc[1:2]).astype(jnp.bfloat16)
+                               - (iota_ws == dloc[0:1]).astype(
+                                   jnp.bfloat16))          # (W, S)
+                    else:
+                        gdk = gd_ref[kb]
                     d = lax.dot_general(
-                        win, gd_ref[kb], (((1,), (0,)), ((), ())),
+                        win, gdk, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)  # (3, S)
                     d0, d1, d2 = d[0:1], d[1:2], d[2:3]
                     len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (1, S)
@@ -460,9 +526,16 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     scale = (dl * inv_len if approx_math
                              else dl / length)             # (1, S)
                     dp = d * scale                          # (3, S) bcast
-                    wd = lax.dot_general(
-                        dp, gs_ref[kb], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (3, W)
+                    if plan.synth:
+                        # scatter through the SAME synthesized matrix,
+                        # contracting its S axis (bend_sweep's scat shape)
+                        wd = lax.dot_general(
+                            dp, gdk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (3, W)
+                    else:
+                        wd = lax.dot_general(
+                            dp, gs_ref[kb], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (3, W)
                     delta[:, b0:b0 + w_win] += wd
                 # destination-weighted overlap-add: correction_i = w_i * sum
                 for c in range(3):
@@ -834,8 +907,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         else:
             wlim = jnp.zeros((k_blocks, 1, s_edges), jnp.float32)
 
-        args = [x, v, w, lam, denom_inv, act, wlim,
-                gd_c, gs_c, rest_c, alpha_c, relax_c, warm_c]
+        args = ([x, v, w, lam, denom_inv, act, wlim]
+                + ([didx_c] if plan.synth else [gd_c, gs_c])
+                + [rest_c, alpha_c, relax_c, warm_c])
         if bound_c is not None:
             args.append(bound_c)
         if with_ext:

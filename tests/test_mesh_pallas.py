@@ -223,6 +223,64 @@ def test_mesh_kernel_bending_pinned_and_floor():
                   - np.asarray(pos)[[0, 3]]).max() == 0.0
 
 
+def test_mesh_kernel_synth_matches_resident_bitwise():
+    """The synthesized one-hot spelling (in-register iota-compare, the
+    large-mesh variant) must reproduce the resident-matrix kernel exactly:
+    same {0,±1} bf16 values through the same MXU contractions."""
+    cfg = SolverConfig(substeps=4, iterations=3, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.DECAY, lambda_decay=0.98,
+                       jacobi_rho=0.9, distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    out_s, out_r1 = run_pair(cfg, pin=[0, 5], poke=True, synth_gd=True)
+    out_d, out_r2 = run_pair(cfg, pin=[0, 5], poke=True, synth_gd=False)
+    ds = np.abs(np.asarray(out_s.positions)
+                - np.asarray(out_d.positions)).max()
+    dl = np.abs(np.asarray(out_s.lambda_dist)
+                - np.asarray(out_d.lambda_dist)).max()
+    assert ds == 0.0, f"synth vs resident positions differ: {ds}"
+    assert dl == 0.0, f"synth vs resident lambdas differ: {dl}"
+    assert_close(out_s, out_r1)   # and both track the XLA engine
+
+
+def test_mesh_kernel_synth_with_bending():
+    cfg = _bend_cfg(substeps=2, iterations=2, jacobi_rho=0.9)
+    out_p, out_r, _, _ = run_bend_pair(cfg, n_steps=1, synth_gd=True)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+    assert dpos < 5e-6, dpos
+
+
+def test_mesh_plan_auto_selects_synth_beyond_resident_budget():
+    """A mesh whose resident matrices exceed the VMEM budget must
+    auto-fall back to the synthesized plan instead of refusing; small
+    meshes must keep the resident spelling."""
+    from softbodysimulation_tpu.topology import mesh as meshmod
+
+    pos, topo = sphere_topo()
+    small = mesh_pallas.build_mesh_plan(
+        topo, SolverConfig(solve_mode=SolveMode.JACOBI), DT / 4,
+        block_edges=128)
+    assert not small.synth and small.gd is not None
+
+    big = meshmod.grid_plane(1.0, 130)        # 17.2k verts, ~50k edges
+    pos2, topo2 = build.build_windowed_topology(
+        big.vertices, unique_edges(big.triangles), 1e-3,
+        triangles=big.triangles)
+    plan = mesh_pallas.build_mesh_plan(
+        topo2, SolverConfig(solve_mode=SolveMode.JACOBI), DT / 4)
+    assert plan.synth and plan.gd is None and plan.didx is not None
+    assert plan.vmem_bytes <= mesh_pallas.VMEM_BUDGET
+    assert topo2.n_edges > 20_000
+    # didx padded slots cancel: both endpoints equal
+    k, _, s = plan.didx.shape
+    pad = np.arange(k * s) >= topo2.n_edges
+    la, lb = plan.didx[:, 0].reshape(-1), plan.didx[:, 1].reshape(-1)
+    assert (la[pad] == lb[pad]).all()
+    assert (la[~pad] != lb[~pad]).all()
+
+
 def test_mesh_kernel_rejects_unsupported():
     pos, topo = sphere_topo()
     with pytest.raises(NotImplementedError):
