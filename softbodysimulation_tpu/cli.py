@@ -155,9 +155,6 @@ def main(argv=None):
 
             step = _gen.make_step(info["topology"], cfg, info["dt"])
     if getattr(args, "engine", "auto") == "pallas":
-        if "spec" not in info:
-            print("--engine pallas needs a lattice scene", file=sys.stderr)
-            return 2
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
@@ -172,9 +169,26 @@ def main(argv=None):
 
             _stack = contextlib.ExitStack()
             _stack.enter_context(_pltpu.force_tpu_interpret_mode())
-        from .kernels.lattice_pallas import make_pallas_step
+        if "spec" in info:
+            from .kernels.lattice_pallas import make_pallas_step
 
-        step = make_pallas_step(info["spec"], info["config"], info["dt"])
+            step = make_pallas_step(info["spec"], info["config"],
+                                    info["dt"])
+        else:
+            # mesh scene: the fused mesh-substep kernel (JACOBI +
+            # window-sorted topology; large meshes auto-use the
+            # synthesized one-hot spelling)
+            from .kernels.mesh_pallas import make_mesh_pallas_step
+
+            try:
+                step = make_mesh_pallas_step(info["topology"],
+                                             info["config"], info["dt"])
+            except NotImplementedError as e:
+                print(f"--engine pallas: this mesh scene is outside the "
+                      f"fused kernel's envelope ({e}); run without "
+                      f"--engine or --set solve_mode=JACOBI",
+                      file=sys.stderr)
+                return 2
     from .diag.profiling import StepTimer
 
     seq_topo = info.get("topology")

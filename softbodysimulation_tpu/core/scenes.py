@@ -190,7 +190,9 @@ def basic_micro(dt: float = 0.02, mode: str = "butterfly"):
 def cloth(dt: float = 1 / 60, res: int = 16):
     """Hanging cloth: grid plane with edge + dihedral bending constraints,
     top row pinned (the canonical mesh-driven workload of the
-    InitializeSoftBodyFromMesh path, exercised as cloth)."""
+    InitializeSoftBodyFromMesh path, exercised as cloth).  Built windowed
+    (RCM-renumbered) so ``--engine pallas`` can fuse it; all engines run
+    windowed topologies identically (tests/test_windowed.py)."""
     from ..interact import forces as _forces
 
     m = _mesh.grid_plane(1.0, res)
@@ -199,7 +201,8 @@ def cloth(dt: float = 1 / 60, res: int = 16):
     verts[:, 2] *= 0.0
     mm = _mesh.TriMesh(verts, m.triangles)
     pos, topo = _build.topology_from_mesh(
-        mm, compliance=1e-5, bending=True, bend_compliance=1e-3)
+        mm, compliance=1e-5, bending=True, bend_compliance=1e-3,
+        windowed=True)
     pos = pos + np.array([0.0, 1.2, 0.0], np.float32)
     cfg = SolverConfig(substeps=4, iterations=2, damping=0.03,
                        solve_mode=SolveMode.JACOBI,
@@ -213,6 +216,15 @@ def cloth(dt: float = 1 / 60, res: int = 16):
     return state, step, {"topology": topo, "config": cfg, "dt": dt}
 
 
+def cloth_xl(dt: float = 1 / 60, res: int = 129):
+    """Large hanging cloth (default 129x129 = 16.6k particles, ~49k edge
+    constraints): past the fused mesh kernel's resident-matrix budget, so
+    ``--engine pallas`` runs the SYNTHESIZED one-hot spelling
+    (kernels/mesh_pallas.py) — the large-mesh scale the reference's CPU
+    path cannot reach (SoftBodyCPU.cs is single-threaded per constraint)."""
+    return cloth(dt=dt, res=res)
+
+
 SCENES: Dict[str, Callable] = {
     "cpu_cube": cpu_cube,
     "cpu_mesh": cpu_mesh,
@@ -222,4 +234,5 @@ SCENES: Dict[str, Callable] = {
     "flagship": flagship,
     "flagship_perf": flagship_perf,
     "cloth": cloth,
+    "cloth_xl": cloth_xl,
 }

@@ -73,6 +73,38 @@ def test_cli_run_pallas_engine(tmp_path):
     assert os.path.exists(ckpt)
 
 
+def test_cli_run_pallas_engine_mesh_scene(tmp_path):
+    """--engine pallas on a MESH scene routes to the fused mesh-substep
+    kernel (interpret mode).  cloth is windowed+JACOBI so it fuses; the
+    COLORED cpu_mesh scene gets a clean refusal with guidance."""
+    ckpt = os.path.join(tmp_path, "s.npz")
+    r = _run_cli("run", "cloth", "--steps", "2", "--platform", "cpu",
+                 "--engine", "pallas", "--log-every", "0",
+                 "--checkpoint", ckpt)
+    assert r.returncode == 0, r.stderr
+    assert "done: 2 steps" in r.stdout
+    assert os.path.exists(ckpt)
+
+    r = _run_cli("run", "cpu_mesh", "--steps", "1", "--platform", "cpu",
+                 "--engine", "pallas")
+    assert r.returncode == 2
+    assert "outside the fused kernel's envelope" in r.stderr
+
+
+def test_cloth_xl_scene_is_synth_scale():
+    """cloth_xl must exceed the resident-matrix budget so it exercises
+    the synthesized one-hot spelling (plan-level check; the full run is
+    hardware-scale)."""
+    from softbodysimulation_tpu.core.scenes import cloth_xl
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    state, step, info = cloth_xl()
+    plan = mesh_pallas.build_mesh_plan(
+        info["topology"], info["config"], info["dt"] / 4)
+    assert plan.synth
+    assert info["topology"].n_edges > 20_000
+
+
 def test_cli_unknown_scene_fails_cleanly():
     r = _run_cli("run", "nope", "--platform", "cpu")
     assert r.returncode == 2
