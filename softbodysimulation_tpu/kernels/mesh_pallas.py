@@ -951,7 +951,62 @@ def make_mesh_pallas_step(topo: Topology, cfg: SolverConfig, dt: float,
     """Full step semantics fused in one kernel: ``n_steps`` frames of
     ``cfg.substeps`` substeps, ``ext_force`` consumed on the first substep
     and zeroed — drop-in for ``solvers.general.make_step`` on supported
-    configs (JACOBI + windowed-buildable topology)."""
+    configs (JACOBI + windowed-buildable topology).  Self-colliding
+    configs with a contact cadence that divides the frame route to
+    ``make_mesh_hybrid_contact_step`` — contact-free substeps stay
+    fused."""
+    if (cfg.enable_self_collision and cfg.self_collision_every >= 2
+            and cfg.substeps % cfg.self_collision_every == 0):
+        return make_mesh_hybrid_contact_step(topo, cfg, dt,
+                                             n_steps=n_steps)
     return make_mesh_substep_runner(
         topo, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
         with_ext=True, approx_math=approx_math)
+
+
+def make_mesh_hybrid_contact_step(topo: Topology, cfg: SolverConfig,
+                                  dt: float, n_steps: int = 1):
+    """Contact-cadence twin of ``kernels.lattice_pallas.
+    make_hybrid_contact_step`` for MESH topologies: each frame runs
+    ``substeps // every`` cadence groups of [general-engine contact
+    substep ; every-1 fused-kernel substeps], with the external-force
+    lifecycle (consumed on the first substep of the first step, zeroed
+    after) — drop-in for ``solvers.general.make_step`` on self-colliding
+    cadence configs (``make_mesh_pallas_step`` routes here).  The
+    contact substep is the general engine's own (any self-collision
+    backend), so its semantics match ``general.step_fn``'s cadence
+    exactly; the fused substeps match the windowed backend to the usual
+    bf16-one-hot ulp noise."""
+    from ..solvers import general as _gen
+
+    every = cfg.self_collision_every
+    if not cfg.enable_self_collision or every < 2:
+        raise ValueError("mesh hybrid contact step needs "
+                         "enable_self_collision and "
+                         "self_collision_every >= 2")
+    if cfg.substeps % every != 0:
+        raise NotImplementedError(
+            "mesh hybrid contact step needs substeps % "
+            "self_collision_every == 0 (use the general engine otherwise)")
+    dt_sub = dt / cfg.substeps
+    cfg_free = cfg.replace(enable_self_collision=False)
+    inner = make_mesh_substep_runner(topo, cfg_free, dt_sub, every - 1)
+    groups = cfg.substeps // every
+
+    @jax.jit
+    def fn(state: SimState) -> SimState:
+        f0 = state.ext_force
+
+        def one_step(carry, step_idx):
+            st = carry.replace(
+                ext_force=jnp.where(step_idx == 0, 1.0, 0.0) * f0)
+            for g in range(groups):
+                st = _gen._substep(st, topo, cfg, dt_sub,
+                                   apply_ext=(g == 0), contact_on=True)
+                st = inner(st)
+            return st, None
+
+        state, _ = lax.scan(one_step, state, jnp.arange(n_steps))
+        return state.replace(ext_force=jnp.zeros_like(state.ext_force))
+
+    return fn

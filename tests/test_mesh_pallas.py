@@ -281,6 +281,55 @@ def test_mesh_plan_auto_selects_synth_beyond_resident_budget():
     assert (la[~pad] != lb[~pad]).all()
 
 
+def test_mesh_hybrid_contact_step_matches_engine_cadence():
+    """Self-colliding mesh config with cadence: make_mesh_pallas_step
+    routes to the hybrid (general-engine contact substeps + fused
+    contact-free substeps) and tracks general.step_fn's cadence."""
+    m = mesh.icosphere(1)
+    n1 = m.vertices.shape[0]
+    verts = np.concatenate([m.vertices,
+                            m.vertices + np.array([0.15, 2.2, 0.05],
+                                                  np.float32)])
+    tris = np.concatenate([m.triangles, m.triangles + n1])
+    pos, topo = build.build_windowed_topology(
+        verts, unique_edges(tris), 1e-4, triangles=tris)
+    pos = pos + np.array([0, 1.3, 0], np.float32)
+    st = state_from_topology(topo, pos)
+    f = np.zeros_like(pos)
+    f[7] = (0.5, 2.0, -0.3)
+    st = st.replace(ext_force=np.asarray(f))
+    cfg = SolverConfig(substeps=6, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       enable_self_collision=True, particle_radius=0.3,
+                       self_collision_backend="dense",
+                       self_collision_every=3,
+                       ground_height=0.0, friction=0.3)
+    ref = general.make_step(topo, cfg, DT, n_steps=2)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = mesh_pallas.make_mesh_pallas_step(topo, cfg, DT,
+                                                n_steps=2)(st)
+    d = np.abs(np.asarray(out.positions) - np.asarray(ref.positions)).max()
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert d < 1e-4, f"mesh hybrid diverges from engine cadence: {d}"
+    assert np.abs(np.asarray(out.ext_force)).max() == 0.0
+    # the contact pass must actually fire: disabling self-collision has
+    # to change the trajectory, or this equivalence proves nothing
+    ref_off = general.make_step(
+        topo, cfg.replace(enable_self_collision=False), DT, n_steps=2)(st)
+    d_off = np.abs(np.asarray(ref.positions)
+                   - np.asarray(ref_off.positions)).max()
+    assert d_off > 1e-4, f"scene never makes contact (d={d_off})"
+
+    with pytest.raises(NotImplementedError):
+        mesh_pallas.make_mesh_hybrid_contact_step(
+            topo, cfg.replace(self_collision_every=4), DT)
+    with pytest.raises(ValueError):
+        mesh_pallas.make_mesh_hybrid_contact_step(
+            topo, cfg.replace(enable_self_collision=False), DT)
+
+
 def test_mesh_kernel_rejects_unsupported():
     pos, topo = sphere_topo()
     with pytest.raises(NotImplementedError):
