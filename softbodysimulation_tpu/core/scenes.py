@@ -45,6 +45,11 @@ SPOT_PATHS = (
                  "spot.obj"),
     "/root/reference/Assets/_Project/Art/Models/spot.obj",
 )
+FBX_BUNNY_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "assets",
+                 "stanford-bunny.fbx"),
+    "/root/reference/Assets/_Project/Art/Models/stanford-bunny.fbx",
+)
 
 
 def cpu_cube(dt: float = 0.02):
@@ -100,6 +105,38 @@ def spot(dt: float = 0.02, fallback_subdiv: int = 3):
                                           windowed=True)
     pos = pos - np.array([0, float(pos[:, 1].min()) - 0.4, 0], np.float32)
     cfg = SolverConfig(substeps=2, iterations=6, damping=0.02,
+                       gravity=(0.0, -1.0, 0.0),
+                       solve_mode=SolveMode.JACOBI, max_dlambda=1e-3,
+                       ground_height=0.0, friction=0.2)
+    state = state_from_topology(topo, pos)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt,
+                         "mesh": m}
+
+
+def stanford_bunny(dt: float = 1 / 60, fallback_subdiv: int = 4):
+    """High-res Stanford bunny from the reference's FBX asset
+    (Assets/_Project/Art/Models/stanford-bunny.fbx: 15,258 control points /
+    30,338 triangles -> 45,598 edge constraints), loaded by our binary-FBX
+    importer (topology/fbxloader.py) at Unity's serialized import scale
+    (globalScale 0.005 + useFileScale, stanford-bunny.fbx.meta).  This is
+    the large single-mesh workload: past the fused mesh kernel's
+    resident-matrix budget, so ``--engine pallas`` runs the SYNTHESIZED
+    one-hot spelling.  Falls back to an icosphere when the asset is
+    absent."""
+    from ..topology.fbxloader import load_fbx
+
+    m = None
+    for p in FBX_BUNNY_PATHS:
+        if os.path.exists(p):
+            m = load_fbx(p, global_scale=0.005)
+            break
+    if m is None:
+        m = _mesh.icosphere(fallback_subdiv, radius=1.2)
+    pos, topo = _build.topology_from_mesh(m, compliance=1e-7, bending=False,
+                                          windowed=True)
+    pos = pos - np.array([0, float(pos[:, 1].min()) - 0.3, 0], np.float32)
+    cfg = SolverConfig(substeps=2, iterations=4, damping=0.02,
                        gravity=(0.0, -1.0, 0.0),
                        solve_mode=SolveMode.JACOBI, max_dlambda=1e-3,
                        ground_height=0.0, friction=0.2)
@@ -229,6 +266,7 @@ SCENES: Dict[str, Callable] = {
     "cpu_cube": cpu_cube,
     "cpu_mesh": cpu_mesh,
     "spot": spot,
+    "stanford_bunny": stanford_bunny,
     "gpu_substep": gpu_substep,
     "basic_micro": basic_micro,
     "flagship": flagship,
