@@ -84,10 +84,15 @@ VMEM_BUDGET = 14_000_000   # leave ~2 MB of the ~16 MB scope for Mosaic stack
 
 
 def _check_supported(cfg: SolverConfig, topo: Topology):
-    if cfg.solve_mode != SolveMode.JACOBI:
+    if cfg.solve_mode not in (SolveMode.JACOBI, SolveMode.COLORED):
         raise NotImplementedError(
-            "mesh pallas kernel: COLORED solve has no windowed formulation "
-            "— use the general engine")
+            f"mesh pallas kernel: solve mode {cfg.solve_mode} — use the "
+            "general engine")
+    if (cfg.solve_mode == SolveMode.COLORED and cfg.enable_bending
+            and topo.n_hinges > 0):
+        raise NotImplementedError(
+            "mesh pallas kernel: COLORED bending runs in the general "
+            "engine (the kernel's bending sweep is Jacobi-windowed)")
     if cfg.enable_self_collision:
         raise NotImplementedError(
             "mesh pallas kernel: self-collision requires the general "
@@ -217,6 +222,8 @@ class MeshKernelPlan:
     gd: Optional[np.ndarray]  # (K, W, S) bf16 signed gather one-hots
     gs: Optional[np.ndarray]  # (K, S, W) bf16 = gd transposed (scatter)
     bases: Tuple[int, ...]  # per-block window base (static, SEG-aligned)
+    widths: Tuple[int, ...]  # per-block window width (static, SEG multiple;
+    #                          uniform == window for the resident spelling)
     ea: np.ndarray        # (K*S,) padded endpoint indices (for per-call wa)
     eb: np.ndarray
     rest: np.ndarray      # (K, 1, S) f32
@@ -233,13 +240,20 @@ class MeshKernelPlan:
     bend: Optional[BendPlan] = None
     didx: Optional[np.ndarray] = None  # (K, 2, S) int32 local a,b indices
     synth: bool = False
+    # COLORED (exact parallel-GS) structure: blocks grouped color-major so
+    # the kernel applies corrections AFTER each color (later colors see
+    # earlier colors' corrections — GS ordering); None = Jacobi sweep.
+    color_ranges: Optional[Tuple[Tuple[int, int], ...]] = None
+    slot_ids: Optional[np.ndarray] = None   # (K*S,) edge id per slot
+    edge_slot: Optional[np.ndarray] = None  # (E,) slot of each real edge
 
 
 def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
                     block_edges: int = 256,
                     max_window: int = 1024,
                     block_hinges: int = 256,
-                    synth_gd: Optional[bool] = None) -> MeshKernelPlan:
+                    synth_gd: Optional[bool] = None,
+                    colored: bool = False) -> MeshKernelPlan:
     """Build the blocked signed-one-hot structure from a topology whose
     particles are RCM-renumbered and whose edges are sorted by min endpoint
     (``topology/build.build_windowed_topology`` produces exactly this).
@@ -247,47 +261,118 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
     budget, else in-kernel synthesis — see ``MeshKernelPlan``); a bool
     forces.  Raises if any block's window exceeds ``max_window`` (mesh
     bandwidth too large) or even the synthesized structure would blow the
-    VMEM budget."""
+    VMEM budget.
+
+    ``colored=True`` builds the COLORED (exact parallel-GS) structure
+    instead: the topology's edges must be color-contiguous
+    (``topology_from_mesh(windowed='colored')``), and blocks are packed
+    WITHIN each color by a span-bounded greedy walk — a block closes when
+    it reaches ``block_edges`` slots OR its particle window would exceed
+    ``max_window`` (color classes scatter edges across the mesh, so
+    fixed-count blocks would need mesh-wide windows; span-bounded packing
+    keeps per-block windows small at the cost of more, partially-filled
+    blocks).  Each block gets its OWN window width, the one-hot matrices
+    are always synthesized in-registers (ragged widths), and
+    ``color_ranges`` records the block range of every color so the kernel
+    can apply corrections between colors (GS ordering)."""
     edges = np.asarray(topo.edges, np.int64)
     n = topo.n_particles
     e = edges.shape[0]
     if e == 0:
         raise NotImplementedError("mesh kernel needs at least one edge")
     mins = edges.min(axis=1)
-    if not (np.diff(mins) >= 0).all():
-        raise NotImplementedError(
-            "mesh kernel needs window-sorted edges — build the topology "
-            "with build_windowed_topology / topology_from_mesh("
-            "windowed=True)")
-
     s = int(block_edges)
-    k = -(-e // s)
-    epad = k * s
-    ea = np.concatenate([edges[:, 0], np.full(epad - e, edges[-1, 0])])
-    eb = np.concatenate([edges[:, 1], np.full(epad - e, edges[-1, 1])])
-    valid = (np.arange(epad) < e).astype(np.float32)
+
+    color_ranges = None
+    slot = None
+    edge_slot = None
+    if colored:
+        colors = np.asarray(topo.colors, np.int64)
+        if colors.shape[0] != e or (np.diff(colors) < 0).any():
+            raise NotImplementedError(
+                "mesh kernel COLORED solve needs a color-contiguous "
+                "windowed topology — build with topology_from_mesh("
+                "windowed='colored')")
+        maxs = edges.max(axis=1)
+        n_colors = int(colors[-1]) + 1
+        cbounds = np.searchsorted(colors, np.arange(n_colors + 1))
+        slot_blocks, vmasks = [], []
+        bases_l, widths_l, ranges = [], [], []
+        for c in range(n_colors):
+            i, end = int(cbounds[c]), int(cbounds[c + 1])
+            b_first = len(widths_l)
+            while i < end:
+                base = int(mins[i] // SEG) * SEG
+                hi = int(maxs[i])
+                if hi - base + 1 > max_window:
+                    raise NotImplementedError(
+                        f"mesh kernel edge span {hi - base + 1} > "
+                        f"{max_window}: bandwidth too large (is the "
+                        "topology RCM-renumbered?)")
+                j = i + 1
+                while j < end and (j - i) < s:
+                    nhi = max(hi, int(maxs[j]))
+                    if nhi - base + 1 > max_window:
+                        break
+                    hi = nhi
+                    j += 1
+                ids = np.arange(i, j, dtype=np.int64)
+                ids = np.concatenate(
+                    [ids, np.full(s - len(ids), j - 1, np.int64)])
+                slot_blocks.append(ids)
+                vmasks.append((np.arange(s) < (j - i)).astype(np.float32))
+                bases_l.append(base)
+                widths_l.append(SEG * -(-(hi - base + 1) // SEG))
+                i = j
+            if len(widths_l) > b_first:
+                ranges.append((b_first, len(widths_l)))
+        color_ranges = tuple(ranges)
+        slot = np.concatenate(slot_blocks)
+        valid = np.concatenate(vmasks)
+        k = len(widths_l)
+        epad = k * s
+        ea = edges[slot, 0]
+        eb = edges[slot, 1]
+        bases = np.asarray(bases_l, np.int64)
+        widths = tuple(widths_l)
+        w = max(widths_l)
+        # slot of each real edge (multiplier in/out mapping)
+        edge_slot = np.empty(e, np.int64)
+        fv = valid > 0
+        edge_slot[slot[fv]] = np.flatnonzero(fv)
+    else:
+        if not (np.diff(mins) >= 0).all():
+            raise NotImplementedError(
+                "mesh kernel needs window-sorted edges — build the topology "
+                "with build_windowed_topology / topology_from_mesh("
+                "windowed=True)")
+        k = -(-e // s)
+        epad = k * s
+        ea = np.concatenate([edges[:, 0], np.full(epad - e, edges[-1, 0])])
+        eb = np.concatenate([edges[:, 1], np.full(epad - e, edges[-1, 1])])
+        valid = (np.arange(epad) < e).astype(np.float32)
+        blk_a0 = ea.reshape(k, s)
+        blk_b0 = eb.reshape(k, s)
+        blk_min = np.minimum(blk_a0, blk_b0).min(axis=1)
+        blk_max = np.maximum(blk_a0, blk_b0).max(axis=1)
+        bases = (blk_min // SEG) * SEG
+        span = int((blk_max - bases + 1).max())
+        w = SEG * -(-span // SEG)
+        if w > max_window:
+            raise NotImplementedError(
+                f"mesh kernel window {w} > {max_window}: bandwidth too "
+                "large (is the topology RCM-renumbered?)")
+        widths = (w,) * k
+
+    n_pad = SEG * max(-(-n // SEG),
+                      max(int(b + wd) for b, wd in zip(bases, widths))
+                      // SEG)
 
     blk_a = ea.reshape(k, s)
     blk_b = eb.reshape(k, s)
-    blk_min = np.minimum(blk_a, blk_b).min(axis=1)
-    blk_max = np.maximum(blk_a, blk_b).max(axis=1)
-    bases = (blk_min // SEG) * SEG
-    span = int((blk_max - bases + 1).max())
-    w = SEG * -(-span // SEG)
-    if w > max_window:
-        raise NotImplementedError(
-            f"mesh kernel window {w} > {max_window}: bandwidth too large "
-            "(is the topology RCM-renumbered?)")
-    n_pad = SEG * max(-(-n // SEG), int((bases.max() + w) // SEG))
-
     la = (blk_a - bases[:, None]).astype(np.int64)
     lb = (blk_b - bases[:, None]).astype(np.int64)
     vm = valid.reshape(k, s)
-    gd = np.zeros((k, w, s), np.float32)
-    kk, ss = np.meshgrid(np.arange(k), np.arange(s), indexing="ij")
-    # padded slots keep all-zero columns: d = 0, scatter = 0
-    gd[kk, la, ss] -= vm
-    gd[kk, lb, ss] += vm
     # synthesized spelling: padded slots point both endpoints at the same
     # local index, so onehot(b) - onehot(a) cancels to the same zero column
     didx = np.stack([np.where(vm > 0, la, 0), np.where(vm > 0, lb, 0)],
@@ -296,15 +381,24 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
     deg = np.asarray(topo.degree, np.float32)
     maxdeg = np.maximum(np.maximum(deg[ea], deg[eb]), 1.0)
     omega = cfg.omega if cfg.omega > 0 else 1.0
-    relax = (valid * omega / maxdeg).astype(np.float32)
+    if colored:
+        # exact GS: corrections apply at full strength, one color at a time
+        # (general._solve_distance_colored has no omega/degree scaling)
+        relax = valid.astype(np.float32)
+    else:
+        relax = (valid * omega / maxdeg).astype(np.float32)
     warm_scale = (valid / maxdeg).astype(np.float32)
 
-    rest = np.concatenate([
-        np.asarray(topo.rest_lengths, np.float32),
-        np.full(epad - e, 1.0, np.float32)])
-    comp = np.concatenate([
-        np.asarray(topo.compliance, np.float32), np.zeros(epad - e,
-                                                          np.float32)])
+    if colored:
+        rest = np.asarray(topo.rest_lengths, np.float32)[slot]
+        comp = np.asarray(topo.compliance, np.float32)[slot]
+    else:
+        rest = np.concatenate([
+            np.asarray(topo.rest_lengths, np.float32),
+            np.full(epad - e, 1.0, np.float32)])
+        comp = np.concatenate([
+            np.asarray(topo.compliance, np.float32), np.zeros(epad - e,
+                                                              np.float32)])
     inv_dt2 = 1.0 / (dt_sub * dt_sub)
     alpha = comp * inv_dt2
     if cfg.min_alpha_tilde > 0:
@@ -338,12 +432,16 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
     # synthesized: only the int32 index slab is resident; per sweep one
     # block's matrix plus its compare temporaries are live (~4 W x S bf16)
     synth_bytes = base_bytes + 2 * k * s * 4 + 4 * w * s * 2
-    synth = (resident_bytes > VMEM_BUDGET if synth_gd is None
-             else bool(synth_gd))
+    if colored:
+        synth = True   # ragged per-block widths — always synthesized
+    else:
+        synth = (resident_bytes > VMEM_BUDGET if synth_gd is None
+                 else bool(synth_gd))
     plan = MeshKernelPlan(
         gd=None,
         gs=None,
         bases=tuple(int(b) for b in bases),
+        widths=tuple(int(wd) for wd in widths),
         ea=ea.astype(np.int32),
         eb=eb.astype(np.int32),
         rest=slab(rest),
@@ -360,8 +458,17 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         bend=bend,
         didx=np.ascontiguousarray(didx) if synth else None,
         synth=synth,
+        color_ranges=color_ranges,
+        slot_ids=None if slot is None else slot.astype(np.int32),
+        edge_slot=None if edge_slot is None else edge_slot.astype(np.int32),
     )
     if not synth:
+        # dense resident matrices (uniform width) built only when used
+        gd = np.zeros((k, w, s), np.float32)
+        kk, ss = np.meshgrid(np.arange(k), np.arange(s), indexing="ij")
+        # padded slots keep all-zero columns: d = 0, scatter = 0
+        gd[kk, la, ss] -= vm
+        gd[kk, lb, ss] += vm
         gd_bf = gd.astype(jnp.bfloat16)
         plan = dataclasses.replace(
             plan, gd=gd_bf,
@@ -386,13 +493,21 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     (``with_ext=True`` adds the reference force lifecycle: ``ext_force``
     consumed on the first substep, zeroed after).  Semantically equivalent
     to ``solvers.general`` with ``distance_backend='windowed'`` — tested in
-    interpret mode (tests/test_mesh_pallas.py).  ``approx_math`` swaps
-    sqrt/divide for rsqrt + approximate reciprocal (opt-in, bench regime),
-    as in the lattice kernels."""
+    interpret mode (tests/test_mesh_pallas.py).  COLORED configs run the
+    exact parallel-GS color sweep in-kernel (corrections applied after
+    each color, matching ``general._solve_distance_colored``'s ordering;
+    needs ``topology_from_mesh(windowed='colored')``).  ``approx_math``
+    swaps sqrt/divide for rsqrt + approximate reciprocal (opt-in, bench
+    regime), as in the lattice kernels."""
     _check_supported(cfg, topo)
+    colored = cfg.solve_mode == SolveMode.COLORED
     if plan is None:
         plan = build_mesh_plan(topo, cfg, dt_sub, block_edges=block_edges,
-                               synth_gd=synth_gd)
+                               synth_gd=synth_gd, colored=colored)
+    if colored and plan.color_ranges is None:
+        raise NotImplementedError(
+            "mesh kernel COLORED solve needs a plan built with "
+            "colored=True")
     k_blocks, s_edges, w_win = plan.n_blocks, plan.block_edges, plan.window
     n = topo.n_particles
     n_pad = plan.n_pad
@@ -401,7 +516,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     inv_dt2 = 1.0 / (dt * dt)
     gx, gy, gz = cfg.gravity
 
-    accelerate = (cfg.jacobi_rho > 0
+    accelerate = (not colored and cfg.jacobi_rho > 0
                   and cfg.iterations > cfg.jacobi_cheby_delay)
     rho2 = cfg.jacobi_rho ** 2
     gamma = cfg.jacobi_gamma
@@ -423,6 +538,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     ea_c = jnp.asarray(plan.ea)
     eb_c = jnp.asarray(plan.eb)
     valid_c = jnp.asarray(plan.valid)
+    slot_c = (None if plan.slot_ids is None
+              else jnp.asarray(plan.slot_ids))
+    eslot_c = (None if plan.edge_slot is None
+               else jnp.asarray(plan.edge_slot))
 
     bplan = plan.bend
     in_names = (["x", "v", "w", "lam", "di", "act", "wlim"]
@@ -461,85 +580,109 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             w = w_in[:]                        # (1, n_pad)
             pinned = w == 0.0
 
+            def solve_block(kb, relax_mode):
+                """One block's gather -> XPBD project -> scatter-into-delta
+                (the body of a sweep; per-block static window width)."""
+                b0 = plan.bases[kb]
+                wk = plan.widths[kb]
+                win = pred[:, b0:b0 + wk]              # (3, Wk) static
+                if plan.synth:
+                    # rebuild the block's signed one-hot in-registers
+                    # (bending's mechanism): {0,±1} exact in bf16,
+                    # identical values to the resident matrix; padded
+                    # slots have la==lb so their columns cancel to 0
+                    iota_ws = lax.broadcasted_iota(
+                        jnp.int32, (wk, s_edges), 0)
+                    dloc = didx_ref[kb]                # (2, S) int32
+                    gdk = ((iota_ws == dloc[1:2]).astype(jnp.bfloat16)
+                           - (iota_ws == dloc[0:1]).astype(
+                               jnp.bfloat16))          # (Wk, S)
+                else:
+                    gdk = gd_ref[kb]
+                d = lax.dot_general(
+                    win, gdk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (3, S)
+                d0, d1, d2 = d[0:1], d[1:2], d[2:3]
+                len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (1, S)
+                if approx_math:
+                    inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
+                    length = len_sq * inv_len
+                else:
+                    length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
+                if relax_mode == "solve":
+                    lam_f = lamo_ref[kb]               # (1, S)
+                    cerr = length - rest_ref[kb]
+                    dl = (-cerr - alpha_ref[kb] * lam_f) * di_in[kb]
+                    if bnd_ref is not None:
+                        b = bnd_ref[kb]
+                        dl = jnp.clip(dl, -b, b)
+                    dl = dl * relax_ref[kb]
+                    active = (act_in[kb] > 0.5) & (length
+                                                   >= cfg.eps_length)
+                    dl = jnp.where(active, dl, 0.0)
+                    lam_f = lam_f + dl
+                    if cfg.lambda_clamp > 0:
+                        lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
+                                         cfg.lambda_clamp)
+                    lamo_ref[kb] = lam_f
+                else:
+                    # warm pre-apply: scaled carried multiplier, clamped
+                    lam_f = lamo_ref[kb] * warm_ref[kb]
+                    if cfg.warm_start_fraction != 1.0:
+                        lam_f = lam_f * cfg.warm_start_fraction
+                    if cfg.warm_start_clamp > 0:
+                        lim = wlim_in[kb]
+                        lam_f = jnp.clip(lam_f, -lim, lim)
+                    lamo_ref[kb] = lam_f
+                    dl = jnp.where(valid_ref_k(kb), lam_f, 0.0)
+                scale = (dl * inv_len if approx_math
+                         else dl / length)             # (1, S)
+                dp = d * scale                          # (3, S) bcast
+                if plan.synth:
+                    # scatter through the SAME synthesized matrix,
+                    # contracting its S axis (bend_sweep's scat shape)
+                    wd = lax.dot_general(
+                        dp, gdk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (3, Wk)
+                else:
+                    wd = lax.dot_general(
+                        dp, gs_ref[kb], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (3, Wk)
+                delta[:, b0:b0 + wk] += wd
+
+            def apply_delta():
+                # destination-weighted overlap-add: correction_i = w_i * sum
+                for c in range(3):
+                    pred[c:c + 1] += w * delta[c:c + 1]
+
             def sweep(relax_mode):
-                """One windowed Jacobi distance sweep applied to pred.
+                """One windowed distance sweep applied to pred.
 
                 relax_mode='solve'  — full XPBD projection (lambda updated);
                 relax_mode='warm'   — warm-start pre-application (applies
                 the carried, decayed multiplier along current directions and
                 stores the scaled multiplier back).  Mirrors
-                general._solve_distance_windowed / _warm_apply_distance."""
-                delta[:] = jnp.zeros_like(delta)
-                if plan.synth:
-                    iota_ws = lax.broadcasted_iota(
-                        jnp.int32, (w_win, s_edges), 0)
-                for kb in range(k_blocks):
-                    b0 = plan.bases[kb]
-                    win = pred[:, b0:b0 + w_win]           # (3, W) static
-                    if plan.synth:
-                        # rebuild the block's signed one-hot in-registers
-                        # (bending's mechanism): {0,±1} exact in bf16,
-                        # identical values to the resident matrix; padded
-                        # slots have la==lb so their columns cancel to 0
-                        dloc = didx_ref[kb]                # (2, S) int32
-                        gdk = ((iota_ws == dloc[1:2]).astype(jnp.bfloat16)
-                               - (iota_ws == dloc[0:1]).astype(
-                                   jnp.bfloat16))          # (W, S)
-                    else:
-                        gdk = gd_ref[kb]
-                    d = lax.dot_general(
-                        win, gdk, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (3, S)
-                    d0, d1, d2 = d[0:1], d[1:2], d[2:3]
-                    len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (1, S)
-                    if approx_math:
-                        inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
-                        length = len_sq * inv_len
-                    else:
-                        length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
-                    if relax_mode == "solve":
-                        lam_f = lamo_ref[kb]               # (1, S)
-                        cerr = length - rest_ref[kb]
-                        dl = (-cerr - alpha_ref[kb] * lam_f) * di_in[kb]
-                        if bnd_ref is not None:
-                            b = bnd_ref[kb]
-                            dl = jnp.clip(dl, -b, b)
-                        dl = dl * relax_ref[kb]
-                        active = (act_in[kb] > 0.5) & (length
-                                                       >= cfg.eps_length)
-                        dl = jnp.where(active, dl, 0.0)
-                        lam_f = lam_f + dl
-                        if cfg.lambda_clamp > 0:
-                            lam_f = jnp.clip(lam_f, -cfg.lambda_clamp,
-                                             cfg.lambda_clamp)
-                        lamo_ref[kb] = lam_f
-                    else:
-                        # warm pre-apply: scaled carried multiplier, clamped
-                        lam_f = lamo_ref[kb] * warm_ref[kb]
-                        if cfg.warm_start_fraction != 1.0:
-                            lam_f = lam_f * cfg.warm_start_fraction
-                        if cfg.warm_start_clamp > 0:
-                            lim = wlim_in[kb]
-                            lam_f = jnp.clip(lam_f, -lim, lim)
-                        lamo_ref[kb] = lam_f
-                        dl = jnp.where(valid_ref_k(kb), lam_f, 0.0)
-                    scale = (dl * inv_len if approx_math
-                             else dl / length)             # (1, S)
-                    dp = d * scale                          # (3, S) bcast
-                    if plan.synth:
-                        # scatter through the SAME synthesized matrix,
-                        # contracting its S axis (bend_sweep's scat shape)
-                        wd = lax.dot_general(
-                            dp, gdk, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (3, W)
-                    else:
-                        wd = lax.dot_general(
-                            dp, gs_ref[kb], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (3, W)
-                    delta[:, b0:b0 + w_win] += wd
-                # destination-weighted overlap-add: correction_i = w_i * sum
-                for c in range(3):
-                    pred[c:c + 1] += w * delta[c:c + 1]
+                general._solve_distance_windowed / _warm_apply_distance.
+
+                COLORED solve sweeps run color-major with corrections
+                applied AFTER EACH COLOR (exact parallel GS: no two edges
+                in a color share a particle, so each particle receives at
+                most one contribution per color and the apply order within
+                a color is arithmetically free) — the in-kernel twin of
+                ``general._solve_distance_colored``.  The warm pre-apply
+                stays a single simultaneous pass in every mode, matching
+                ``general._warm_apply_distance``."""
+                if colored and relax_mode == "solve":
+                    for b_lo, b_hi in plan.color_ranges:
+                        delta[:] = jnp.zeros_like(delta)
+                        for kb in range(b_lo, b_hi):
+                            solve_block(kb, relax_mode)
+                        apply_delta()
+                else:
+                    delta[:] = jnp.zeros_like(delta)
+                    for kb in range(k_blocks):
+                        solve_block(kb, relax_mode)
+                    apply_delta()
 
             def valid_ref_k(kb):
                 return relax_ref[kb] > 0.0   # valid-masked relax slab
@@ -885,9 +1028,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         x = jnp.pad(state.positions.T, ((0, 0), (0, n_pad - n)))
         v = jnp.pad(state.velocities.T, ((0, 0), (0, n_pad - n)))
         w = jnp.pad(state.inv_mass[None, :], ((0, 0), (0, n_pad - n)))
-        lam = jnp.pad(state.lambda_dist,
-                      (0, k_blocks * s_edges - e_real)
-                      ).reshape(k_blocks, 1, s_edges)
+        if slot_c is not None:
+            # colored packing: slots are a (padded) permutation of edges
+            lam = state.lambda_dist[slot_c].reshape(k_blocks, 1, s_edges)
+        else:
+            lam = jnp.pad(state.lambda_dist,
+                          (0, k_blocks * s_edges - e_real)
+                          ).reshape(k_blocks, 1, s_edges)
         # per-call slabs (inv_mass is dynamic state: SetPinned)
         wa = state.inv_mass[ea_c]
         wb = state.inv_mass[eb_c]
@@ -932,10 +1079,12 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         else:
             xo, vo, lamo = call(*args)
             blamo = None
+        lam_flat = lamo.reshape(-1)
         out = state.replace(
             positions=xo[:, :n].T,
             velocities=vo[:, :n].T,
-            lambda_dist=lamo.reshape(-1)[:e_real],
+            lambda_dist=(lam_flat[:e_real] if eslot_c is None
+                         else lam_flat[eslot_c]),
         )
         if blamo is not None:
             out = out.replace(lambda_bend=blamo.reshape(-1)[:h_real])

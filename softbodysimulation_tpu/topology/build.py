@@ -166,6 +166,7 @@ def build_windowed_topology(
     max_window: int = 1024,
     seg_align: int = 128,
     window_dtype="float32",
+    colored: bool = False,
     **kw,
 ):
     """Build a Topology carrying the MXU one-hot window structure
@@ -176,6 +177,16 @@ def build_windowed_topology(
     by min endpoint, so the topology AND the returned positions live in the
     permuted index space.  Returns ``(positions_permuted (N,3) f32,
     Topology)`` — build the SimState from the returned positions.
+
+    ``colored=True`` additionally re-sorts the edges COLOR-MAJOR (stable,
+    so min-endpoint order is kept within each color) for the fused mesh
+    kernel's exact-Gauss-Seidel COLORED mode: color classes become
+    contiguous edge ranges the kernel can sweep sequentially.  Intra-color
+    order is arithmetically free in exact GS (no two edges in a color
+    share a particle), so the general engine's color-major sweep semantics
+    are unchanged.  The XLA one-hot window structure is still attempted on
+    the colored order but skipped if color-scattering blows the window
+    bound (the kernel builds its own span-bounded blocks instead).
     """
     from . import windows as _windows
 
@@ -195,6 +206,17 @@ def build_windowed_topology(
     comp = comp[sortperm]
     if rest_lengths is not None:
         rest_lengths = np.asarray(rest_lengths, np.float32)[sortperm]
+    if colored and e:
+        from . import native as _native
+
+        colors = _native.greedy_color(e2, n)
+        cperm = np.argsort(colors, kind="stable")
+        e2 = e2[cperm]
+        comp = comp[cperm]
+        colors = colors[cperm]
+        if rest_lengths is not None:
+            rest_lengths = rest_lengths[cperm]
+        kw["colors"] = colors
     if hinges is not None and len(hinges):
         hinges = rank[np.asarray(hinges, np.int64)].astype(np.int32)
         # window-sort hinges too, so the bending sweep can block them
@@ -210,10 +232,16 @@ def build_windowed_topology(
         **kw,
     )
     deg = np.bincount(e2.reshape(-1).astype(np.int64), minlength=n)
-    win = _windows.build_windows(
-        e2, n, deg.astype(np.float32),
-        block_edges=block_edges, max_window=max_window,
-        seg_align=seg_align, dtype=window_dtype)
+    try:
+        win = _windows.build_windows(
+            e2, n, deg.astype(np.float32),
+            block_edges=block_edges, max_window=max_window,
+            seg_align=seg_align, dtype=window_dtype)
+    except ValueError:
+        if not colored:
+            raise
+        win = None   # color-scattered order blew the XLA window bound;
+        #              the mesh kernel packs its own span-bounded blocks
     bwin = None
     if hinges is not None and len(hinges):
         try:
@@ -276,7 +304,9 @@ def topology_from_mesh(
     Returns (positions, Topology).  ``weld_eps > 0`` welds first
     (``SoftBodyGPU.cs:121``).  ``windowed=True`` builds the MXU one-hot
     window structure (RCM-renumbers the vertices — the returned positions
-    and the topology's triangles are in the permuted space)."""
+    and the topology's triangles are in the permuted space);
+    ``windowed="colored"`` additionally orders edges color-major for the
+    fused mesh kernel's COLORED (exact parallel-GS) mode."""
     verts, tris = mesh.vertices, mesh.triangles
     if weld_eps > 0:
         verts, tris, _ = _edges.weld(verts, tris, weld_eps)
@@ -288,6 +318,7 @@ def topology_from_mesh(
             hinges=hn,
             bend_compliance=bend_compliance,
             triangles=tris,
+            colored=(windowed == "colored"),
             **kw,
         )
         return pos2, topo

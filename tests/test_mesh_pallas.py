@@ -353,3 +353,156 @@ def test_mesh_kernel_rejects_unsupported():
         mesh_pallas.make_mesh_substep_runner(
             topo3, SolverConfig(solve_mode=SolveMode.JACOBI), DT, 4,
             block_edges=128)
+
+
+# ------------------------------------------------- COLORED (exact GS) mode
+
+def colored_topo(sub=2, compliance=1e-3):
+    m = mesh.icosphere(sub)
+    pos2, topo = build.topology_from_mesh(m, compliance=compliance,
+                                          windowed="colored")
+    return pos2 + np.array([0, 0.8, 0], np.float32), topo
+
+
+def test_colored_windowed_topology_is_color_contiguous():
+    pos, topo = colored_topo()
+    c = np.asarray(topo.colors)
+    assert (np.diff(c) >= 0).all()
+    from softbodysimulation_tpu.topology.coloring import validate_coloring
+    assert validate_coloring(np.asarray(topo.edges), c)
+    # every real edge appears exactly once as a valid slot in the plan
+    cfg = SolverConfig(solve_mode=SolveMode.COLORED)
+    plan = mesh_pallas.build_mesh_plan(topo, cfg, DT, block_edges=128,
+                                       colored=True)
+    assert plan.color_ranges is not None and plan.synth
+    v = np.asarray(plan.valid).reshape(-1) > 0
+    slots = np.asarray(plan.slot_ids)[v]
+    assert sorted(slots.tolist()) == list(range(topo.n_edges))
+    assert (np.asarray(plan.edge_slot)[slots]
+            == np.flatnonzero(v)).all()
+    # blocks never straddle colors
+    scolor = np.asarray(topo.colors)[np.asarray(plan.slot_ids)].reshape(
+        plan.n_blocks, plan.block_edges)
+    for b_lo, b_hi in plan.color_ranges:
+        assert len(np.unique(scolor[b_lo:b_hi])) == 1
+
+
+def test_colored_windowed_topology_matches_frozen_oracle():
+    """The color-major edge reordering must preserve the oracle-equal
+    COLORED sweep: general engine on a windowed='colored' topology vs the
+    frozen sequential oracle (reference_cpu)."""
+    from softbodysimulation_tpu.solvers import reference_cpu
+
+    pos, topo = colored_topo(compliance=1e-4)
+    cfg = SolverConfig(substeps=1, iterations=8, damping=0.02,
+                       solve_mode=SolveMode.COLORED, ground_height=0.0,
+                       friction=0.3)
+    state = state_from_topology(topo, pos)
+    oracle = reference_cpu.ReferenceSolver(
+        pos, np.asarray(topo.edges), np.asarray(topo.rest_lengths),
+        np.asarray(topo.compliance), np.asarray(state.inv_mass), cfg,
+        colors=np.asarray(topo.colors))
+    step = general.make_step(topo, cfg, DT)
+    for _ in range(60):
+        state = step(state)
+        oracle.step(DT)
+    drift = np.abs(np.asarray(state.positions) - oracle.x).max()
+    assert drift < 5e-5, f"colored-windowed topology broke oracle parity: {drift}"
+
+
+def run_colored_pair(cfg, n_steps=4, max_window=1024, grid=False,
+                     pin_poke=False):
+    if grid:
+        m = mesh.grid_plane(1.0, 20)
+        v = m.vertices[:, [0, 2, 1]].copy()
+        v[:, 2] *= 0.0
+        pos, topo = build.topology_from_mesh(
+            mesh.TriMesh(v, m.triangles), compliance=1e-5,
+            windowed="colored")
+        pos = pos + np.array([0, 0.6, 0], np.float32)
+    else:
+        pos, topo = colored_topo()
+    st = state_from_topology(topo, pos)
+    if pin_poke:
+        top = np.flatnonzero(pos[:, 1] > pos[:, 1].max() - 1e-4)
+        st = st.replace(inv_mass=st.inv_mass.at[top].set(0.0))
+        f = np.zeros_like(pos)
+        f[: len(pos) // 4] = (3.0, 6.0, 1.0)
+        st = st.replace(ext_force=np.asarray(f))
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=n_steps)
+    out_r = ref_fn(st)
+    with pltpu.force_tpu_interpret_mode():
+        plan = mesh_pallas.build_mesh_plan(
+            topo, cfg, DT / cfg.substeps, block_edges=128,
+            max_window=max_window, colored=True)
+        pal_fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_steps * cfg.substeps,
+            with_ext=True, plan=plan)
+        out_p = pal_fn(st)
+    return out_p, out_r, plan
+
+
+@pytest.mark.parametrize(
+    "lmode,floor",
+    [
+        (LambdaMode.RESET, FloorMode.XPBD_INEQUALITY),
+        (LambdaMode.DECAY, FloorMode.VELOCITY_REFLECT),
+        (LambdaMode.WARM_START, FloorMode.XPBD_INEQUALITY),
+    ],
+)
+def test_mesh_kernel_colored_matches_engine(lmode, floor):
+    """In-kernel COLORED (exact parallel GS, corrections applied per color)
+    vs general._solve_distance_colored."""
+    cfg = SolverConfig(substeps=2, iterations=5, damping=0.02,
+                       solve_mode=SolveMode.COLORED, lambda_mode=lmode,
+                       lambda_decay=0.97, ground_height=0.0, friction=0.3,
+                       floor_mode=floor)
+    out_p, out_r, _ = run_colored_pair(cfg)
+    assert_close(out_p, out_r)
+
+
+def test_mesh_kernel_colored_span_split_and_pins():
+    """Span-bounded packing (blocks close early when a color's scattered
+    edges would blow the window) with pinned particles + ext forces."""
+    cfg = SolverConfig(substeps=2, iterations=4, damping=0.02,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.RESET,
+                       ground_height=-0.5, friction=0.2)
+    out_p, out_r, plan = run_colored_pair(cfg, max_window=256, grid=True,
+                                          pin_poke=True)
+    assert_close(out_p, out_r)
+    assert max(plan.widths) <= 256
+    # at least one color needed more than one block (the split actually
+    # exercised) and partial blocks exist
+    assert any(hi - lo > 1 for lo, hi in plan.color_ranges)
+    assert (np.asarray(plan.valid).reshape(-1) == 0).any()
+
+
+def test_mesh_kernel_colored_clamps():
+    """lambda_clamp + max_dlambda interact with the per-color lambda
+    accumulation exactly as in the engine."""
+    cfg = SolverConfig(substeps=1, iterations=6, damping=0.01,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.RESET,
+                       max_dlambda=1e-3, lambda_clamp=0.05,
+                       ground_height=0.0)
+    out_p, out_r, _ = run_colored_pair(cfg)
+    assert_close(out_p, out_r)
+
+
+def test_mesh_kernel_colored_rejects_bending_and_plain_topology():
+    pos, topo = colored_topo()
+    with pytest.raises(NotImplementedError, match="COLORED bending"):
+        m = mesh.grid_plane(1.0, 6)
+        _, btopo = build.topology_from_mesh(m, compliance=1e-4,
+                                            bending=True,
+                                            windowed="colored")
+        mesh_pallas.make_mesh_substep_runner(
+            btopo, SolverConfig(solve_mode=SolveMode.COLORED,
+                                enable_bending=True), DT, 2)
+    # COLORED on a topology without color-contiguous edges is refused
+    pos2, topo2 = sphere_topo()
+    with pytest.raises(NotImplementedError, match="color-contiguous"):
+        mesh_pallas.build_mesh_plan(
+            topo2, SolverConfig(solve_mode=SolveMode.COLORED), DT,
+            colored=True)
