@@ -69,7 +69,10 @@ def cpu_cube(dt: float = 0.02):
 def cpu_mesh(dt: float = 0.02, fallback_subdiv: int = 3):
     """Bunny-mesh scene (Scenes/CpuMesh.unity: 15 iterations, compliance
     1e-10, gravity (0,-1,0), bending off, lambda clamp 1e-3).  Falls back to
-    a dense icosphere when the bunny OBJ asset is absent."""
+    a dense icosphere when the bunny OBJ asset is absent.  Built with the
+    color-major windowed ordering so ``--engine pallas`` runs the COLORED
+    sweep fused (the general engine's color-major semantics are unchanged
+    — oracle-parity tested in tests/test_mesh_pallas.py)."""
     m = None
     for p in BUNNY_PATHS:
         if os.path.exists(p):
@@ -77,7 +80,8 @@ def cpu_mesh(dt: float = 0.02, fallback_subdiv: int = 3):
             break
     if m is None:
         m = _mesh.icosphere(fallback_subdiv, radius=0.5)
-    pos, topo = _build.topology_from_mesh(m, compliance=1e-10, bending=False)
+    pos, topo = _build.topology_from_mesh(m, compliance=1e-10, bending=False,
+                                          windowed="colored")
     pos = pos + np.array([0, 1.0, 0], np.float32)
     cfg = SolverConfig(substeps=1, iterations=15, damping=0.01,
                        gravity=(0.0, -1.0, 0.0),

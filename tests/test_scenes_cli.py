@@ -75,8 +75,12 @@ def test_cli_run_pallas_engine(tmp_path):
 
 def test_cli_run_pallas_engine_mesh_scene(tmp_path):
     """--engine pallas on a MESH scene routes to the fused mesh-substep
-    kernel (interpret mode).  cloth is windowed+JACOBI so it fuses; the
-    COLORED cpu_mesh scene gets a clean refusal with guidance."""
+    kernel (interpret mode).  cloth is windowed+JACOBI so it fuses;
+    configs outside the kernel envelope (volume constraint) get a clean
+    refusal with guidance.  (cpu_mesh itself now fuses too — COLORED
+    in-kernel — but at 2.5k particles interpret mode is too slow for the
+    hermetic suite; kernel COLORED equivalence is covered in
+    tests/test_mesh_pallas.py.)"""
     ckpt = os.path.join(tmp_path, "s.npz")
     r = _run_cli("run", "cloth", "--steps", "2", "--platform", "cpu",
                  "--engine", "pallas", "--log-every", "0",
@@ -86,7 +90,7 @@ def test_cli_run_pallas_engine_mesh_scene(tmp_path):
     assert os.path.exists(ckpt)
 
     r = _run_cli("run", "cpu_mesh", "--steps", "1", "--platform", "cpu",
-                 "--engine", "pallas")
+                 "--engine", "pallas", "--set", "enable_volume=true")
     assert r.returncode == 2
     assert "outside the fused kernel's envelope" in r.stderr
 
