@@ -17,12 +17,16 @@ Formulation (leaner than the XLA backend's, same arithmetic):
   lane = (RCM-renumbered) particle index, so every block's particle window
   is a static lane slice ``pred[:, base:base+W]`` (no window-extraction
   matmul at all);
-* the endpoint-difference ``d = pb - pa`` comes from ONE signed one-hot
+* the endpoint-difference ``d = pb - pa`` comes from a signed one-hot
   matmul per block: ``d = win @ Gd_k`` with ``Gd_k[w, s] = +1`` at slot s's
   b endpoint, ``-1`` at its a endpoint.  {0, +-1} entries are exact in
-  bf16, and the MXU's mixed bf16 x f32 product is measured bit-exact
-  (scripts/probe_mesh_kernel.py), so ``d`` equals the XLA backend's
-  ``pb - pa`` to the last ulp;
+  bf16, but the MXU truncates the f32 WINDOW operand to bf16 in the
+  mixed product (measured ~7e-3 on O(1) positions — hardware only;
+  interpret mode is exact, which is why this hid from the CPU tests), so
+  the default path splits the f32 operand into 3 bf16 terms and
+  accumulates 3 MXU passes (``ops/mxu_exact.py``, error ~2e-7):
+  ``d`` then matches the XLA backend's ``pb - pa`` to f32 rounding.
+  ``approx_math`` keeps the single-pass truncated dot (bench regime);
 * the correction scatter exploits that the per-endpoint weights are the
   DESTINATION particle's inverse mass: correction_a = -w_a dp,
   correction_b = +w_b dp, so  delta = w * (dp @ Gd_k^T)  — one signed
@@ -52,7 +56,9 @@ matrices are too large to keep VMEM-resident (~16 MB bf16 at bunny scale,
 of DMA per sweep.  Instead the kernel SYNTHESIZES each block's four
 endpoint one-hots in-registers from tiny ``(4, S)`` int32 index slabs
 (``broadcasted_iota == idx`` compare, exact {0,1} bf16), then runs the
-same gather/scatter MXU dots — zero extra HBM traffic.  ``arccos`` has no
+same split-compensated gather/scatter MXU dots (one ``split3`` of the
+window shared by all four endpoint gathers) — zero extra HBM traffic.
+``arccos`` has no
 Mosaic lowering, so the dihedral angle uses a branchless Cephes-style
 ``asin`` polynomial (``_acos``, float32-accurate to ~1e-7 — below the
 bf16-one-hot noise floor of the validation methodology).
@@ -78,6 +84,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import FloorMode, LambdaMode, SolveMode, SolverConfig
 from ..core.state import SimState, Topology
+from ..ops.mxu_exact import dot_oh, split3
 
 SEG = 128          # lane alignment of window bases
 VMEM_BUDGET = 14_000_000   # leave ~2 MB of the ~16 MB scope for Mosaic stack
@@ -516,6 +523,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     inv_dt2 = 1.0 / (dt * dt)
     gx, gy, gz = cfg.gravity
 
+    # exact one-hot contractions unless approx_math: the MXU truncates the
+    # f32 operand to bf16 in the single-pass dot (ops/mxu_exact.py)
+    exact_oh = not approx_math
     accelerate = (not colored and cfg.jacobi_rho > 0
                   and cfg.iterations > cfg.jacobi_cheby_delay)
     rho2 = cfg.jacobi_rho ** 2
@@ -599,9 +609,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                                jnp.bfloat16))          # (Wk, S)
                 else:
                     gdk = gd_ref[kb]
-                d = lax.dot_general(
-                    win, gdk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (3, S)
+                d = dot_oh(win, gdk, (((1,), (0,)), ((), ())),
+                           exact=exact_oh)              # (3, S)
                 d0, d1, d2 = d[0:1], d[1:2], d[2:3]
                 len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (1, S)
                 if approx_math:
@@ -641,13 +650,11 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 if plan.synth:
                     # scatter through the SAME synthesized matrix,
                     # contracting its S axis (bend_sweep's scat shape)
-                    wd = lax.dot_general(
-                        dp, gdk, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (3, Wk)
+                    wd = dot_oh(dp, gdk, (((1,), (1,)), ((), ())),
+                                exact=exact_oh)          # (3, Wk)
                 else:
-                    wd = lax.dot_general(
-                        dp, gs_ref[kb], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (3, Wk)
+                    wd = dot_oh(dp, gs_ref[kb], (((1,), (0,)), ((), ())),
+                                exact=exact_oh)          # (3, Wk)
                 delta[:, b0:b0 + wk] += wd
 
             def apply_delta():
@@ -718,13 +725,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     # and halves the live one-hot footprint
                     oh = [(iota == idx[i:i + 1]).astype(jnp.bfloat16)
                           for i in range(4)]                 # (Wb, S) {0,1}
-                    # NOTE: no precision override — Mosaic rejects a bf16
-                    # rhs under fp32 contract precision ("Bad rhs type");
-                    # the default mixed bf16 x f32 MXU product is the one
-                    # measured bit-exact for {0,1} selectors
+                    # the MXU truncates the f32 window to bf16 in the
+                    # mixed product (ops/mxu_exact.py) — the split3 of
+                    # the window is shared across all four endpoint dots
+                    wparts = split3(win) if exact_oh else None
                     pa, pb, pc2, pd2 = (
-                        lax.dot_general(win, o, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+                        dot_oh(win, o, (((1,), (0,)), ((), ())),
+                               exact=exact_oh, parts=wparts)
                         for o in oh)                     # (3, S)
                     e0 = pb - pa
                     e1 = pc2 - pa
@@ -775,9 +782,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     blamo_ref[kb] = lam_b + dl
 
                     def scat(g, o):
-                        return lax.dot_general(
-                            dl * g, o, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (3, Wb)
+                        return dot_oh(dl * g, o, (((1,), (1,)), ((), ())),
+                                      exact=exact_oh)        # (3, Wb)
 
                     delta[:, b0:b0 + bwn] += (
                         scat(ga, oh[0]) + scat(gb, oh[1])

@@ -40,6 +40,7 @@ from ..ops import bending as _bending
 from ..ops import collision as _collision
 from ..ops import distance as _distance
 from ..ops import integrate as _integrate
+from ..ops import mxu_exact as _mxu
 from ..ops import spatial_hash as _spatial_hash
 from ..ops import volume as _volume
 
@@ -120,7 +121,10 @@ def _solve_distance_windowed(pred, lam, inv_mass, topo: Topology,
     only the gather/scatter mechanics differ: XLA's irregular gathers are
     element-serial on TPU, so endpoint gather, correction scatter, window
     extraction and overlap-add are ALL expressed as exact {0, +-1} one-hot
-    matmuls (see ``topology/windows.py``).  Requires ``topo.windows``.
+    matmuls (see ``topology/windows.py``).  The f32 data operand of every
+    one-hot dot is 3-term bf16-split (``ops/mxu_exact.dot_oh``): the TPU
+    MXU truncates f32 to bf16 in a DEFAULT-precision product, which would
+    silently cost ~7e-3 per gather on hardware.  Requires ``topo.windows``.
     """
     win = topo.windows
     K, S, W = win.n_blocks, win.block_edges, win.window
@@ -133,12 +137,14 @@ def _solve_distance_windowed(pred, lam, inv_mass, topo: Topology,
     xw = jnp.concatenate([pred, inv_mass[:, None]], axis=1)       # (N, 4)
     xw = jnp.pad(xw, ((0, n_pad - n), (0, 0)))
     seg_flat = xw.reshape(win.n_segs, seg * 4)
-    win_flat = win.win_onehot @ seg_flat                          # (P, 4seg)
+    win_flat = _mxu.dot_oh(win.win_onehot, seg_flat,
+                           (((1,), (0,)), ((), ())),
+                           split="rhs")                           # (P, 4seg)
     wdat = win_flat.reshape(K, W, 4)
 
-    pab = lax.dot_general(win.AB, wdat,
-                          (((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32)     # (K,2S,4)
+    pab = _mxu.dot_oh(win.AB, wdat,
+                      (((2,), (1,)), ((0,), (0,))),
+                      split="rhs")                                # (K,2S,4)
     pa, pb = pab[:, :S], pab[:, S:]
     wa, wb = pa[..., 3], pb[..., 3]
 
@@ -154,11 +160,13 @@ def _solve_distance_windowed(pred, lam, inv_mass, topo: Topology,
 
     u = dl[..., None] * nrm                                       # (K,S,3)
     uu = jnp.concatenate([-wa[..., None] * u, wb[..., None] * u], axis=1)
-    wd = lax.dot_general(win.C, uu,
-                         (((2,), (1,)), ((0,), (0,))),
-                         preferred_element_type=jnp.float32)      # (K,W,3)
+    wd = _mxu.dot_oh(win.C, uu,
+                     (((2,), (1,)), ((0,), (0,))),
+                     split="rhs")                                 # (K,W,3)
     pieces = wd.reshape(K * (W // seg), seg * 3)
-    delta = (win.seg_onehot @ pieces).reshape(n_pad, 3)[:n]
+    delta = _mxu.dot_oh(win.seg_onehot, pieces,
+                        (((1,), (0,)), ((), ())),
+                        split="rhs").reshape(n_pad, 3)[:n]
     return pred + delta, lam_pad.reshape(-1)[:lam.shape[0]]
 
 
@@ -229,7 +237,10 @@ def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
     its transpose lands -dl*(gB+gC+gD) = dl*gA on the hinge root, so the
     A-side never needs its own matrix (see ``core.state.HingeWindows``).
     The per-endpoint inverse-mass weight is the DESTINATION particle's, so
-    it is applied after the overlap-add.  Requires ``topo.bend_windows``.
+    it is applied after the overlap-add.  Every one-hot dot 3-term
+    bf16-splits its f32 data operand (``ops/mxu_exact.dot_oh`` — the MXU
+    truncates f32 to bf16 at DEFAULT precision).  Requires
+    ``topo.bend_windows``.
     """
     win = topo.bend_windows
     kb, s, w = win.n_blocks, win.block_hinges, win.window
@@ -240,16 +251,19 @@ def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
     xw = jnp.concatenate([pred, inv_mass[:, None]], axis=1)       # (N, 4)
     xw = jnp.pad(xw, ((0, n_pad - n), (0, 0)))
     seg_flat = xw.reshape(win.n_segs, seg * 4)
-    win_flat = win.win_onehot @ seg_flat                          # (P, 4seg)
+    win_flat = _mxu.dot_oh(win.win_onehot, seg_flat,
+                           (((1,), (0,)), ((), ())),
+                           split="rhs")                           # (P, 4seg)
     wdat = win_flat.reshape(kb, w, 4)
 
-    e012 = lax.dot_general(win.G, wdat[..., :3],
-                           (((1,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32)    # (Kb,3S,3)
+    wparts = _mxu.split3(wdat)
+    e012 = _mxu.dot_oh(win.G, wdat[..., :3],
+                       (((1,), (1,)), ((0,), (0,))), split="rhs",
+                       parts=tuple(p[..., :3] for p in wparts))   # (Kb,3S,3)
     e0, e1, e2 = e012[:, :s], e012[:, s:2 * s], e012[:, 2 * s:]
-    wabcd = lax.dot_general(win.wsel, wdat[..., 3:],
-                            (((1,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)   # (Kb,4S,1)
+    wabcd = _mxu.dot_oh(win.wsel, wdat[..., 3:],
+                        (((1,), (1,)), ((0,), (0,))), split="rhs",
+                        parts=tuple(p[..., 3:] for p in wparts))  # (Kb,4S,1)
     wabcd = wabcd[..., 0]
     wa, wb = wabcd[:, :s], wabcd[:, s:2 * s]
     wc, wd = wabcd[:, 2 * s:3 * s], wabcd[:, 3 * s:]
@@ -266,11 +280,13 @@ def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
 
     dlb = dl[..., None]
     uu = jnp.concatenate([dlb * gb, dlb * gc, dlb * gd], axis=1)  # (Kb,3S,3)
-    wdelta = lax.dot_general(win.GT, uu,
-                             (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)  # (Kb,W,3)
+    wdelta = _mxu.dot_oh(win.GT, uu,
+                         (((1,), (1,)), ((0,), (0,))),
+                         split="rhs")                             # (Kb,W,3)
     pieces = wdelta.reshape(kb * (w // seg), seg * 3)
-    delta = (win.seg_onehot @ pieces).reshape(n_pad, 3)[:n]
+    delta = _mxu.dot_oh(win.seg_onehot, pieces,
+                        (((1,), (0,)), ((), ())),
+                        split="rhs").reshape(n_pad, 3)[:n]
     return pred + inv_mass[:, None] * delta, \
         lam_pad.reshape(-1)[:lam.shape[0]]
 

@@ -116,7 +116,9 @@ def build_windows(edges: np.ndarray, n_particles: int, degree: np.ndarray,
     inv_maxdeg = (valid.reshape(-1) / maxdeg).reshape(K, S).astype(np.float32)
 
     # AB/C entries are {0, 1}: exact in bf16, halving the per-sweep HBM
-    # traffic; the mixed bf16 x f32 dot keeps f32 RHS/accumulation
+    # traffic.  Accuracy does NOT ride on the one-hot dtype — the engine
+    # 3-term bf16-splits the f32 DATA operand of every one-hot dot
+    # (ops/mxu_exact.py; the MXU truncates f32 to bf16 either way)
     jdt = jnp.bfloat16 if str(dtype) in ("bf16", "bfloat16") else jnp.float32
     return Windows(
         AB=jnp.asarray(AB, jdt),
@@ -198,8 +200,8 @@ def build_hinge_windows(hinges: np.ndarray, n_particles: int,
     inv_maxdeg = (valid.reshape(-1) / maxdeg).reshape(k, s).astype(
         np.float32)
 
-    # {0, +-1} entries are exact in bf16 (halves HBM traffic; the mixed
-    # bf16 x f32 dot keeps f32 data/accumulation — same as Windows)
+    # {0, +-1} entries are exact in bf16 (halves HBM traffic); the f32
+    # data operand is split-compensated at use (same as Windows above)
     jdt = jnp.bfloat16 if str(dtype) in ("bf16", "bfloat16") else jnp.float32
     return HingeWindows(
         G=jnp.asarray(g, jdt),
