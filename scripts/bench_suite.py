@@ -200,6 +200,35 @@ def main():
         print(f"mesh kernel unavailable: {type(e).__name__}: {e}",
               flush=True)
 
+    # 2b''. FAITHFUL COLORED bunny (CpuMesh.unity knobs: 15 iterations,
+    # compliance 1e-10, lambda clamp 1e-3): general engine color-major
+    # sweep vs the in-kernel COLORED sweep (round 3; exact parallel GS,
+    # corrections applied per color)
+    try:
+        from softbodysimulation_tpu.kernels import mesh_pallas
+
+        pos_c, topo_c = build.topology_from_mesh(
+            m, compliance=1e-10, bending=False, windowed="colored")
+        stc = state_from_topology(
+            topo_c, pos_c + np.array([0, 1.0, 0], np.float32))
+        cfgc = SolverConfig(substeps=1, iterations=15, damping=0.01,
+                            gravity=(0.0, -1.0, 0.0),
+                            solve_mode=SolveMode.COLORED, max_dlambda=1e-3,
+                            ground_height=0.0, friction=0.1)
+        steps_c = 50
+        fnc = general.make_step(topo_c, cfgc, 0.02, n_steps=steps_c)
+        measure(f"bunny FAITHFUL colored {topo_c.n_particles}p x15it (xla)",
+                fnc, stc, topo_c.n_particles, steps_c,
+                pair="bunny_colored")
+        Lc = 2000
+        fnck = mesh_pallas.make_mesh_substep_runner(
+            topo_c, cfgc, 0.02, Lc, with_ext=True)
+        measure("bunny FAITHFUL colored x15it (fused pallas, in-kernel GS)",
+                fnck, stc, topo_c.n_particles, Lc, pair="bunny_colored")
+    except Exception as e:  # noqa: BLE001
+        print(f"colored mesh kernel unavailable: {type(e).__name__}: {e}",
+              flush=True)
+
     # 2c. bunny ensemble x64, windowed backend under vmap (the one-hot
     # matrices are shared across the batch, so the MXU lanes fill up)
     nb = 64
