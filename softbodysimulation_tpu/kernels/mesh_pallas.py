@@ -610,7 +610,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 else:
                     gdk = gd_ref[kb]
                 d = dot_oh(win, gdk, (((1,), (0,)), ((), ())),
-                           exact=exact_oh)              # (3, S)
+                           exact=exact_oh, stack_axis=0)  # (3, S)
                 d0, d1, d2 = d[0:1], d[1:2], d[2:3]
                 len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (1, S)
                 if approx_math:
@@ -651,10 +651,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     # scatter through the SAME synthesized matrix,
                     # contracting its S axis (bend_sweep's scat shape)
                     wd = dot_oh(dp, gdk, (((1,), (1,)), ((), ())),
-                                exact=exact_oh)          # (3, Wk)
+                                exact=exact_oh, stack_axis=0)  # (3, Wk)
                 else:
                     wd = dot_oh(dp, gs_ref[kb], (((1,), (0,)), ((), ())),
-                                exact=exact_oh)          # (3, Wk)
+                                exact=exact_oh, stack_axis=0)  # (3, Wk)
                 delta[:, b0:b0 + wk] += wd
 
             def apply_delta():
@@ -726,12 +726,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     oh = [(iota == idx[i:i + 1]).astype(jnp.bfloat16)
                           for i in range(4)]                 # (Wb, S) {0,1}
                     # the MXU truncates the f32 window to bf16 in the
-                    # mixed product (ops/mxu_exact.py) — the split3 of
-                    # the window is shared across all four endpoint dots
-                    wparts = split3(win) if exact_oh else None
+                    # mixed product (ops/mxu_exact.py) — one stacked
+                    # split3 of the window shared by all four endpoint dots
+                    wparts = (jnp.concatenate(split3(win), axis=0)
+                              if exact_oh else None)
                     pa, pb, pc2, pd2 = (
                         dot_oh(win, o, (((1,), (0,)), ((), ())),
-                               exact=exact_oh, parts=wparts)
+                               exact=exact_oh, parts=wparts, stack_axis=0)
                         for o in oh)                     # (3, S)
                     e0 = pb - pa
                     e1 = pc2 - pa
@@ -783,7 +784,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
 
                     def scat(g, o):
                         return dot_oh(dl * g, o, (((1,), (1,)), ((), ())),
-                                      exact=exact_oh)        # (3, Wb)
+                                      exact=exact_oh, stack_axis=0)
 
                     delta[:, b0:b0 + bwn] += (
                         scat(ga, oh[0]) + scat(gb, oh[1])

@@ -43,7 +43,7 @@ def split3(x):
 
 
 def dot_oh(lhs, rhs, dimension_numbers, *, split="lhs", exact=True,
-           parts=None):
+           parts=None, stack_axis=None):
     """``lax.dot_general`` of f32 data against a one-hot matrix, exact on
     the TPU MXU.
 
@@ -52,13 +52,54 @@ def dot_oh(lhs, rhs, dimension_numbers, *, split="lhs", exact=True,
     truncation of a {0, +-1} f32 one-hot is lossless).  ``exact=False``
     emits the plain single-pass dot (bf16-truncated data on hardware —
     the ``approx_math`` regime).  ``parts`` optionally supplies a
-    precomputed ``split3`` of the data operand so one split can be shared
-    across several dots (the 4-endpoint bending gathers)."""
+    precomputed split of the data operand so one ``split3`` can be shared
+    across several dots (the 4-endpoint bending gathers): either the
+    3-tuple, or — with ``stack_axis`` — the already-concatenated array.
+
+    ``stack_axis`` names a FREE (non-contracted, non-batch) axis of the
+    data operand along which the three bf16 parts are concatenated so the
+    whole compensation rides ONE MXU dot; the matching output axis is
+    slice-summed afterwards.  When that axis has slack in its register
+    tile (the (3, ...) coordinate axis of the kernel operands pads to a
+    full 16-sublane bf16 tile anyway, and 3->9 lanes stays inside one
+    128-lane tile), the exact dot costs the SAME MXU passes as the
+    truncated one — the split becomes a handful of VPU ops.  Without
+    ``stack_axis`` the fallback is three accumulated dots (3x passes).
+    Both spellings sum hi+mid+lo in the same order — bitwise identical
+    results."""
     if not exact:
         return lax.dot_general(lhs, rhs, dimension_numbers,
                                preferred_element_type=jnp.float32)
+    data = lhs if split == "lhs" else rhs
+    if stack_axis is not None:
+        if parts is None:
+            parts = split3(data)
+        stacked = (parts if not isinstance(parts, tuple)
+                   else jnp.concatenate(parts, axis=stack_axis))
+        (c_l, c_r), (b_l, b_r) = dimension_numbers
+        if split == "lhs":
+            free = [a for a in range(lhs.ndim)
+                    if a not in c_l and a not in b_l]
+            out_axis = len(b_l) + free.index(stack_axis)
+            out = lax.dot_general(stacked, rhs, dimension_numbers,
+                                  preferred_element_type=jnp.float32)
+        else:
+            lfree = [a for a in range(lhs.ndim)
+                     if a not in c_l and a not in b_l]
+            rfree = [a for a in range(rhs.ndim)
+                     if a not in c_r and a not in b_r]
+            out_axis = len(b_l) + len(lfree) + rfree.index(stack_axis)
+            out = lax.dot_general(lhs, stacked, dimension_numbers,
+                                  preferred_element_type=jnp.float32)
+        size = data.shape[stack_axis]
+        acc = None
+        for i in range(3):
+            t = lax.slice_in_dim(out, i * size, (i + 1) * size,
+                                 axis=out_axis)
+            acc = t if acc is None else acc + t
+        return acc
     if parts is None:
-        parts = split3(lhs if split == "lhs" else rhs)
+        parts = split3(data)
     acc = None
     for p in parts:
         a, b = (p, rhs) if split == "lhs" else (lhs, p)

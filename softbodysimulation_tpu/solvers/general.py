@@ -144,7 +144,7 @@ def _solve_distance_windowed(pred, lam, inv_mass, topo: Topology,
 
     pab = _mxu.dot_oh(win.AB, wdat,
                       (((2,), (1,)), ((0,), (0,))),
-                      split="rhs")                                # (K,2S,4)
+                      split="rhs", stack_axis=2)                  # (K,2S,4)
     pa, pb = pab[:, :S], pab[:, S:]
     wa, wb = pa[..., 3], pb[..., 3]
 
@@ -162,7 +162,7 @@ def _solve_distance_windowed(pred, lam, inv_mass, topo: Topology,
     uu = jnp.concatenate([-wa[..., None] * u, wb[..., None] * u], axis=1)
     wd = _mxu.dot_oh(win.C, uu,
                      (((2,), (1,)), ((0,), (0,))),
-                     split="rhs")                                 # (K,W,3)
+                     split="rhs", stack_axis=2)                   # (K,W,3)
     pieces = wd.reshape(K * (W // seg), seg * 3)
     delta = _mxu.dot_oh(win.seg_onehot, pieces,
                         (((1,), (0,)), ((), ())),
@@ -257,13 +257,17 @@ def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
     wdat = win_flat.reshape(kb, w, 4)
 
     wparts = _mxu.split3(wdat)
-    e012 = _mxu.dot_oh(win.G, wdat[..., :3],
-                       (((1,), (1,)), ((0,), (0,))), split="rhs",
-                       parts=tuple(p[..., :3] for p in wparts))   # (Kb,3S,3)
+    e012 = _mxu.dot_oh(
+        win.G, wdat[..., :3],
+        (((1,), (1,)), ((0,), (0,))), split="rhs", stack_axis=2,
+        parts=jnp.concatenate([p[..., :3] for p in wparts],
+                              axis=2))                            # (Kb,3S,3)
     e0, e1, e2 = e012[:, :s], e012[:, s:2 * s], e012[:, 2 * s:]
-    wabcd = _mxu.dot_oh(win.wsel, wdat[..., 3:],
-                        (((1,), (1,)), ((0,), (0,))), split="rhs",
-                        parts=tuple(p[..., 3:] for p in wparts))  # (Kb,4S,1)
+    wabcd = _mxu.dot_oh(
+        win.wsel, wdat[..., 3:],
+        (((1,), (1,)), ((0,), (0,))), split="rhs", stack_axis=2,
+        parts=jnp.concatenate([p[..., 3:] for p in wparts],
+                              axis=2))                            # (Kb,4S,1)
     wabcd = wabcd[..., 0]
     wa, wb = wabcd[:, :s], wabcd[:, s:2 * s]
     wc, wd = wabcd[:, 2 * s:3 * s], wabcd[:, 3 * s:]
@@ -282,7 +286,7 @@ def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
     uu = jnp.concatenate([dlb * gb, dlb * gc, dlb * gd], axis=1)  # (Kb,3S,3)
     wdelta = _mxu.dot_oh(win.GT, uu,
                          (((1,), (1,)), ((0,), (0,))),
-                         split="rhs")                             # (Kb,W,3)
+                         split="rhs", stack_axis=2)               # (Kb,W,3)
     pieces = wdelta.reshape(kb * (w // seg), seg * 3)
     delta = _mxu.dot_oh(win.seg_onehot, pieces,
                         (((1,), (0,)), ((), ())),
