@@ -260,7 +260,8 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
                     max_window: int = 1024,
                     block_hinges: int = 256,
                     synth_gd: Optional[bool] = None,
-                    colored: bool = False) -> MeshKernelPlan:
+                    colored: bool = False,
+                    n_bodies: int = 1) -> MeshKernelPlan:
     """Build the blocked signed-one-hot structure from a topology whose
     particles are RCM-renumbered and whose edges are sorted by min endpoint
     (``topology/build.build_windowed_topology`` produces exactly this).
@@ -428,11 +429,20 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         n_pad = max(n_pad,
                     SEG * int((max(bend.bases) + bend.window) // SEG))
 
+    # ensemble row count: bodies stack on the sublane axis (runner pads
+    # to a multiple of the 8-sublane f32 tile).  Plane accounting: the
+    # live set is 9 (3R, n_pad) arrays (x/v in, x/v out, ext, pred/delta/
+    # prev/tmp scratch); the single-body path keeps its original
+    # conservative 12 so the resident/synth auto-switch point is unchanged.
+    r_rows = 1 if n_bodies <= 1 else 8 * -(-n_bodies // 8)
+    planes = 12 if r_rows == 1 else 10
     base_bytes = int(
         10 * k * s * 4               # per-edge slabs (incl. dynamic)
-        + 12 * n_pad * 4 * 3         # particle planes + scratch
+        + 2 * k * s * 4 * (r_rows - 1)   # lambda slabs gain a body axis
+        + planes * n_pad * 4 * 3 * r_rows    # particle planes + scratch
         + (0 if bend is None else
            12 * bend.n_blocks * bend.block_hinges * 4   # hinge slabs
+           + 2 * bend.n_blocks * bend.block_hinges * 4 * (r_rows - 1)
            # transient synthesized one-hots (4 live bf16 matrices)
            + 4 * bend.window * bend.block_hinges * 2))
     resident_bytes = base_bytes + 2 * k * w * s * 2      # gd + gs (bf16)
@@ -494,7 +504,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                              approx_math: bool = False,
                              block_edges: int = 256,
                              plan: Optional[MeshKernelPlan] = None,
-                             synth_gd: Optional[bool] = None):
+                             synth_gd: Optional[bool] = None,
+                             n_bodies: int = 1):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
     raw substeps of the general-mesh XPBD loop in ONE fused kernel
     (``with_ext=True`` adds the reference force lifecycle: ``ext_force``
@@ -505,12 +516,34 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     each color, matching ``general._solve_distance_colored``'s ordering;
     needs ``topology_from_mesh(windowed='colored')``).  ``approx_math``
     swaps sqrt/divide for rsqrt + approximate reciprocal (opt-in, bench
-    regime), as in the lattice kernels."""
+    regime), as in the lattice kernels.
+
+    ``n_bodies > 1`` compiles the ENSEMBLE kernel: B independent instances
+    of the same topology stacked on the SUBLANE axis (coordinate-major row
+    groups of R = B bodies, padded to the 8-sublane f32 tile).  The one-hot
+    block matrices, per-edge slabs, and inverse masses are shared across
+    bodies, so the MXU gather/scatter dots go from a 3-row LHS to 3R rows —
+    the batch fills the systolic array instead of wasting 5/8 of every
+    sublane tile (same idea as the lattice kernel's lane-folded ensembles,
+    on the other axis).  The returned fn then takes/returns a SimState of
+    BATCHED leaves: positions/velocities/ext_force ``(B, n, 3)``,
+    lambda_dist ``(B, e)``, lambda_bend ``(B, h)``; ``inv_mass``/pinning
+    stays a shared ``(n,)`` (the replicated-farm workload — per-body masses
+    need the vmapped XLA backend).  Equivalent to ``jax.vmap`` of the
+    single-body semantics (tested in tests/test_mesh_pallas.py)."""
     _check_supported(cfg, topo)
+    if n_bodies < 1:
+        raise ValueError("n_bodies must be >= 1")
+    batched = n_bodies > 1
+    n_b = n_bodies
+    # pad the body axis to the 8-sublane f32 register tile so every row
+    # group slice is tile-aligned (padded bodies simulate zeros, sliced off)
+    R = 1 if not batched else 8 * -(-n_b // 8)
     colored = cfg.solve_mode == SolveMode.COLORED
     if plan is None:
         plan = build_mesh_plan(topo, cfg, dt_sub, block_edges=block_edges,
-                               synth_gd=synth_gd, colored=colored)
+                               synth_gd=synth_gd, colored=colored,
+                               n_bodies=n_bodies)
     if colored and plan.color_ranges is None:
         raise NotImplementedError(
             "mesh kernel COLORED solve needs a plan built with "
@@ -590,6 +623,16 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             w = w_in[:]                        # (1, n_pad)
             pinned = w == 0.0
 
+            def rows(c):
+                """Row group of coordinate c: bodies stack on sublanes."""
+                return slice(c * R, (c + 1) * R)
+
+            def t3(a):
+                """Tile a per-edge (R, S) scalar across the 3 coordinate
+                row groups (identity for the single-body kernel, where
+                (1, S) broadcasts against (3, S))."""
+                return a if R == 1 else jnp.concatenate([a, a, a], axis=0)
+
             def solve_block(kb, relax_mode):
                 """One block's gather -> XPBD project -> scatter-into-delta
                 (the body of a sweep; per-block static window width)."""
@@ -610,16 +653,16 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 else:
                     gdk = gd_ref[kb]
                 d = dot_oh(win, gdk, (((1,), (0,)), ((), ())),
-                           exact=exact_oh, stack_axis=0)  # (3, S)
-                d0, d1, d2 = d[0:1], d[1:2], d[2:3]
-                len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (1, S)
+                           exact=exact_oh, stack_axis=0)  # (3R, S)
+                d0, d1, d2 = d[rows(0)], d[rows(1)], d[rows(2)]
+                len_sq = d0 * d0 + d1 * d1 + d2 * d2   # (R, S)
                 if approx_math:
                     inv_len = lax.rsqrt(jnp.maximum(len_sq, 1e-24))
                     length = len_sq * inv_len
                 else:
                     length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
                 if relax_mode == "solve":
-                    lam_f = lamo_ref[kb]               # (1, S)
+                    lam_f = lamo_ref[kb]               # (R, S)
                     cerr = length - rest_ref[kb]
                     dl = (-cerr - alpha_ref[kb] * lam_f) * di_in[kb]
                     if bnd_ref is not None:
@@ -645,22 +688,22 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     lamo_ref[kb] = lam_f
                     dl = jnp.where(valid_ref_k(kb), lam_f, 0.0)
                 scale = (dl * inv_len if approx_math
-                         else dl / length)             # (1, S)
-                dp = d * scale                          # (3, S) bcast
+                         else dl / length)             # (R, S)
+                dp = d * t3(scale)                      # (3R, S)
                 if plan.synth:
                     # scatter through the SAME synthesized matrix,
                     # contracting its S axis (bend_sweep's scat shape)
                     wd = dot_oh(dp, gdk, (((1,), (1,)), ((), ())),
-                                exact=exact_oh, stack_axis=0)  # (3, Wk)
+                                exact=exact_oh, stack_axis=0)  # (3R, Wk)
                 else:
                     wd = dot_oh(dp, gs_ref[kb], (((1,), (0,)), ((), ())),
-                                exact=exact_oh, stack_axis=0)  # (3, Wk)
+                                exact=exact_oh, stack_axis=0)  # (3R, Wk)
                 delta[:, b0:b0 + wk] += wd
 
             def apply_delta():
                 # destination-weighted overlap-add: correction_i = w_i * sum
                 for c in range(3):
-                    pred[c:c + 1] += w * delta[c:c + 1]
+                    pred[rows(c)] += w * delta[rows(c)]
 
             def sweep(relax_mode):
                 """One windowed distance sweep applied to pred.
@@ -705,14 +748,17 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                                  bplan.window)
 
                 def cross(u, v):
+                    ux, uy, uz = u[rows(0)], u[rows(1)], u[rows(2)]
+                    vx, vy, vz = v[rows(0)], v[rows(1)], v[rows(2)]
                     return jnp.concatenate([
-                        u[1:2] * v[2:3] - u[2:3] * v[1:2],
-                        u[2:3] * v[0:1] - u[0:1] * v[2:3],
-                        u[0:1] * v[1:2] - u[1:2] * v[0:1]], axis=0)
+                        uy * vz - uz * vy,
+                        uz * vx - ux * vz,
+                        ux * vy - uy * vx], axis=0)
 
                 def nsq(g):
-                    return (g[0:1] * g[0:1] + g[1:2] * g[1:2]
-                            + g[2:3] * g[2:3])
+                    return (g[rows(0)] * g[rows(0)]
+                            + g[rows(1)] * g[rows(1)]
+                            + g[rows(2)] * g[rows(2)])
 
                 delta[:] = jnp.zeros_like(delta)
                 for kb in range(bkn):
@@ -748,10 +794,12 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     else:
                         inv_l1 = 1.0 / jnp.sqrt(jnp.maximum(l1sq, 1e-24))
                         inv_l2 = 1.0 / jnp.sqrt(jnp.maximum(l2sq, 1e-24))
-                    n1n = n1 * inv_l1
-                    n2n = n2 * inv_l2
-                    cos = jnp.clip(n1n[0:1] * n2n[0:1] + n1n[1:2] * n2n[1:2]
-                                   + n1n[2:3] * n2n[2:3], -1.0, 1.0)
+                    n1n = n1 * t3(inv_l1)
+                    n2n = n2 * t3(inv_l2)
+                    cos = jnp.clip(n1n[rows(0)] * n2n[rows(0)]
+                                   + n1n[rows(1)] * n2n[rows(1)]
+                                   + n1n[rows(2)] * n2n[rows(2)],
+                                   -1.0, 1.0)
                     angle = _acos(cos)
                     cerr = angle - m["brest"][kb]
                     sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
@@ -762,17 +810,19 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                                         alpha_b * cfg.bend_soften_factor,
                                         alpha_b)
                     neg_inv_sin = -1.0 / jnp.where(sin_ok, sin, 1.0)
-                    a_vec = (n2n - cos * n1n) * inv_l1
-                    b_vec = (n1n - cos * n2n) * inv_l2
-                    gb = neg_inv_sin * (cross(e1, a_vec) + cross(b_vec, e2))
-                    gc = neg_inv_sin * cross(a_vec, e0)
-                    gdv = neg_inv_sin * cross(e0, b_vec)
+                    cos3 = t3(cos)
+                    nis3 = t3(neg_inv_sin)
+                    a_vec = (n2n - cos3 * n1n) * t3(inv_l1)
+                    b_vec = (n1n - cos3 * n2n) * t3(inv_l2)
+                    gb = nis3 * (cross(e1, a_vec) + cross(b_vec, e2))
+                    gc = nis3 * cross(a_vec, e0)
+                    gdv = nis3 * cross(e0, b_vec)
                     ga = -gb - gc - gdv
                     ssum = (m["bwa"][kb] * nsq(ga) + m["bwb"][kb] * nsq(gb)
                             + m["bwc"][kb] * nsq(gc)
                             + m["bwd"][kb] * nsq(gdv))
                     denom = ssum + alpha_b
-                    lam_b = blamo_ref[kb]                    # (1, S)
+                    lam_b = blamo_ref[kb]                    # (R, S)
                     dl = (-cerr - alpha_b * lam_b) / jnp.maximum(denom,
                                                                  1e-30)
                     if cfg.max_dlambda > 0:
@@ -782,8 +832,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     dl = jnp.where(ok, dl, 0.0) * m["brelax"][kb]
                     blamo_ref[kb] = lam_b + dl
 
+                    dl3 = t3(dl)
+
                     def scat(g, o):
-                        return dot_oh(dl * g, o, (((1,), (1,)), ((), ())),
+                        return dot_oh(dl3 * g, o, (((1,), (1,)), ((), ())),
                                       exact=exact_oh, stack_axis=0)
 
                     delta[:, b0:b0 + bwn] += (
@@ -791,29 +843,29 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         + scat(gc, oh[2]) + scat(gdv, oh[3]))
                 # destination-weighted overlap-add (same as distance)
                 for c in range(3):
-                    pred[c:c + 1] += w * delta[c:c + 1]
+                    pred[rows(c)] += w * delta[rows(c)]
 
             def contacts():
                 if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
                     gh = cfg.ground_height
-                    pen = gh - pred[1:2]
+                    pen = gh - pred[rows(1)]
                     alpha_col = cfg.collision_compliance * inv_dt2
                     denom = w + alpha_col
                     dl = pen / jnp.maximum(denom, 1e-30)
                     hit = ((pen > 0)
                            & (w >= cfg.static_inv_mass_eps)
                            & (jnp.abs(denom) >= cfg.eps_denominator))
-                    pred[1:2] += jnp.where(hit, w * dl, 0.0)
+                    pred[rows(1)] += jnp.where(hit, w * dl, 0.0)
                     fr = min(max(cfg.friction, 0.0), 1.0)
-                    pred[0:1] -= jnp.where(
-                        hit, (pred[0:1] - xo_ref[0:1]) * fr, 0.0)
-                    pred[2:3] -= jnp.where(
-                        hit, (pred[2:3] - xo_ref[2:3]) * fr, 0.0)
+                    pred[rows(0)] -= jnp.where(
+                        hit, (pred[rows(0)] - xo_ref[rows(0)]) * fr, 0.0)
+                    pred[rows(2)] -= jnp.where(
+                        hit, (pred[rows(2)] - xo_ref[rows(2)]) * fr, 0.0)
                 if cfg.box_colliders:
                     fr = min(max(cfg.friction, 0.0), 1.0)
                     for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
-                        loc = [pred[0:1] - cx, pred[1:2] - cy,
-                               pred[2:3] - cz]
+                        loc = [pred[rows(0)] - cx, pred[rows(1)] - cy,
+                               pred[rows(2)] - cz]
                         fd = [hx - jnp.abs(loc[0]), hy - jnp.abs(loc[1]),
                               hz - jnp.abs(loc[2])]
                         inside = (fd[0] > 0) & (fd[1] > 0) & (fd[2] > 0)
@@ -825,41 +877,41 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         for c, mc in enumerate((m0, m1, m2)):
                             sg = jnp.where(loc[c] < 0, -1.0, 1.0)
                             push = jnp.where(act & mc, sg * fd[c], 0.0)
-                            pred[c:c + 1] += push
+                            pred[rows(c)] += push
                             nvec.append(jnp.where(mc, sg, 0.0))
                         vn = None
                         for c in range(3):
-                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
                             vn = (velc * nvec[c] if vn is None
                                   else vn + velc * nvec[c])
                         for c in range(3):
-                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
                             vt = velc - vn * nvec[c]
-                            pred[c:c + 1] -= jnp.where(act, vt * (dt * fr),
+                            pred[rows(c)] -= jnp.where(act, vt * (dt * fr),
                                                        0.0)
                 if cfg.sphere_colliders:
                     fr = min(max(cfg.friction, 0.0), 1.0)
                     for cx, cy, cz, radius in cfg.sphere_colliders:
-                        dvs = [pred[0:1] - cx, pred[1:2] - cy,
-                               pred[2:3] - cz]
+                        dvs = [pred[rows(0)] - cx, pred[rows(1)] - cy,
+                               pred[rows(2)] - cz]
                         dist = jnp.sqrt(jnp.maximum(
                             dvs[0] ** 2 + dvs[1] ** 2 + dvs[2] ** 2, 1e-24))
                         penet = radius - dist
                         act = (penet > 0) & (w >= cfg.static_inv_mass_eps)
                         for c in range(3):
                             nc = dvs[c] / dist
-                            pred[c:c + 1] += jnp.where(act, nc * penet, 0.0)
+                            pred[rows(c)] += jnp.where(act, nc * penet, 0.0)
                         vn = None
                         for c in range(3):
                             nc = dvs[c] / dist
-                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
                             vn = (velc * nc if vn is None
                                   else vn + velc * nc)
                         for c in range(3):
                             nc = dvs[c] / dist
-                            velc = (pred[c:c + 1] - xo_ref[c:c + 1]) / dt
+                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
                             vt = velc - vn * nc
-                            pred[c:c + 1] -= jnp.where(act, vt * (dt * fr),
+                            pred[rows(c)] -= jnp.where(act, vt * (dt * fr),
                                                        0.0)
 
             def substep(step_i, carry):
@@ -878,10 +930,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
 
                 # ---- predict (per coordinate plane)
                 for c, gc in ((0, gx), (1, gy), (2, gz)):
-                    vc = vo_ref[c:c + 1]
+                    vc = vo_ref[rows(c)]
                     ext = None
                     if with_ext:
-                        ext = f_ref[c:c + 1] * jnp.where(step_i == 0, 1.0,
+                        ext = f_ref[rows(c)] * jnp.where(step_i == 0, 1.0,
                                                          0.0)
                     if cfg.gravity_is_acceleration:
                         if ext is not None:
@@ -905,12 +957,12 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     if cfg.max_velocity > 0:
                         vc = jnp.clip(vc, -cfg.max_velocity,
                                       cfg.max_velocity)
-                    vo_ref[c:c + 1] = vc
-                    pc = xo_ref[c:c + 1] + dt * vc
+                    vo_ref[rows(c)] = vc
+                    pc = xo_ref[rows(c)] + dt * vc
                     if cfg.world_bounds > 0:
                         pc = jnp.clip(pc, -cfg.world_bounds,
                                       cfg.world_bounds)
-                    pred[c:c + 1] = pc
+                    pred[rows(c)] = pc
 
                 if cfg.lambda_mode == LambdaMode.WARM_START:
                     sweep("warm")
@@ -932,13 +984,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                                       2.0 / (2.0 - rho2),
                                       4.0 / (4.0 - rho2 * om)))
                         for c in range(3):
-                            newc = pred[c:c + 1]
-                            curc = tmp[c:c + 1]
+                            newc = pred[rows(c)]
+                            curc = tmp[rows(c)]
                             acc = om_next * (gamma * (newc - curc)
-                                             + curc - prev[c:c + 1]) \
-                                + prev[c:c + 1]
-                            prev[c:c + 1] = curc
-                            pred[c:c + 1] = acc
+                                             + curc - prev[rows(c)]) \
+                                + prev[rows(c)]
+                            prev[rows(c)] = curc
+                            pred[rows(c)] = acc
                         if has_contacts:
                             contacts()
                         return om_next
@@ -959,61 +1011,63 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 # ---- finalize (+ optional velocity-reflect floor)
                 if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
                     for c in range(3):
-                        vo_ref[c:c + 1] = jnp.where(
+                        vo_ref[rows(c)] = jnp.where(
                             pinned, 0.0,
-                            (pred[c:c + 1] - xo_ref[c:c + 1]) / dt)
+                            (pred[rows(c)] - xo_ref[rows(c)]) / dt)
                     gh = cfg.ground_height
-                    x1 = jnp.where(pinned, xo_ref[1:2], pred[1:2])
+                    x1 = jnp.where(pinned, xo_ref[rows(1)], pred[rows(1)])
                     pen = gh - x1
                     hit = (pen > 0) & (w > 0)
                     x1 = jnp.where(hit, gh + cfg.floor_offset, x1)
-                    v1 = vo_ref[1:2]
+                    v1 = vo_ref[rows(1)]
                     falling = hit & (v1 < 0)
                     vy = (jnp.abs(v1) * cfg.restitution
                           + pen * cfg.penetration_kick)
                     v1n = jnp.where(falling, vy, v1)
                     normal_force = jnp.abs(v1n) + pen * cfg.normal_force_scale
                     h_speed = jnp.sqrt(jnp.maximum(
-                        vo_ref[0:1] ** 2 + vo_ref[2:3] ** 2, 1e-24))
+                        vo_ref[rows(0)] ** 2 + vo_ref[rows(2)] ** 2, 1e-24))
                     moving = h_speed > 1e-3
                     fmag = jnp.minimum(
                         h_speed,
                         normal_force * cfg.floor_friction_coeff * dt)
                     scalef = jnp.where(falling & moving, fmag / h_speed, 0.0)
-                    vo_ref[0:1] = vo_ref[0:1] - vo_ref[0:1] * scalef
-                    vo_ref[1:2] = v1n
-                    vo_ref[2:3] = vo_ref[2:3] - vo_ref[2:3] * scalef
-                    xo_ref[0:1] = jnp.where(pinned, xo_ref[0:1], pred[0:1])
-                    xo_ref[1:2] = x1
-                    xo_ref[2:3] = jnp.where(pinned, xo_ref[2:3], pred[2:3])
+                    vo_ref[rows(0)] = vo_ref[rows(0)] - vo_ref[rows(0)] * scalef
+                    vo_ref[rows(1)] = v1n
+                    vo_ref[rows(2)] = vo_ref[rows(2)] - vo_ref[rows(2)] * scalef
+                    xo_ref[rows(0)] = jnp.where(pinned, xo_ref[rows(0)],
+                                                pred[rows(0)])
+                    xo_ref[rows(1)] = x1
+                    xo_ref[rows(2)] = jnp.where(pinned, xo_ref[rows(2)],
+                                                pred[rows(2)])
                 else:
                     for c in range(3):
-                        vo_ref[c:c + 1] = jnp.where(
+                        vo_ref[rows(c)] = jnp.where(
                             pinned, 0.0,
-                            (pred[c:c + 1] - xo_ref[c:c + 1]) / dt)
-                        xo_ref[c:c + 1] = jnp.where(pinned, xo_ref[c:c + 1],
-                                                    pred[c:c + 1])
+                            (pred[rows(c)] - xo_ref[rows(c)]) / dt)
+                        xo_ref[rows(c)] = jnp.where(pinned, xo_ref[rows(c)],
+                                                    pred[rows(c)])
                 return carry
 
             lax.fori_loop(0, n_substeps, substep, 0)
 
         pl.run_scoped(
             scoped,
-            pred=pltpu.VMEM((3, n_pad), jnp.float32),
-            delta=pltpu.VMEM((3, n_pad), jnp.float32),
-            prev=pltpu.VMEM((3, n_pad), jnp.float32),
-            tmp=pltpu.VMEM((3, n_pad), jnp.float32),
+            pred=pltpu.VMEM((3 * R, n_pad), jnp.float32),
+            delta=pltpu.VMEM((3 * R, n_pad), jnp.float32),
+            prev=pltpu.VMEM((3 * R, n_pad), jnp.float32),
+            tmp=pltpu.VMEM((3 * R, n_pad), jnp.float32),
         )
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = [
-        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # x
-        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),        # v
-        jax.ShapeDtypeStruct((k_blocks, 1, s_edges), jnp.float32),
+        jax.ShapeDtypeStruct((3 * R, n_pad), jnp.float32),    # x
+        jax.ShapeDtypeStruct((3 * R, n_pad), jnp.float32),    # v
+        jax.ShapeDtypeStruct((k_blocks, R, s_edges), jnp.float32),
     ]
     if bplan is not None:
         out_shapes.append(jax.ShapeDtypeStruct(
-            (bplan.n_blocks, 1, bplan.block_hinges), jnp.float32))
+            (bplan.n_blocks, R, bplan.block_hinges), jnp.float32))
     call = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -1030,18 +1084,50 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                               for i in range(4))
         h_real = topo.n_hinges
 
+    def to_planes(a):
+        """(B, n, 3) component-major batched planes -> (3R, n_pad)."""
+        t = jnp.transpose(a, (2, 0, 1))                       # (3, B, n)
+        t = jnp.pad(t, ((0, 0), (0, R - n_b), (0, n_pad - n)))
+        return t.reshape(3 * R, n_pad)
+
+    def from_planes(p):
+        """(3R, n_pad) -> (B, n, 3)."""
+        return p.reshape(3, R, n_pad)[:, :n_b, :n].transpose(1, 2, 0)
+
+    def lam_to_slab(lam2d, kb, sb):
+        """(B, kb*sb)-padded multipliers -> (kb, R, sb) kernel slab."""
+        t = lam2d.reshape(n_b, kb, sb).transpose(1, 0, 2)
+        return jnp.pad(t, ((0, 0), (0, R - n_b), (0, 0)))
+
+    def slab_to_lam(slab, kb, sb):
+        """(kb, R, sb) -> (B, kb*sb)."""
+        return slab.transpose(1, 0, 2)[:n_b].reshape(n_b, kb * sb)
+
     @jax.jit
     def fn(state: SimState) -> SimState:
-        x = jnp.pad(state.positions.T, ((0, 0), (0, n_pad - n)))
-        v = jnp.pad(state.velocities.T, ((0, 0), (0, n_pad - n)))
-        w = jnp.pad(state.inv_mass[None, :], ((0, 0), (0, n_pad - n)))
-        if slot_c is not None:
-            # colored packing: slots are a (padded) permutation of edges
-            lam = state.lambda_dist[slot_c].reshape(k_blocks, 1, s_edges)
+        if batched:
+            x = to_planes(state.positions)
+            v = to_planes(state.velocities)
+            if slot_c is not None:
+                lam = lam_to_slab(state.lambda_dist[:, slot_c],
+                                  k_blocks, s_edges)
+            else:
+                lam = lam_to_slab(
+                    jnp.pad(state.lambda_dist,
+                            ((0, 0), (0, k_blocks * s_edges - e_real))),
+                    k_blocks, s_edges)
         else:
-            lam = jnp.pad(state.lambda_dist,
-                          (0, k_blocks * s_edges - e_real)
-                          ).reshape(k_blocks, 1, s_edges)
+            x = jnp.pad(state.positions.T, ((0, 0), (0, n_pad - n)))
+            v = jnp.pad(state.velocities.T, ((0, 0), (0, n_pad - n)))
+            if slot_c is not None:
+                # colored packing: slots are a (padded) permutation of edges
+                lam = state.lambda_dist[slot_c].reshape(
+                    k_blocks, 1, s_edges)
+            else:
+                lam = jnp.pad(state.lambda_dist,
+                              (0, k_blocks * s_edges - e_real)
+                              ).reshape(k_blocks, 1, s_edges)
+        w = jnp.pad(state.inv_mass[None, :], ((0, 0), (0, n_pad - n)))
         # per-call slabs (inv_mass is dynamic state: SetPinned)
         wa = state.inv_mass[ea_c]
         wb = state.inv_mass[eb_c]
@@ -1067,12 +1153,18 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         if bound_c is not None:
             args.append(bound_c)
         if with_ext:
-            args.append(jnp.pad(state.ext_force.T,
-                                ((0, 0), (0, n_pad - n))))
+            args.append(to_planes(state.ext_force) if batched
+                        else jnp.pad(state.ext_force.T,
+                                     ((0, 0), (0, n_pad - n))))
         if bplan is not None:
             bkn, bsn = bplan.n_blocks, bplan.block_hinges
-            blam = jnp.pad(state.lambda_bend,
-                           (0, bkn * bsn - h_real)).reshape(bkn, 1, bsn)
+            if batched:
+                blam = lam_to_slab(
+                    jnp.pad(state.lambda_bend,
+                            ((0, 0), (0, bkn * bsn - h_real))), bkn, bsn)
+            else:
+                blam = jnp.pad(state.lambda_bend,
+                               (0, bkn * bsn - h_real)).reshape(bkn, 1, bsn)
             bwa = state.inv_mass[bha].reshape(bkn, 1, bsn)
             bwb = state.inv_mass[bhb].reshape(bkn, 1, bsn)
             bwc = state.inv_mass[bhc].reshape(bkn, 1, bsn)
@@ -1086,15 +1178,28 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         else:
             xo, vo, lamo = call(*args)
             blamo = None
-        lam_flat = lamo.reshape(-1)
-        out = state.replace(
-            positions=xo[:, :n].T,
-            velocities=vo[:, :n].T,
-            lambda_dist=(lam_flat[:e_real] if eslot_c is None
-                         else lam_flat[eslot_c]),
-        )
-        if blamo is not None:
-            out = out.replace(lambda_bend=blamo.reshape(-1)[:h_real])
+        if batched:
+            lam_flat = slab_to_lam(lamo, k_blocks, s_edges)
+            out = state.replace(
+                positions=from_planes(xo),
+                velocities=from_planes(vo),
+                lambda_dist=(lam_flat[:, :e_real] if eslot_c is None
+                             else lam_flat[:, eslot_c]),
+            )
+            if blamo is not None:
+                out = out.replace(lambda_bend=slab_to_lam(
+                    blamo, bplan.n_blocks,
+                    bplan.block_hinges)[:, :h_real])
+        else:
+            lam_flat = lamo.reshape(-1)
+            out = state.replace(
+                positions=xo[:, :n].T,
+                velocities=vo[:, :n].T,
+                lambda_dist=(lam_flat[:e_real] if eslot_c is None
+                             else lam_flat[eslot_c]),
+            )
+            if blamo is not None:
+                out = out.replace(lambda_bend=blamo.reshape(-1)[:h_real])
         if with_ext:
             out = out.replace(ext_force=jnp.zeros_like(state.ext_force))
         return out

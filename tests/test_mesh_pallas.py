@@ -506,3 +506,145 @@ def test_mesh_kernel_colored_rejects_bending_and_plain_topology():
         mesh_pallas.build_mesh_plan(
             topo2, SolverConfig(solve_mode=SolveMode.COLORED), DT,
             colored=True)
+
+
+# ---------------------------------------------------------------------------
+# Ensemble kernel: bodies stacked on the sublane axis (n_bodies > 1)
+# ---------------------------------------------------------------------------
+
+def _make_body_states(pos, topo, n_bodies, pins=(0, 5), poke=True, seed=0):
+    """Per-body states with distinct positions/velocities/forces but the
+    SHARED inv_mass the ensemble kernel requires."""
+    rng = np.random.default_rng(seed)
+    states = []
+    for b in range(n_bodies):
+        p = pos + np.array([0.11 * b, 0.05 * b, -0.07 * b], np.float32)
+        st = state_from_topology(topo, p)
+        st = st.replace(velocities=np.asarray(
+            rng.normal(0.0, 0.1, st.velocities.shape), np.float32))
+        if pins:
+            st = st.replace(
+                inv_mass=st.inv_mass.at[np.asarray(pins)].set(0.0))
+        if poke:
+            f = np.zeros_like(p)
+            f[:6] = rng.normal(0.0, 3.0, (6, 3)).astype(np.float32)
+            st = st.replace(ext_force=np.asarray(f))
+        states.append(st)
+    return states
+
+
+def _batch(states):
+    """Stack per-body states into the ensemble kernel's batched SimState
+    (inv_mass stays the shared (n,) leaf)."""
+    s0 = states[0]
+    return s0.replace(
+        positions=np.stack([np.asarray(s.positions) for s in states]),
+        velocities=np.stack([np.asarray(s.velocities) for s in states]),
+        ext_force=np.stack([np.asarray(s.ext_force) for s in states]),
+        lambda_dist=np.stack([np.asarray(s.lambda_dist) for s in states]),
+        lambda_bend=np.stack([np.asarray(s.lambda_bend) for s in states]),
+    )
+
+
+def _assert_bodies_close(out, refs, tol_pos=2e-5, tol_lam=1e-6,
+                         check_bend=False):
+    for b, ref in enumerate(refs):
+        pb = np.asarray(out.positions[b])
+        assert np.isfinite(pb).all()
+        dpos = np.abs(pb - np.asarray(ref.positions)).max()
+        dlam = np.abs(np.asarray(out.lambda_dist[b])
+                      - np.asarray(ref.lambda_dist)).max()
+        assert dpos < tol_pos, f"body {b} position mismatch {dpos}"
+        assert dlam < tol_lam, f"body {b} lambda mismatch {dlam}"
+        if check_bend:
+            dbl = np.abs(np.asarray(out.lambda_bend[b])
+                         - np.asarray(ref.lambda_bend)).max()
+            assert dbl < 5e-6, f"body {b} bend lambda mismatch {dbl}"
+
+
+def test_mesh_ensemble_matches_per_body_engine():
+    """B=3 (pads to the 8-row tile): every body of the ensemble kernel
+    must track its own single-body general-engine rollout — pins, pokes,
+    Chebyshev, DECAY multipliers, floor contact."""
+    cfg = SolverConfig(substeps=2, iterations=3, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.DECAY, lambda_decay=0.98,
+                       jacobi_rho=0.9, distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    pos, topo = sphere_topo()
+    states = _make_body_states(pos, topo, 3)
+    n_steps = 2
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=n_steps)
+    refs = [ref_fn(s) for s in states]
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=3)
+        out = fn(_batch(states))
+    _assert_bodies_close(out, refs)
+    assert np.abs(np.asarray(out.ext_force)).max() == 0.0
+    assert out.positions.shape == (3,) + tuple(refs[0].positions.shape)
+
+
+def test_mesh_ensemble_matches_single_body_kernel_bitwise():
+    """Each ensemble row must be the SAME arithmetic as the single-body
+    kernel: identical MXU contractions on stacked rows (padded bodies
+    change nothing)."""
+    cfg = SolverConfig(substeps=2, iterations=2,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    pos, topo = sphere_topo()
+    states = _make_body_states(pos, topo, 2, pins=(), poke=False)
+    with pltpu.force_tpu_interpret_mode():
+        single = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, cfg.substeps,
+            block_edges=128, with_ext=True)
+        singles = [single(s) for s in states]
+        ens = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=2)
+        out = ens(_batch(states))
+    for b, ref in enumerate(singles):
+        d = np.abs(np.asarray(out.positions[b])
+                   - np.asarray(ref.positions)).max()
+        assert d == 0.0, f"ensemble row {b} != single-body kernel: {d}"
+
+
+def test_mesh_ensemble_bending():
+    cfg = _bend_cfg(substeps=2, iterations=2, jacobi_rho=0.9,
+                    lambda_mode=LambdaMode.DECAY, lambda_decay=0.98)
+    pos, topo = bend_topo()
+    states = _make_body_states(pos, topo, 2, pins=(0, 3), poke=False)
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=1)
+    refs = [ref_fn(s) for s in states]
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=2)
+        out = fn(_batch(states))
+    _assert_bodies_close(out, refs, tol_pos=5e-6, check_bend=True)
+
+
+def test_mesh_ensemble_colored():
+    """COLORED ensembles: the exact parallel-GS color sweep per body."""
+    m = mesh.icosphere(2)
+    pos2, topo = build.topology_from_mesh(m, compliance=1e-3,
+                                          windowed="colored",
+                                          block_edges=128)
+    pos = pos2 + np.array([0, 0.8, 0], np.float32)
+    cfg = SolverConfig(substeps=2, iterations=2,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    states = _make_body_states(pos, topo, 2, pins=(1,), poke=True, seed=3)
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=1)
+    refs = [ref_fn(s) for s in states]
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=2)
+        out = fn(_batch(states))
+    _assert_bodies_close(out, refs)
