@@ -125,6 +125,60 @@ def make_sharded_pallas_rollout(spec, cfg: SolverConfig, dt_sub: float,
     return jax.jit(fn)
 
 
+def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
+                                     n_substeps: int, mesh: Mesh,
+                                     n_bodies: int, axis: str = "dp",
+                                     **kernel_kw):
+    """DP over chips x the fused ENSEMBLE mesh kernel per shard (the mesh
+    twin of ``make_sharded_pallas_rollout``).
+
+    Each chip runs ``kernels.mesh_pallas.make_mesh_substep_runner(...,
+    n_bodies=B_local)`` on its contiguous slab of bodies — the whole
+    multi-chip bunny/cloth farm advances in ONE fused kernel per chip with
+    zero hot-loop collectives.  The batched state's body leaves split on
+    the mesh; ``inv_mass`` stays the shared (n,) leaf the ensemble kernel
+    requires (replicated input).  ``n_bodies`` is the GLOBAL body count
+    and must divide by the mesh size; note the kernel pads each shard's
+    local batch to the 8-row sublane tile, so B_local >= 8 per chip wastes
+    nothing."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..kernels import mesh_pallas as _mp
+
+    n_shards = mesh.devices.size
+    if n_bodies % n_shards:
+        raise ValueError(f"n_bodies={n_bodies} must divide the "
+                         f"{n_shards}-device mesh")
+    local = _mp.make_mesh_substep_runner(
+        topo, cfg, dt_sub, n_substeps, with_ext=True,
+        n_bodies=n_bodies // n_shards, **kernel_kw)
+
+    def local_arrays(pos, vel, ext, lam, lamb, w):
+        st = SimState(positions=pos, velocities=vel, inv_mass=w,
+                      ext_force=ext, lambda_dist=lam, lambda_bend=lamb,
+                      lambda_volume=jnp.zeros((), jnp.float32))
+        out = local(st)
+        return (out.positions, out.velocities, out.ext_force,
+                out.lambda_dist, out.lambda_bend)
+
+    fn = shard_map(local_arrays, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                             P()),
+                   out_specs=(P(axis),) * 5,
+                   check_rep=False)
+
+    @jax.jit
+    def run(batched: SimState) -> SimState:
+        pos, vel, ext, lam, lamb = fn(
+            batched.positions, batched.velocities, batched.ext_force,
+            batched.lambda_dist, batched.lambda_bend, batched.inv_mass)
+        return batched.replace(positions=pos, velocities=vel,
+                               ext_force=ext, lambda_dist=lam,
+                               lambda_bend=lamb)
+
+    return run
+
+
 def make_sharded_general_step(topo, cfg: SolverConfig, dt: float, mesh: Mesh,
                               n_steps: int = 1, axis: str = "dp"):
     """Batched GENERAL-engine (arbitrary mesh) step sharded over chips: the

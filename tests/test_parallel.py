@@ -212,3 +212,47 @@ def test_sharded_general_mesh_ensemble_matches_vmap():
                - np.asarray(out_v.positions)).max()
     assert d < 1e-6, f"sharded mesh ensemble drifted from vmap: {d}"
     assert np.isfinite(np.asarray(out_sh.positions)).all()
+
+
+def test_sharded_mesh_pallas_rollout_matches_single_kernel():
+    """DP x fused ensemble MESH kernel: 8 bunnies over a 4-device mesh
+    (2 bodies/chip) must match the single-device ensemble kernel —
+    per-body arithmetic is row- and shard-independent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu import state_from_topology
+    from softbodysimulation_tpu.kernels import mesh_pallas
+    from softbodysimulation_tpu.topology import build, mesh
+
+    m = mesh.icosphere(1, radius=0.4)
+    pos, topo = build.topology_from_mesh(
+        m, compliance=1e-4, windowed=True, block_edges=64)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.9,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    nb = 8
+    st = state_from_topology(topo, pos + np.array([0, 1.0, 0], np.float32))
+    rng = np.random.RandomState(2)
+    offs = rng.uniform(-1, 1, (nb, 3)).astype(np.float32)
+    z = np.zeros((nb,) + tuple(st.positions.shape), np.float32)
+    batched = st.replace(
+        positions=np.asarray(st.positions)[None] + offs[:, None, :],
+        velocities=z, ext_force=z,
+        lambda_dist=np.zeros((nb, topo.n_edges), np.float32),
+        lambda_bend=np.zeros((nb, topo.n_hinges), np.float32))
+    n_sub = 2 * cfg.substeps
+    devmesh = pbatch.make_mesh(4)
+    with pltpu.force_tpu_interpret_mode():
+        out_s = pbatch.make_sharded_mesh_pallas_rollout(
+            topo, cfg, DT / cfg.substeps, n_sub, devmesh, nb,
+            block_edges=64)(batched)
+        ref = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_sub, with_ext=True,
+            n_bodies=nb, block_edges=64)(batched)
+    got = np.asarray(out_s.positions)
+    want = np.asarray(ref.positions)
+    assert np.isfinite(got).all()
+    assert np.abs(got - want).max() < 1e-6
+    assert out_s.lambda_dist.shape == (nb, topo.n_edges)
