@@ -245,6 +245,37 @@ def main():
     measure(f"bunny ensemble x{nb} (windowed, vmap)", fnwb, batched_w,
             nb * topo_w.n_particles, stepsb * cfgm.substeps)
 
+    # 2c'. fused ENSEMBLE mesh kernel (round 3): bodies stacked on the
+    # sublane axis, one Mosaic program for the whole farm — same-run pair
+    # against the vmapped XLA windowed backend at the same body count
+    try:
+        from softbodysimulation_tpu.kernels import mesh_pallas as _mp
+
+        nbe = 32
+        be_v = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (nbe,) + x.shape), stw)
+        be_v = be_v.replace(
+            positions=be_v.positions + offs_b[:nbe, None, :])
+        fnwe = jax.jit(jax.vmap(
+            lambda s: general.multi_step_fn(s, topo_w, cfgw, 1 / 60,
+                                            stepsb)))
+        measure(f"bunny farm x{nbe} (windowed, vmap)", fnwe, be_v,
+                nbe * topo_w.n_particles, stepsb * cfgw.substeps,
+                pair="bunny_farm")
+        # kernel contract: shared (n,) inv_mass leaf
+        be = be_v.replace(inv_mass=stw.inv_mass)
+        Le = 2000
+        for approx in (False, True):
+            fne = _mp.make_mesh_substep_runner(
+                topo_w, cfgw, (1 / 60) / cfgw.substeps, Le, with_ext=True,
+                approx_math=approx, n_bodies=nbe)
+            measure(f"bunny farm x{nbe} (fused ensemble kernel"
+                    f"{', approx' if approx else ''})", fne, be,
+                    nbe * topo_w.n_particles, Le, pair="bunny_farm")
+    except Exception as e:  # noqa: BLE001
+        print(f"ensemble mesh kernel unavailable: {type(e).__name__}: {e}",
+              flush=True)
+
     # 3. 1024-body ensemble, res-4 braced lattices, vmapped
     spec4 = lattice.lattice_spec(4, braced=True)
     cfg4 = SolverConfig(substeps=4, iterations=1, damping=0.02,
