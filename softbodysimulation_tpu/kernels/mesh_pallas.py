@@ -505,7 +505,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                              block_edges: int = 256,
                              plan: Optional[MeshKernelPlan] = None,
                              synth_gd: Optional[bool] = None,
-                             n_bodies: int = 1):
+                             n_bodies: int = 1,
+                             batched: Optional[bool] = None):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
     raw substeps of the general-mesh XPBD loop in ONE fused kernel
     (``with_ext=True`` adds the reference force lifecycle: ``ext_force``
@@ -530,15 +531,21 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     lambda_dist ``(B, e)``, lambda_bend ``(B, h)``; ``inv_mass``/pinning
     stays a shared ``(n,)`` (the replicated-farm workload — per-body masses
     need the vmapped XLA backend).  Equivalent to ``jax.vmap`` of the
-    single-body semantics (tested in tests/test_mesh_pallas.py)."""
+    single-body semantics (tested in tests/test_mesh_pallas.py).
+    ``batched=True`` forces the batched state contract even at
+    ``n_bodies=1`` (a one-body-per-chip shard of a sharded farm)."""
     _check_supported(cfg, topo)
     if n_bodies < 1:
         raise ValueError("n_bodies must be >= 1")
-    batched = n_bodies > 1
+    if batched is None:
+        batched = n_bodies > 1
+    elif not batched and n_bodies > 1:
+        raise ValueError("n_bodies > 1 requires the batched contract")
     n_b = n_bodies
     # pad the body axis to the 8-sublane f32 register tile so every row
     # group slice is tile-aligned (padded bodies simulate zeros, sliced off)
     R = 1 if not batched else 8 * -(-n_b // 8)
+    n_bodies = R if batched else 1   # plan VMEM accounting uses padded rows
     colored = cfg.solve_mode == SolveMode.COLORED
     if plan is None:
         plan = build_mesh_plan(topo, cfg, dt_sub, block_edges=block_edges,

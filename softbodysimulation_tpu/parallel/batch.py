@@ -151,7 +151,7 @@ def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
                          f"{n_shards}-device mesh")
     local = _mp.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, with_ext=True,
-        n_bodies=n_bodies // n_shards, **kernel_kw)
+        n_bodies=n_bodies // n_shards, batched=True, **kernel_kw)
 
     def local_arrays(pos, vel, ext, lam, lamb, w):
         st = SimState(positions=pos, velocities=vel, inv_mass=w,
