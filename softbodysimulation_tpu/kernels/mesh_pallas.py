@@ -47,8 +47,11 @@ Formulation (leaner than the XLA backend's, same arithmetic):
 Capability envelope mirrors the XLA windowed backend: JACOBI solve mode
 (plus its Chebyshev acceleration), RESET/DECAY/WARM_START lambda modes,
 both floor modes, sphere/box SDF colliders, clamps, external-force
-lifecycle, and BENDING (dihedral) constraints.  Volume and self-collision
-fall back to the general engine (``_check_supported``).
+lifecycle, BENDING (dihedral) constraints, and the global VOLUME/pressure
+constraint (``ops/volume.py``: synthesized triangle one-hots gather the
+three corners, gradients scatter into the correction plane, V and the
+w-weighted gradient norm reduce to per-body scalars).  Self-collision
+falls back to the general engine (``_check_supported``).
 
 Bending rides a different mechanism than distance: the hinge one-hot
 matrices are too large to keep VMEM-resident (~16 MB bf16 at bunny scale,
@@ -104,10 +107,6 @@ def _check_supported(cfg: SolverConfig, topo: Topology):
         raise NotImplementedError(
             "mesh pallas kernel: self-collision requires the general "
             "engine's contact backends")
-    if cfg.enable_volume and topo.triangles.shape[0] > 0:
-        raise NotImplementedError(
-            "mesh pallas kernel: volume constraint runs in the general "
-            "engine")
 
 
 def _acos(x):
@@ -207,6 +206,54 @@ def _build_bend_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
 
 
 @dataclasses.dataclass(frozen=True)
+class VolumePlan:
+    """Host-built triangle-block structure for the in-kernel global
+    volume constraint (``ops/volume.py``'s math).  One-hot matrices are
+    synthesized in-registers from ``idx_loc`` (the bending mechanism);
+    padded slots point all three endpoints at the same local index, so
+    their cross products — and hence their V contribution and gradient
+    scatter — cancel to exact zeros (no mask needed)."""
+
+    idx_loc: np.ndarray     # (Kt, 3, S) int32 window-local p1,p2,p3
+    bases: Tuple[int, ...]
+    n_blocks: int
+    block_tris: int
+    window: int
+    rest_volume: float
+
+
+def _build_volume_plan(topo: Topology, block_tris: int,
+                       max_window: int) -> VolumePlan:
+    tr = np.asarray(topo.triangles, np.int64)
+    t = tr.shape[0]
+    # processing order is free (fp summation order only): sort by min
+    # vertex so RCM renumbering gives tight windows
+    order = np.argsort(tr.min(axis=1), kind="stable")
+    tr = tr[order]
+    s = int(block_tris)
+    k = -(-t // s)
+    tpad = k * s
+    if tpad > t:
+        # padded slots: all three endpoints equal -> zero contribution
+        pad = np.full((tpad - t, 3), tr[-1, 0], np.int64)
+        tr = np.vstack([tr, pad])
+    blocks = tr.reshape(k, s, 3)
+    bases = (blocks.min(axis=(1, 2)) // SEG) * SEG
+    span = int((blocks.max(axis=(1, 2)) - bases + 1).max())
+    w = SEG * -(-span // SEG)
+    if w > max_window:
+        raise NotImplementedError(
+            f"mesh kernel volume window {w} > {max_window}: bandwidth too "
+            "large — volume falls back to the general engine")
+    loc = (blocks - bases[:, None, None]).astype(np.int32)
+    return VolumePlan(
+        idx_loc=np.ascontiguousarray(np.transpose(loc, (0, 2, 1))),
+        bases=tuple(int(b) for b in bases),
+        n_blocks=k, block_tris=s, window=w,
+        rest_volume=float(topo.rest_volume))
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshKernelPlan:
     """Host-built static structure for the fused mesh kernel.
 
@@ -245,6 +292,7 @@ class MeshKernelPlan:
     n_pad: int            # padded particle-lane count
     vmem_bytes: int
     bend: Optional[BendPlan] = None
+    vol: Optional[VolumePlan] = None
     didx: Optional[np.ndarray] = None  # (K, 2, S) int32 local a,b indices
     synth: bool = False
     # COLORED (exact parallel-GS) structure: blocks grouped color-major so
@@ -429,6 +477,12 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         n_pad = max(n_pad,
                     SEG * int((max(bend.bases) + bend.window) // SEG))
 
+    vol = None
+    if cfg.enable_volume and topo.triangles.shape[0] > 0:
+        vol = _build_volume_plan(topo, block_hinges, max_window)
+        n_pad = max(n_pad,
+                    SEG * int((max(vol.bases) + vol.window) // SEG))
+
     # ensemble row count: bodies stack on the sublane axis (runner pads
     # to a multiple of the 8-sublane f32 tile).  Plane accounting: the
     # live set is 9 (3R, n_pad) arrays (x/v in, x/v out, ext, pred/delta/
@@ -444,7 +498,10 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
            12 * bend.n_blocks * bend.block_hinges * 4   # hinge slabs
            + 2 * bend.n_blocks * bend.block_hinges * 4 * (r_rows - 1)
            # transient synthesized one-hots (4 live bf16 matrices)
-           + 4 * bend.window * bend.block_hinges * 2))
+           + 4 * bend.window * bend.block_hinges * 2)
+        + (0 if vol is None else
+           3 * vol.n_blocks * vol.block_tris * 4        # triangle idx slab
+           + 3 * vol.window * vol.block_tris * 2))      # transient one-hots
     resident_bytes = base_bytes + 2 * k * w * s * 2      # gd + gs (bf16)
     # synthesized: only the int32 index slab is resident; per sweep one
     # block's matrix plus its compare temporaries are live (~4 W x S bf16)
@@ -473,6 +530,7 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         n_pad=int(n_pad),
         vmem_bytes=synth_bytes if synth else resident_bytes,
         bend=bend,
+        vol=vol,
         didx=np.ascontiguousarray(didx) if synth else None,
         synth=synth,
         color_ranges=color_ranges,
@@ -594,6 +652,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                else jnp.asarray(plan.edge_slot))
 
     bplan = plan.bend
+    vplan = plan.vol
     in_names = (["x", "v", "w", "lam", "di", "act", "wlim"]
                 + (["didx"] if plan.synth else ["gd", "gs"])
                 + ["rest", "alpha", "relax", "warm"])
@@ -604,6 +663,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     if bplan is not None:
         in_names += ["blam", "bidx", "brest", "balpha", "brelax",
                      "bwa", "bwb", "bwc", "bwd", "bany"]
+    if vplan is not None:
+        in_names += ["vlam", "vidx"]
 
     def kernel(*refs):
         m = dict(zip(in_names, refs))
@@ -615,11 +676,11 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         relax_ref, warm_ref = m["relax"], m["warm"]
         bnd_ref = m.get("bound")
         f_ref = m.get("f")
-        if bplan is not None:
-            xo_ref, vo_ref, lamo_ref, blamo_ref = refs[len(in_names):]
-        else:
-            xo_ref, vo_ref, lamo_ref = refs[len(in_names):]
-            blamo_ref = None
+        outs = list(refs[len(in_names):])
+        xo_ref, vo_ref, lamo_ref = outs[:3]
+        outs = outs[3:]
+        blamo_ref = outs.pop(0) if bplan is not None else None
+        vlamo_ref = outs.pop(0) if vplan is not None else None
 
         def scoped(pred, delta, prev, tmp):
             xo_ref[:] = x_in[:]
@@ -627,6 +688,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             lamo_ref[:] = lam_in[:]
             if bplan is not None:
                 blamo_ref[:] = m["blam"][:]
+            if vplan is not None:
+                vlamo_ref[:] = m["vlam"][:]
             w = w_in[:]                        # (1, n_pad)
             pinned = w == 0.0
 
@@ -639,6 +702,24 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 row groups (identity for the single-body kernel, where
                 (1, S) broadcasts against (3, S))."""
                 return a if R == 1 else jnp.concatenate([a, a, a], axis=0)
+
+            def cross(u, v):
+                ux, uy, uz = u[rows(0)], u[rows(1)], u[rows(2)]
+                vx, vy, vz = v[rows(0)], v[rows(1)], v[rows(2)]
+                return jnp.concatenate([
+                    uy * vz - uz * vy,
+                    uz * vx - ux * vz,
+                    ux * vy - uy * vx], axis=0)
+
+            def nsq(g):
+                return (g[rows(0)] * g[rows(0)]
+                        + g[rows(1)] * g[rows(1)]
+                        + g[rows(2)] * g[rows(2)])
+
+            def vdot(u, v):
+                return (u[rows(0)] * v[rows(0)]
+                        + u[rows(1)] * v[rows(1)]
+                        + u[rows(2)] * v[rows(2)])
 
             def solve_block(kb, relax_mode):
                 """One block's gather -> XPBD project -> scatter-into-delta
@@ -754,19 +835,6 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 bkn, bsn, bwn = (bplan.n_blocks, bplan.block_hinges,
                                  bplan.window)
 
-                def cross(u, v):
-                    ux, uy, uz = u[rows(0)], u[rows(1)], u[rows(2)]
-                    vx, vy, vz = v[rows(0)], v[rows(1)], v[rows(2)]
-                    return jnp.concatenate([
-                        uy * vz - uz * vy,
-                        uz * vx - ux * vz,
-                        ux * vy - uy * vx], axis=0)
-
-                def nsq(g):
-                    return (g[rows(0)] * g[rows(0)]
-                            + g[rows(1)] * g[rows(1)]
-                            + g[rows(2)] * g[rows(2)])
-
                 delta[:] = jnp.zeros_like(delta)
                 for kb in range(bkn):
                     b0 = bplan.bases[kb]
@@ -852,6 +920,61 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 for c in range(3):
                     pred[rows(c)] += w * delta[rows(c)]
 
+            def volume_sweep():
+                """Global volume constraint (``ops/volume.py``): ONE XPBD
+                multiplier per body over the closed surface.  The gradient
+                plane accumulates in ``delta`` (scatter through synthesized
+                triangle one-hots); V and the w-weighted gradient norm
+                reduce to per-body scalars, then a single elementwise
+                update applies ``w * dl * grad``."""
+                vkn, vsn, vwn = (vplan.n_blocks, vplan.block_tris,
+                                 vplan.window)
+                delta[:] = jnp.zeros_like(delta)
+                vacc = jnp.zeros((R, 1), jnp.float32)
+                for kb in range(vkn):
+                    b0 = vplan.bases[kb]
+                    win = pred[:, b0:b0 + vwn]               # (3R, Wv)
+                    iota = lax.broadcasted_iota(jnp.int32, (vwn, vsn), 0)
+                    idx = m["vidx"][kb]                      # (3, S)
+                    oh = [(iota == idx[i:i + 1]).astype(jnp.bfloat16)
+                          for i in range(3)]                 # (Wv, S) {0,1}
+                    wparts = (jnp.concatenate(split3(win), axis=0)
+                              if exact_oh else None)
+                    p1, p2, p3 = (
+                        dot_oh(win, o, (((1,), (0,)), ((), ())),
+                               exact=exact_oh, parts=wparts, stack_axis=0)
+                        for o in oh)                         # (3R, S)
+                    # padded slots: p1==p2==p3 -> all crosses vanish
+                    c23 = cross(p2, p3)
+                    g1 = c23 / 6.0
+                    g2 = cross(p3, p1) / 6.0
+                    g3 = cross(p1, p2) / 6.0
+                    vacc = vacc + jnp.sum(vdot(p1, c23), axis=1,
+                                          keepdims=True)     # (R, 1)
+
+                    def scat(g, o):
+                        return dot_oh(g, o, (((1,), (1,)), ((), ())),
+                                      exact=exact_oh, stack_axis=0)
+
+                    delta[:, b0:b0 + vwn] += (scat(g1, oh[0])
+                                              + scat(g2, oh[1])
+                                              + scat(g3, oh[2]))
+                # per-body scalars: s = sum_i w_i |grad_i|^2
+                wg = w * (delta[rows(0)] * delta[rows(0)]
+                          + delta[rows(1)] * delta[rows(1)]
+                          + delta[rows(2)] * delta[rows(2)])
+                s_den = jnp.sum(wg, axis=1, keepdims=True)   # (R, 1)
+                alpha_v = cfg.volume_compliance * inv_dt2
+                cerr = vacc / 6.0 - cfg.pressure * vplan.rest_volume
+                lam_v = vlamo_ref[:, 0:1]                    # (R, 1)
+                denom = s_den + alpha_v
+                dl = (-cerr - alpha_v * lam_v) / jnp.maximum(denom, 1e-30)
+                dl = jnp.where(denom > 1e-12, dl, 0.0)
+                vlamo_ref[:] = ((lam_v + dl)
+                                + jnp.zeros((R, 128), jnp.float32))
+                for c in range(3):
+                    pred[rows(c)] += w * (dl * delta[rows(c)])
+
             def contacts():
                 if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
                     gh = cfg.ground_height
@@ -934,6 +1057,12 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         blamo_ref[:] = blamo_ref[:] * cfg.lambda_decay
                     else:
                         blamo_ref[:] = jnp.zeros_like(blamo_ref)
+                if vplan is not None:
+                    # volume follows the bending lifecycle (general._substep)
+                    if cfg.lambda_mode == LambdaMode.DECAY:
+                        vlamo_ref[:] = vlamo_ref[:] * cfg.lambda_decay
+                    else:
+                        vlamo_ref[:] = jnp.zeros_like(vlamo_ref)
 
                 # ---- predict (per coordinate plane)
                 for c, gc in ((0, gx), (1, gy), (2, gz)):
@@ -983,6 +1112,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         sweep("solve")
                         if bplan is not None:
                             bend_sweep()
+                        if vplan is not None:
+                            volume_sweep()
                         if has_contacts:
                             contacts()
                         om_next = jnp.where(
@@ -1009,6 +1140,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         sweep("solve")
                         if bplan is not None:
                             bend_sweep()
+                        if vplan is not None:
+                            volume_sweep()
                         if has_contacts:
                             contacts()
                         return carry2
@@ -1075,6 +1208,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     if bplan is not None:
         out_shapes.append(jax.ShapeDtypeStruct(
             (bplan.n_blocks, R, bplan.block_hinges), jnp.float32))
+    if vplan is not None:
+        out_shapes.append(jax.ShapeDtypeStruct((R, 128), jnp.float32))
     call = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -1090,6 +1225,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         bha, bhb, bhc, bhd = (jnp.asarray(bplan.idx_glob[i])
                               for i in range(4))
         h_real = topo.n_hinges
+    if vplan is not None:
+        vidx_c = jnp.asarray(vplan.idx_loc)
 
     def to_planes(a):
         """(B, n, 3) component-major batched planes -> (3R, n_pad)."""
@@ -1181,10 +1318,16 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     | (bwd >= eps)).astype(jnp.float32)
             args += [blam, bidx_c, brest_c, balpha_c, brelax_c,
                      bwa, bwb, bwc, bwd, bany]
-            xo, vo, lamo, blamo = call(*args)
-        else:
-            xo, vo, lamo = call(*args)
-            blamo = None
+        if vplan is not None:
+            lam_v_in = state.lambda_volume.reshape(-1)   # (1,) or (B,)
+            vlam = jnp.zeros((R, 128), jnp.float32).at[
+                :lam_v_in.shape[0], :].set(lam_v_in[:, None])
+            args += [vlam, vidx_c]
+        res = list(call(*args))
+        xo, vo, lamo = res[:3]
+        res = res[3:]
+        blamo = res.pop(0) if bplan is not None else None
+        vlamo = res.pop(0) if vplan is not None else None
         if batched:
             lam_flat = slab_to_lam(lamo, k_blocks, s_edges)
             out = state.replace(
@@ -1197,6 +1340,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 out = out.replace(lambda_bend=slab_to_lam(
                     blamo, bplan.n_blocks,
                     bplan.block_hinges)[:, :h_real])
+            if vlamo is not None:
+                out = out.replace(lambda_volume=vlamo[:n_b, 0])
         else:
             lam_flat = lamo.reshape(-1)
             out = state.replace(
@@ -1207,6 +1352,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             )
             if blamo is not None:
                 out = out.replace(lambda_bend=blamo.reshape(-1)[:h_real])
+            if vlamo is not None:
+                out = out.replace(
+                    lambda_volume=vlamo[0, 0].reshape(
+                        state.lambda_volume.shape))
         if with_ext:
             out = out.replace(ext_force=jnp.zeros_like(state.ext_force))
         return out

@@ -648,3 +648,75 @@ def test_mesh_ensemble_colored():
             block_edges=128, with_ext=True, n_bodies=2)
         out = fn(_batch(states))
     _assert_bodies_close(out, refs)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel global volume constraint
+# ---------------------------------------------------------------------------
+
+def _vol_cfg(**kw):
+    base = dict(substeps=2, iterations=3, damping=0.02,
+                solve_mode=SolveMode.JACOBI, jacobi_rho=0.9,
+                lambda_mode=LambdaMode.RESET,
+                distance_backend="windowed",
+                enable_volume=True, pressure=1.5,
+                volume_compliance=1e-4,
+                ground_height=0.0, friction=0.3)
+    base.update(kw)
+    return SolverConfig(**base)
+
+
+@pytest.mark.parametrize("lmode", [LambdaMode.RESET, LambdaMode.DECAY])
+def test_mesh_kernel_volume_matches_engine(lmode):
+    """Inflated-ball config: the in-kernel volume sweep (synthesized
+    triangle one-hots + per-body scalar reduction) must track
+    general._substep's volume_project (ops/volume.py) — same placement
+    (after bending, before contacts), same lifecycle."""
+    cfg = _vol_cfg(lambda_mode=lmode, lambda_decay=0.97)
+    out_p, out_r = run_pair(cfg, n_steps=3)
+    assert_close(out_p, out_r, tol_pos=5e-5)
+    dlv = abs(float(out_p.lambda_volume) - float(out_r.lambda_volume))
+    assert dlv < 1e-4, f"volume lambda mismatch {dlv}"
+    assert float(out_p.lambda_volume) != 0.0  # the constraint actually fired
+
+
+def test_mesh_kernel_volume_inflates():
+    """Physics: pressure > 1 must grow the enclosed volume toward the
+    target, in the kernel as in the engine."""
+    from softbodysimulation_tpu.ops.volume import enclosed_volume
+
+    cfg = _vol_cfg(pressure=2.0, substeps=4, iterations=4)
+    pos, topo = sphere_topo()
+    st = state_from_topology(topo, pos)
+    v0 = float(enclosed_volume(st.positions, topo.triangles))
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, 4 * cfg.substeps,
+            block_edges=128, with_ext=True)
+        out = fn(st)
+    v1 = float(enclosed_volume(out.positions, topo.triangles))
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert v1 > 1.05 * v0, f"volume did not inflate: {v0} -> {v1}"
+
+
+def test_mesh_ensemble_volume():
+    """Per-body volume multipliers: each ensemble row tracks its own
+    engine rollout, including the carried (B,) lambda_volume."""
+    cfg = _vol_cfg(lambda_mode=LambdaMode.DECAY, lambda_decay=0.97,
+                   substeps=2, iterations=2)
+    pos, topo = sphere_topo()
+    states = _make_body_states(pos, topo, 2, pins=(), poke=False)
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=2)
+    refs = [ref_fn(s) for s in states]
+    batched = _batch(states).replace(
+        lambda_volume=np.zeros(2, np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=2)
+        out = fn(batched)
+    _assert_bodies_close(out, refs, tol_pos=5e-5)
+    for b, ref in enumerate(refs):
+        dlv = abs(float(out.lambda_volume[b]) - float(ref.lambda_volume))
+        assert dlv < 1e-4, f"body {b} volume lambda mismatch {dlv}"
+    assert float(np.abs(np.asarray(out.lambda_volume)).min()) > 0.0
