@@ -69,27 +69,41 @@ def batch_states(st, nb, seed=1):
 
 
 def main():
-    p = next((q for q in BUNNY_PATHS if os.path.exists(q)), None)
-    m = load_obj(p) if p else mesh.icosphere(4, radius=0.5)
-    pos, topo = build.topology_from_mesh(
-        m, compliance=1e-6, windowed=True, block_edges=256, seg_align=32,
-        window_dtype="bf16")
+    bending = os.environ.get("BENCH_BENDING", "0") == "1"
+    if bending:
+        # cloth farm: pinned-edge cloth sheets with distance + hinge
+        # bending constraints — the canonical cloth-serving workload
+        m = mesh.grid_plane(1.0, 50)
+        pos, topo = build.topology_from_mesh(
+            m, compliance=1e-5, bending=True, bend_compliance=1e-4,
+            windowed=True, block_edges=256, seg_align=32,
+            window_dtype="bf16")
+    else:
+        p = next((q for q in BUNNY_PATHS if os.path.exists(q)), None)
+        m = load_obj(p) if p else mesh.icosphere(4, radius=0.5)
+        pos, topo = build.topology_from_mesh(
+            m, compliance=1e-6, windowed=True, block_edges=256, seg_align=32,
+            window_dtype="bf16")
     pos = pos + np.array([0, 1.0, 0], np.float32)
     cfg = SolverConfig(substeps=4, iterations=4, damping=0.02,
                        solve_mode=SolveMode.JACOBI,
                        gravity_is_acceleration=True,
                        distance_backend="windowed",
+                       enable_bending=bending,
+                       bending_backend="windowed" if bending else "gather",
                        ground_height=0.0, friction=0.3)
     st = state_from_topology(topo, pos)
     n = topo.n_particles
     dt_sub = DT / cfg.substeps
-    emit(row="scene", n=n, e=topo.n_edges, bodies=BODIES)
+    emit(row="scene", n=n, e=topo.n_edges, h=topo.n_hinges,
+         bending=bending, bodies=BODIES)
 
     # single-body fused kernel — the per-body baseline the ensemble must beat
     fn_1 = mesh_pallas.make_mesh_substep_runner(
         topo, cfg, dt_sub, SUBSTEPS_PER_CALL, with_ext=True)
     rate_1, _ = measure(fn_1, st, n * SUBSTEPS_PER_CALL)
-    emit(row="bunny_kernel_x1", particle_substeps_per_s=float(f"{rate_1:.4g}"))
+    wk = "cloth" if bending else "bunny"
+    emit(row=f"{wk}_kernel_x1", particle_substeps_per_s=float(f"{rate_1:.4g}"))
 
     for nb in BODIES:
         batched = batch_states(st, nb)
@@ -104,11 +118,11 @@ def main():
             lambda s: general.multi_step_fn(s, topo, cfg, DT, stepsb)))
         try:
             rate_x, _ = measure(fn_x, full, nb * n * stepsb * cfg.substeps)
-            emit(row=f"bunny_xla_windowed_vmap_x{nb}",
+            emit(row=f"{wk}_xla_windowed_vmap_x{nb}",
                  particle_substeps_per_s=float(f"{rate_x:.4g}"))
         except Exception as e:  # noqa: BLE001
             rate_x = None
-            emit(row=f"bunny_xla_windowed_vmap_x{nb}", ok=False,
+            emit(row=f"{wk}_xla_windowed_vmap_x{nb}", ok=False,
                  err=f"{type(e).__name__}: {str(e)[:200]}")
 
         for approx in (False, True):
@@ -152,7 +166,7 @@ def main():
                     raise RuntimeError("non-finite long-rollout output")
                 rate_e, _ = measure(fn_e, batched,
                                     nb * n * SUBSTEPS_PER_CALL)
-                emit(row=f"bunny_ensemble_kernel_{tag}",
+                emit(row=f"{wk}_ensemble_kernel_{tag}",
                      particle_substeps_per_s=float(f"{rate_e:.4g}"),
                      drift_vs_single_kernel=float(f"{drift:.3g}"),
                      compile_s=round(compile_s, 1),
@@ -160,7 +174,7 @@ def main():
                      **({} if rate_x is None else
                         {"speedup_vs_vmap": float(f"{rate_e / rate_x:.3g}")}))
             except Exception as e:  # noqa: BLE001
-                emit(row=f"bunny_ensemble_kernel_{tag}", ok=False,
+                emit(row=f"{wk}_ensemble_kernel_{tag}", ok=False,
                      err=f"{type(e).__name__}: {str(e)[:200]}")
 
 
