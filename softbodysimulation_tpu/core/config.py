@@ -160,6 +160,13 @@ class SolverConfig:
     enable_volume: bool = False
     volume_compliance: float = 0.0
     pressure: float = 1.0             # target volume multiplier (>1 inflates)
+    # Per-tetrahedron volume family (solid bodies; topology/tets.py +
+    # ops/tet_volume.py — the wired-up version of the reference's
+    # CalculateVolume tet helper, XPBDSimulatorCS.compute:220-223, and the
+    # commented AddVolumeConstraints, SoftBodySimulator.cs:187-212).
+    # Per-tet compliance lives on the Topology (like edge compliance).
+    enable_tet_volume: bool = False
+    tet_pressure: float = 1.0         # per-tet target volume multiplier
 
     # --- collisions ---
     floor_mode: FloorMode = FloorMode.XPBD_INEQUALITY

@@ -58,6 +58,9 @@ class SimState:
     lambda_dist: jax.Array        # (E,)   f32
     lambda_bend: jax.Array        # (H,)   f32 (H may be 0)
     lambda_volume: jax.Array      # ()     f32
+    lambda_tet: Optional[jax.Array] = None   # (T,) f32 per-tet volume
+    #   multipliers; None (an empty pytree) when the topology carries no
+    #   tets, so tet-free states keep their original tree structure
 
     @property
     def n_particles(self) -> int:
@@ -81,6 +84,7 @@ _register(
         "lambda_dist",
         "lambda_bend",
         "lambda_volume",
+        "lambda_tet",
     ),
 )
 
@@ -223,6 +227,15 @@ class Topology:
                                         # (requires RCM-renumbered, window
                                         # -sorted edges; build.py wires it)
     bend_windows: Optional["HingeWindows"] = None  # MXU bending backend
+    # --- per-tet volume family (topology/tets.py; None when absent) ---
+    tets: Optional[jax.Array] = None            # (T, 4) i32
+    rest_tet_volumes: Optional[jax.Array] = None  # (T,) f32 — stored as 6*V0
+    tet_compliance: Optional[jax.Array] = None  # (T,) f32
+    tcol_tet_ids: Optional[jax.Array] = None    # (Ct, Mt) i32
+    tcol_valid: Optional[jax.Array] = None      # (Ct, Mt) f32
+    tet_degree: Optional[jax.Array] = None      # (N,) f32
+    tet_incidence: Optional[jax.Array] = None   # (N, Dt) i32 into 4T contribs
+    num_tet_colors: int = 0       # static
 
     @property
     def n_edges(self) -> int:
@@ -231,6 +244,10 @@ class Topology:
     @property
     def n_hinges(self) -> int:
         return self.hinges.shape[0]
+
+    @property
+    def n_tets(self) -> int:
+        return 0 if self.tets is None else self.tets.shape[0]
 
     def replace(self, **kw) -> "Topology":
         return dataclasses.replace(self, **kw)
@@ -259,8 +276,16 @@ _register(
         "bend_incidence",
         "windows",
         "bend_windows",
+        "tets",
+        "rest_tet_volumes",
+        "tet_compliance",
+        "tcol_tet_ids",
+        "tcol_valid",
+        "tet_degree",
+        "tet_incidence",
     ),
-    meta_fields=("num_colors", "num_bend_colors", "n_particles"),
+    meta_fields=("num_colors", "num_bend_colors", "n_particles",
+                 "num_tet_colors"),
 )
 
 
@@ -270,6 +295,7 @@ def make_state(
     velocities=None,
     n_edges: Optional[int] = None,
     n_hinges: int = 0,
+    n_tets: int = 0,
     mass: float = 1.0,
     dtype=jnp.float32,
 ) -> SimState:
@@ -299,6 +325,7 @@ def make_state(
         lambda_dist=jnp.zeros((n_edges,), dtype=dtype),
         lambda_bend=jnp.zeros((n_hinges,), dtype=dtype),
         lambda_volume=jnp.zeros((), dtype=dtype),
+        lambda_tet=(jnp.zeros((n_tets,), dtype=dtype) if n_tets else None),
     )
 
 
@@ -307,6 +334,7 @@ def state_from_topology(topology: Topology, positions, **kw) -> SimState:
         positions,
         n_edges=topology.n_edges,
         n_hinges=topology.n_hinges,
+        n_tets=topology.n_tets,
         **kw,
     )
 
@@ -323,6 +351,8 @@ def is_finite(state: SimState) -> jax.Array:
     ok &= jnp.isfinite(state.lambda_dist).all()
     if state.lambda_bend.shape[0]:
         ok &= jnp.isfinite(state.lambda_bend).all()
+    if state.lambda_tet is not None and state.lambda_tet.shape[0]:
+        ok &= jnp.isfinite(state.lambda_tet).all()
     return ok
 
 
@@ -339,5 +369,7 @@ def restore(state_like: SimState) -> SimState:
         lambda_dist=jnp.zeros_like(dev.lambda_dist),
         lambda_bend=jnp.zeros_like(dev.lambda_bend),
         lambda_volume=jnp.zeros_like(dev.lambda_volume),
+        lambda_tet=(None if dev.lambda_tet is None
+                    else jnp.zeros_like(dev.lambda_tet)),
         ext_force=jnp.zeros_like(dev.ext_force),
     )

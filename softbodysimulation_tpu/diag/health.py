@@ -44,6 +44,8 @@ def scrub(state: SimState, default_position=(0.0, 1.0, 0.0)) -> SimState:
         lambda_dist=fix(state.lambda_dist, 0.0),
         lambda_bend=fix(state.lambda_bend, 0.0),
         lambda_volume=fix(state.lambda_volume, 0.0),
+        lambda_tet=(None if state.lambda_tet is None
+                    else fix(state.lambda_tet, 0.0)),
     )
 
 

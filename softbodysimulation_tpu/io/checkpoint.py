@@ -23,7 +23,10 @@ _FIELDS = [f.name for f in dataclasses.fields(SimState)]
 
 
 def save(path: str, state: SimState, metadata: Optional[dict] = None) -> None:
-    arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
+    # optional fields (lambda_tet is None for tet-free states) are simply
+    # omitted from the archive and restored as None on load
+    arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS
+              if getattr(state, name) is not None}
     if metadata:
         for k, v in metadata.items():
             arrays[f"meta_{k}"] = np.asarray(v)
@@ -37,7 +40,8 @@ def save(path: str, state: SimState, metadata: Optional[dict] = None) -> None:
 
 def load(path: str) -> SimState:
     with np.load(path) as data:
-        kwargs = {name: jnp.asarray(data[name]) for name in _FIELDS}
+        kwargs = {name: jnp.asarray(data[name]) for name in _FIELDS
+                  if name in data.files}
     return SimState(**kwargs)
 
 
@@ -74,6 +78,8 @@ def load_orbax(path: str, like: SimState) -> SimState:
     for name in _FIELDS:
         got = getattr(restored, name)
         want = getattr(like, name)
+        if want is None:           # optional field absent in this scene
+            continue
         if want.size > 0 and tuple(got.shape) != tuple(want.shape):
             raise ValueError(
                 f"checkpoint field {name!r} has shape {tuple(got.shape)}, "

@@ -107,6 +107,10 @@ def _check_supported(cfg: SolverConfig, topo: Topology):
         raise NotImplementedError(
             "mesh pallas kernel: self-collision requires the general "
             "engine's contact backends")
+    if cfg.enable_tet_volume and topo.n_tets > 0:
+        raise NotImplementedError(
+            "mesh pallas kernel: the per-tet volume family runs in the "
+            "general engine")
 
 
 def _acos(x):

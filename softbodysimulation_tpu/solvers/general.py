@@ -42,6 +42,7 @@ from ..ops import distance as _distance
 from ..ops import integrate as _integrate
 from ..ops import mxu_exact as _mxu
 from ..ops import spatial_hash as _spatial_hash
+from ..ops import tet_volume as _tet_volume
 from ..ops import volume as _volume
 
 
@@ -295,6 +296,79 @@ def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
         lam_pad.reshape(-1)[:lam.shape[0]]
 
 
+# ------------------------------------------------------------- tet volume
+def _solve_tets_colored(pred, lam, inv_mass, topo: Topology,
+                        cfg: SolverConfig, dt):
+    """Exact parallel Gauss-Seidel over the per-tet volume family: one
+    batched projection per conflict-free color (no two tets in a color
+    share a particle, so the batched update equals the sequential sweep
+    in color-major order — same guarantee as the distance/bending
+    COLORED modes)."""
+    tets = topo.tets
+
+    def color_pass(c, carry):
+        pred, lam = carry
+        ids = topo.tcol_tet_ids[c]
+        validity = topo.tcol_valid[c]
+        i0, i1, i2, i3 = (tets[ids, k] for k in range(4))
+        dl, g0, g1, g2, g3 = _tet_volume.tet_delta_lambda(
+            pred[i0], pred[i1], pred[i2], pred[i3],
+            inv_mass[i0], inv_mass[i1], inv_mass[i2], inv_mass[i3],
+            topo.rest_tet_volumes[ids], topo.tet_compliance[ids],
+            lam[ids], dt, cfg)
+        dl = dl * validity
+        lam = lam.at[ids].add(dl)
+        dlb = dl[:, None]
+        pred = pred.at[i0].add(inv_mass[i0][:, None] * dlb * g0)
+        pred = pred.at[i1].add(inv_mass[i1][:, None] * dlb * g1)
+        pred = pred.at[i2].add(inv_mass[i2][:, None] * dlb * g2)
+        pred = pred.at[i3].add(inv_mass[i3][:, None] * dlb * g3)
+        return pred, lam
+
+    return lax.fori_loop(0, topo.num_tet_colors, color_pass, (pred, lam))
+
+
+def _solve_tets_jacobi(pred, lam, inv_mass, topo: Topology,
+                      cfg: SolverConfig, dt, omega):
+    """Mass-splitting Jacobi over the tet family: every tet is projected at
+    FULL strength, then each particle applies the MEAN of the corrections
+    targeting it (divide by its tet degree), accumulated scatter-free via
+    ``tet_incidence``.
+
+    This deliberately differs from the distance/bending sweeps' per-
+    -constraint 1/max-degree pre-scaling: tet decompositions routinely
+    contain extreme-degree hubs (the centroid of a
+    ``tets_from_surface_centroid`` fan touches EVERY tet), and pre-scaling
+    by the max endpoint degree collapses all corrections to ~1/n_tets —
+    measured: a pressurized fan ball never reaches its target volume.
+    Per-particle averaging keeps low-degree (surface) particles converging
+    at their own rate while the hub — whose wanted net correction is near
+    zero by symmetry — just averages.  The multiplier accumulates the
+    omega-scaled full projection (standard solve-then-average XPBD
+    Jacobi); for the common incompressible case (compliance 0) the
+    feedback term vanishes anyway."""
+    tets = topo.tets
+    i0, i1, i2, i3 = (tets[:, k] for k in range(4))
+    dl, g0, g1, g2, g3 = _tet_volume.tet_delta_lambda(
+        pred[i0], pred[i1], pred[i2], pred[i3],
+        inv_mass[i0], inv_mass[i1], inv_mass[i2], inv_mass[i3],
+        topo.rest_tet_volumes, topo.tet_compliance, lam, dt, cfg)
+    dl = dl * omega
+    lam = lam + dl
+    dlb = dl[:, None]
+    contrib = jnp.concatenate([
+        inv_mass[i0][:, None] * dlb * g0,
+        inv_mass[i1][:, None] * dlb * g1,
+        inv_mass[i2][:, None] * dlb * g2,
+        inv_mass[i3][:, None] * dlb * g3,
+    ], axis=0)
+    contrib = jnp.concatenate(
+        [contrib, jnp.zeros((1, 3), contrib.dtype)], axis=0)
+    delta = contrib[topo.tet_incidence].sum(axis=1)
+    delta = delta / jnp.maximum(topo.tet_degree, 1.0)[:, None]
+    return pred + delta, lam
+
+
 # ---------------------------------------------------------------- substep
 def _warm_apply_distance(pred, lam, inv_mass, topo: Topology,
                          cfg: SolverConfig):
@@ -338,20 +412,24 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     # (cfg.self_collision_every) compiles substeps with the contact pass
     # structurally absent rather than branching at runtime.
     # lambda lifecycle (LambdaMode docstring)
+    lam_t = state.lambda_tet
     if cfg.lambda_mode == LambdaMode.RESET:
         lam_d = jnp.zeros_like(state.lambda_dist)
         lam_b = jnp.zeros_like(state.lambda_bend)
         lam_v = jnp.zeros_like(state.lambda_volume)
+        lam_t = None if lam_t is None else jnp.zeros_like(lam_t)
     elif cfg.lambda_mode == LambdaMode.WARM_START:
         # only distance impulses are pre-applied; bending/volume restart
         # fresh (carrying them un-applied would weaken them, see LambdaMode)
         lam_d = state.lambda_dist * cfg.lambda_decay
         lam_b = jnp.zeros_like(state.lambda_bend)
         lam_v = jnp.zeros_like(state.lambda_volume)
+        lam_t = None if lam_t is None else jnp.zeros_like(lam_t)
     else:
         lam_d = state.lambda_dist * cfg.lambda_decay
         lam_b = state.lambda_bend * cfg.lambda_decay
         lam_v = state.lambda_volume * cfg.lambda_decay
+        lam_t = None if lam_t is None else lam_t * cfg.lambda_decay
 
     pred, vel = _integrate.predict(
         state.positions, state.velocities, state.inv_mass, state.ext_force,
@@ -369,6 +447,8 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
 
     has_bending = cfg.enable_bending and topo.n_hinges > 0
     has_volume = cfg.enable_volume and topo.triangles.shape[0] > 0
+    has_tets = (cfg.enable_tet_volume and topo.n_tets > 0
+                and lam_t is not None)
 
     use_windowed = (cfg.distance_backend == "windowed"
                     or (cfg.distance_backend == "auto"
@@ -411,7 +491,7 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
                     or cfg.floor_mode == FloorMode.XPBD_INEQUALITY
                     or bool(cfg.sphere_colliders) or bool(cfg.box_colliders))
 
-    def project_all(pred, lam_d, lam_b, lam_v):
+    def project_all(pred, lam_d, lam_b, lam_v, lam_t):
         """One full projection sweep over every constraint family."""
         if cfg.solve_mode == SolveMode.COLORED:
             pred, lam_d = _solve_distance_colored(
@@ -432,12 +512,19 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
             else:
                 pred, lam_b = _solve_bending_jacobi(
                     pred, lam_b, state.inv_mass, topo, cfg, dt, omega)
+        if has_tets:
+            if cfg.solve_mode == SolveMode.COLORED:
+                pred, lam_t = _solve_tets_colored(
+                    pred, lam_t, state.inv_mass, topo, cfg, dt)
+            else:
+                pred, lam_t = _solve_tets_jacobi(
+                    pred, lam_t, state.inv_mass, topo, cfg, dt, omega)
         if has_volume:
             pred, lam_v = _volume.volume_project(
                 pred, state.inv_mass, topo.triangles, topo.rest_volume,
                 lam_v, dt, cfg)
         pred = project_contacts(pred)
-        return pred, lam_d, lam_b, lam_v
+        return pred, lam_d, lam_b, lam_v, lam_t
 
     accelerate = (cfg.solve_mode == SolveMode.JACOBI and cfg.jacobi_rho > 0
                   and cfg.iterations > cfg.jacobi_cheby_delay)
@@ -451,8 +538,9 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         gamma = cfg.jacobi_gamma
 
         def iteration(k, carry):
-            pred_prev, pred, lam_d, lam_b, lam_v, om = carry
-            new, lam_d, lam_b, lam_v = project_all(pred, lam_d, lam_b, lam_v)
+            pred_prev, pred, lam_d, lam_b, lam_v, lam_t, om = carry
+            new, lam_d, lam_b, lam_v, lam_t = project_all(
+                pred, lam_d, lam_b, lam_v, lam_t)
             om_next = jnp.where(
                 k < cfg.jacobi_cheby_delay, 1.0,
                 jnp.where(k == cfg.jacobi_cheby_delay, 2.0 / (2.0 - rho2),
@@ -465,17 +553,18 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
             # substep's final iterate is contact-feasible
             if has_contacts:
                 acc = project_contacts(acc)
-            return pred, acc, lam_d, lam_b, lam_v, om_next
+            return pred, acc, lam_d, lam_b, lam_v, lam_t, om_next
 
-        _, pred, lam_d, lam_b, lam_v, _ = lax.fori_loop(
+        _, pred, lam_d, lam_b, lam_v, lam_t, _ = lax.fori_loop(
             0, cfg.iterations, iteration,
-            (pred, pred, lam_d, lam_b, lam_v, jnp.ones((), pred.dtype)))
+            (pred, pred, lam_d, lam_b, lam_v, lam_t,
+             jnp.ones((), pred.dtype)))
     else:
         def iteration(_, carry):
             return project_all(*carry)
 
-        pred, lam_d, lam_b, lam_v = lax.fori_loop(
-            0, cfg.iterations, iteration, (pred, lam_d, lam_b, lam_v))
+        pred, lam_d, lam_b, lam_v, lam_t = lax.fori_loop(
+            0, cfg.iterations, iteration, (pred, lam_d, lam_b, lam_v, lam_t))
 
     # finalize with the velocities produced by predict (reference keeps
     # velocity purely derived from positions: SoftBodyCPU.cs:314-324)
@@ -493,6 +582,7 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         lambda_dist=lam_d,
         lambda_bend=lam_b,
         lambda_volume=lam_v,
+        lambda_tet=lam_t,
     )
 
 

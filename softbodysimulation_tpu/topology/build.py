@@ -30,6 +30,9 @@ def build_topology(
     colors: Optional[np.ndarray] = None,
     rest_lengths: Optional[np.ndarray] = None,
     rest_angles: Optional[np.ndarray] = None,
+    tets: Optional[np.ndarray] = None,
+    tet_compliance=0.0,
+    rest_tet_volumes: Optional[np.ndarray] = None,
 ) -> Topology:
     """Build the static constraint topology.
 
@@ -39,6 +42,9 @@ def build_topology(
     compliance — scalar or (E,) XPBD compliance per edge.
     hinges     — (H,4) dihedral bending constraints or None.
     triangles  — (T,3) surface triangles (normals/volume/export) or None.
+    tets       — (T,4) tetrahedra for the per-tet volume family
+                 (``topology/tets.py``) or None; ``rest_tet_volumes`` are
+                 6x signed volumes, measured here when not given.
     """
     positions = np.asarray(positions, dtype=np.float64)
     n = positions.shape[0]
@@ -94,6 +100,38 @@ def build_topology(
         bcolors = np.zeros((h,), np.int32)
     bcol_ids, bcol_valid, num_bcolors = _coloring.color_buckets(bcolors)
 
+    tet_fields = {}
+    if tets is not None and len(tets):
+        from . import tets as _tets
+
+        tets = np.asarray(tets, np.int32).reshape(-1, 4)
+        t = tets.shape[0]
+        tcomp = np.broadcast_to(
+            np.asarray(tet_compliance, np.float32), (t,)).copy()
+        if rest_tet_volumes is None:
+            rest_tv = _tets.tet_rest_volumes6(positions, tets)
+            if (rest_tv <= 0).any():
+                raise ValueError(
+                    "non-positive rest tet volume — run tets.fix_orientation")
+        else:
+            rest_tv = np.asarray(rest_tet_volumes, np.float64)
+        if color:
+            tcolors = color_fn(tets, n)
+        else:
+            tcolors = np.zeros((t,), np.int32)
+        tcol_ids, tcol_valid, num_tcolors = _coloring.color_buckets(tcolors)
+        tdeg = np.bincount(tets.reshape(-1), minlength=n).astype(np.float32)
+        tet_fields = dict(
+            tets=jnp.asarray(tets),
+            rest_tet_volumes=jnp.asarray(rest_tv, dtype=jnp.float32),
+            tet_compliance=jnp.asarray(tcomp),
+            tcol_tet_ids=jnp.asarray(tcol_ids),
+            tcol_valid=jnp.asarray(tcol_valid),
+            tet_degree=jnp.asarray(tdeg),
+            tet_incidence=jnp.asarray(_build_incidence(tets, n)),
+            num_tet_colors=num_tcolors,
+        )
+
     deg = np.bincount(edges.reshape(-1), minlength=n).astype(np.float32)
     bdeg = np.bincount(hinges.reshape(-1), minlength=n).astype(np.float32)
 
@@ -127,6 +165,7 @@ def build_topology(
         num_colors=num_colors,
         num_bend_colors=num_bcolors,
         n_particles=n,
+        **tet_fields,
     )
 
 
@@ -223,6 +262,12 @@ def build_windowed_topology(
         hinges = hinges[_windows.sort_hinges_by_window(hinges)]
     if triangles is not None and len(triangles):
         triangles = rank[np.asarray(triangles, np.int64)].astype(np.int32)
+    tets = kw.pop("tets", None)
+    if tets is not None and len(tets):
+        # renumber into the RCM-permuted space (orientation is index-order
+        # -invariant under relabeling, so no re-fixing needed)
+        tets = rank[np.asarray(tets, np.int64)].astype(np.int32)
+        kw["tets"] = tets
 
     topo = build_topology(
         pos2, e2, comp,
@@ -286,6 +331,19 @@ def validate_topology(topo: Topology) -> dict:
     t = np.asarray(topo.triangles)
     if t.shape[0] and (t.min() < 0 or t.max() >= n):
         raise ValueError("triangle indices out of bounds")
+    if topo.n_tets:
+        tt = np.asarray(topo.tets)
+        report["n_tets"] = topo.n_tets
+        if tt.min() < 0 or tt.max() >= n:
+            raise ValueError("tet indices out of bounds")
+        if not (np.asarray(topo.rest_tet_volumes) > 0).all():
+            raise ValueError("non-positive rest tet volume")
+        ids = np.asarray(topo.tcol_tet_ids)
+        val = np.asarray(topo.tcol_valid)
+        for c in range(topo.num_tet_colors):
+            flat = tt[ids[c][val[c] > 0]].reshape(-1)
+            if len(np.unique(flat)) != len(flat):
+                raise ValueError("tet coloring has conflicts")
     report["ok"] = True
     return report
 

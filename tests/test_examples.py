@@ -10,6 +10,7 @@ from softbodysimulation_tpu.examples import (
     config5_batch_1024,
     config7_mesh_farm,
     config8_fused_kernel,
+    config9_tet_solid,
 )
 
 
@@ -92,3 +93,15 @@ def test_config8_fused_kernel():
     assert p[:, 1].min() > -5e-3          # floor respected
     assert p[:, 0].mean() > 1e-6          # the poke moved the COM +x
     assert np.abs(np.asarray(state.ext_force)).max() == 0.0
+
+
+def test_config9_tet_solid():
+    from softbodysimulation_tpu.ops.tet_volume import tet_volumes6
+
+    state, topo = config9_tet_solid.run(res=4, steps=120, verbose=False)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > -5e-3          # resting on the floor
+    v0 = float(np.asarray(topo.rest_tet_volumes).sum())
+    v = float(np.asarray(tet_volumes6(state.positions, topo.tets)).sum())
+    assert abs(v / v0 - 1.0) < 0.02       # solid volume preserved

@@ -89,8 +89,13 @@ def test_cli_run_pallas_engine_mesh_scene(tmp_path):
     assert "done: 2 steps" in r.stdout
     assert os.path.exists(ckpt)
 
+    # self-collision at every-substep cadence is (by design) outside the
+    # fused mesh kernel's envelope -> clean refusal with guidance.
+    # (enable_volume used to be the refusal probe here; the in-kernel
+    # global volume constraint moved it INSIDE the envelope.)
     r = _run_cli("run", "cpu_mesh", "--steps", "1", "--platform", "cpu",
-                 "--engine", "pallas", "--set", "enable_volume=true")
+                 "--engine", "pallas", "--set",
+                 "enable_self_collision=true")
     assert r.returncode == 2
     assert "outside the fused kernel's envelope" in r.stderr
 

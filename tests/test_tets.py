@@ -1,0 +1,331 @@
+"""Per-tetrahedron volume constraints (topology/tets.py, ops/tet_volume.py,
+general-engine integration).
+
+The capability the reference seeded but never wired: ``CalculateVolume``
+(``XPBDSimulatorCS.compute:220-223``) is a tet-volume helper and
+``AddVolumeConstraints`` (``SoftBodySimulator.cs:187-212``) is commented out
+of the call path.  Validation pyramid here:
+
+* builder invariants (tet counts, fill, conforming boundary, edge sets)
+* analytic-gradient check against jax.grad of the volume function
+* COLORED engine sweep vs an independent sequential Gauss-Seidel loop
+* physical invariants (volume conservation under drop/squash, stability)
+* state plumbing (lambda_tet lifecycle, checkpoint, health scrub)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from softbodysimulation_tpu.core.config import (LambdaMode, SolveMode,
+                                                SolverConfig)
+from softbodysimulation_tpu.core.state import (is_finite,
+                                               state_from_topology)
+from softbodysimulation_tpu.ops import tet_volume as tv
+from softbodysimulation_tpu.solvers import general
+from softbodysimulation_tpu.topology import build as B
+from softbodysimulation_tpu.topology import lattice as L
+from softbodysimulation_tpu.topology import mesh as M
+from softbodysimulation_tpu.topology import tets as T
+
+
+# ------------------------------------------------------------- builders
+def test_kuhn_subdivision_fills_cube():
+    res = 4
+    pos = L.lattice_points(res)
+    tt = T.fix_orientation(pos, T.cube_lattice_tets(res))
+    assert tt.shape == (6 * (res - 1) ** 3, 4)
+    v6 = T.tet_volumes6(pos, tt)
+    assert (v6 > 0).all()
+    # the 6-tet path subdivision tiles each cell exactly: total volume = 1
+    np.testing.assert_allclose(v6.sum() / 6.0, 1.0, rtol=1e-12)
+
+
+def test_kuhn_tets_are_distinct_and_valid():
+    tt = T.cube_lattice_tets(3)
+    # four distinct vertices per tet
+    assert all(len(set(row)) == 4 for row in tt.tolist())
+    # no duplicated tets
+    assert len(np.unique(np.sort(tt, axis=1), axis=0)) == len(tt)
+
+
+def test_boundary_faces_count_and_orientation():
+    res = 4
+    pos = L.lattice_points(res)
+    tt = T.fix_orientation(pos, T.cube_lattice_tets(res))
+    faces = T.boundary_faces(tt)
+    # each of the 6 cube faces: (res-1)^2 squares x 2 triangles
+    assert faces.shape == (12 * (res - 1) ** 2, 3)
+    # outward orientation => divergence-theorem volume matches the tet sum
+    surf_v6 = 6.0 * M.signed_volume(pos, faces)
+    np.testing.assert_allclose(surf_v6, T.tet_volumes6(pos, tt).sum(),
+                               rtol=1e-9)
+
+
+def test_fix_orientation_flips_negatives():
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    bad = np.array([[0, 1, 3, 2]], np.int32)      # negative orientation
+    fixed = T.fix_orientation(pos, bad)
+    assert (T.tet_volumes6(pos, fixed) > 0).all()
+    good = np.array([[0, 1, 2, 3]], np.int32)
+    np.testing.assert_array_equal(T.fix_orientation(pos, good), good)
+
+
+def test_fix_orientation_rejects_degenerate():
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], float)
+    with pytest.raises(ValueError):
+        T.fix_orientation(pos, np.array([[0, 1, 2, 3]], np.int32))
+
+
+def test_tet_edges_unique_sorted():
+    tt = np.array([[0, 1, 2, 3], [1, 2, 3, 4]], np.int32)
+    e = T.tet_edges(tt)
+    assert e.shape == (9, 2)                      # 6 + 6 - 3 shared
+    assert (e[:, 0] < e[:, 1]).all()
+    assert len(np.unique(e, axis=0)) == len(e)
+
+
+def test_centroid_fan_fills_closed_surface():
+    m = M.icosphere(1, radius=0.5)
+    verts, tt = T.tets_from_surface_centroid(m.vertices, m.triangles)
+    assert len(verts) == len(m.vertices) + 1
+    assert len(tt) == len(m.triangles)
+    v6 = T.tet_volumes6(verts, tt)
+    assert (v6 > 0).all()
+    # fan volume equals the surface's signed volume
+    np.testing.assert_allclose(
+        v6.sum() / 6.0, M.signed_volume(m.vertices, m.triangles), rtol=1e-9)
+    # boundary of the fan is the original surface (same sorted-face set)
+    bf = np.sort(T.boundary_faces(tt), axis=1)
+    ref = np.sort(np.asarray(m.triangles), axis=1)
+    assert (np.unique(bf, axis=0) == np.unique(ref, axis=0)).all()
+
+
+# ------------------------------------------------------------ constraint
+def test_tet_gradients_match_autodiff():
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+
+    def vol6(pflat):
+        q = pflat.reshape(4, 3)
+        return tv.tet_volume6(q[0], q[1], q[2], q[3])
+
+    auto = jax.grad(vol6)(p.reshape(-1)).reshape(4, 3)
+    cfg = SolverConfig()
+    _, g0, g1, g2, g3 = tv.tet_delta_lambda(
+        p[0], p[1], p[2], p[3], 1.0, 1.0, 1.0, 1.0,
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), 1 / 60., cfg)
+    analytic = jnp.stack([g0, g1, g2, g3])
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(analytic),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_single_tet_projection_restores_volume():
+    # one rigid (compliance 0) tet squashed to half height: repeated
+    # projection must converge back to the rest volume
+    pos = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 0.5]],
+                      jnp.float32)
+    rest6 = jnp.float32(1.0)                      # unsquashed: 6V = 1
+    cfg = SolverConfig()
+    lam = jnp.float32(0.0)
+    p = pos
+    for _ in range(30):
+        dl, g0, g1, g2, g3 = tv.tet_delta_lambda(
+            p[0], p[1], p[2], p[3], 1.0, 1.0, 1.0, 1.0,
+            rest6, jnp.float32(0.0), lam, 1 / 60., cfg)
+        lam = lam + dl
+        p = p.at[0].add(dl * g0).at[1].add(dl * g1) \
+             .at[2].add(dl * g2).at[3].add(dl * g3)
+    v6 = tv.tet_volume6(p[0], p[1], p[2], p[3])
+    np.testing.assert_allclose(float(v6), 1.0, rtol=1e-5)
+
+
+def test_pinned_tet_is_skipped():
+    pos = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 0.5]],
+                      jnp.float32)
+    cfg = SolverConfig()
+    dl, *_ = tv.tet_delta_lambda(
+        pos[0], pos[1], pos[2], pos[3], 0.0, 0.0, 0.0, 0.0,
+        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0), 1 / 60., cfg)
+    assert float(dl) == 0.0
+
+
+# ----------------------------------------------------- engine integration
+def _tet_cube_setup(res=3, compliance=1e-6, **cfg_kw):
+    pos = L.lattice_points(res) + np.array([0, 1.0, 0])
+    tt = T.fix_orientation(pos, T.cube_lattice_tets(res))
+    topo = B.build_topology(pos, T.tet_edges(tt), 1e-4, tets=tt,
+                            tet_compliance=compliance,
+                            triangles=T.boundary_faces(tt))
+    cfg_kw.setdefault("substeps", 2)
+    cfg_kw.setdefault("iterations", 4)
+    cfg = SolverConfig(enable_tet_volume=True, **cfg_kw)
+    state = state_from_topology(topo, pos)
+    return state, topo, cfg
+
+
+def _sequential_tet_sweep(pred, inv_mass, topo, lam, dt, cfg):
+    """Independent scalar Gauss-Seidel sweep in color-major order (the
+    ordering the engine's COLORED mode batches)."""
+    pred = np.asarray(pred, np.float64).copy()
+    inv_mass = np.asarray(inv_mass)
+    tets = np.asarray(topo.tets)
+    rest = np.asarray(topo.rest_tet_volumes)
+    comp = np.asarray(topo.tet_compliance)
+    lam = np.asarray(lam, np.float64).copy()
+    ids_all = np.asarray(topo.tcol_tet_ids)
+    val_all = np.asarray(topo.tcol_valid)
+    for c in range(topo.num_tet_colors):
+        for tid in ids_all[c][val_all[c] > 0]:
+            i0, i1, i2, i3 = tets[tid]
+            p0, p1, p2, p3 = pred[i0], pred[i1], pred[i2], pred[i3]
+            e1, e2, e3 = p1 - p0, p2 - p0, p3 - p0
+            g1 = np.cross(e2, e3)
+            g2 = np.cross(e3, e1)
+            g3 = np.cross(e1, e2)
+            g0 = -(g1 + g2 + g3)
+            c_val = e1 @ g1 - cfg.tet_pressure * rest[tid]
+            alpha = comp[tid] / (dt * dt)
+            denom = (inv_mass[i0] * (g0 @ g0) + inv_mass[i1] * (g1 @ g1)
+                     + inv_mass[i2] * (g2 @ g2) + inv_mass[i3] * (g3 @ g3)
+                     + alpha)
+            if denom <= cfg.eps_denominator:
+                continue
+            dl = (-c_val - alpha * lam[tid]) / denom
+            lam[tid] += dl
+            pred[i0] += inv_mass[i0] * dl * g0
+            pred[i1] += inv_mass[i1] * dl * g1
+            pred[i2] += inv_mass[i2] * dl * g2
+            pred[i3] += inv_mass[i3] * dl * g3
+    return pred, lam
+
+
+def test_colored_sweep_matches_sequential_gs():
+    # squash the cube so every tet is violated, then compare ONE colored
+    # sweep against the independent sequential color-major loop
+    state, topo, cfg = _tet_cube_setup(res=3)
+    rng = np.random.default_rng(1)
+    pred = np.asarray(state.positions) * np.array([1.0, 0.7, 1.0]) \
+        + 0.01 * rng.normal(size=state.positions.shape)
+    pred = jnp.asarray(pred, jnp.float32)
+    lam = jnp.zeros((topo.n_tets,), jnp.float32)
+    dt = 1 / 120.
+    got_pred, got_lam = general._solve_tets_colored(
+        pred, lam, state.inv_mass, topo, cfg, dt)
+    want_pred, want_lam = _sequential_tet_sweep(
+        pred, state.inv_mass, topo, lam, dt, cfg)
+    np.testing.assert_allclose(np.asarray(got_pred), want_pred,
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_lam), want_lam,
+                               rtol=2e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("mode", [SolveMode.COLORED, SolveMode.JACOBI])
+def test_tet_cube_drop_conserves_volume(mode):
+    state, topo, cfg = _tet_cube_setup(res=4, solve_mode=mode,
+                                       substeps=4, iterations=6)
+    v0 = float(np.asarray(topo.rest_tet_volumes).sum())
+    step = general.make_step(topo, cfg, 1 / 60., n_steps=60)
+    out = step(state)
+    assert bool(is_finite(out))
+    from softbodysimulation_tpu.ops.tet_volume import tet_volumes6
+    v = float(np.asarray(tet_volumes6(out.positions, topo.tets)).sum())
+    # dropped + settled on the floor: total volume within 1%
+    assert abs(v / v0 - 1.0) < 0.01
+    # actually resting on the floor, not exploded
+    ymin = float(np.asarray(out.positions)[:, 1].min())
+    assert -0.01 < ymin < 0.2
+
+
+def test_tet_volume_resists_squash_vs_disabled():
+    # same squashed cube relaxed with and without the tet family: the tet
+    # run must recover strictly more volume
+    state, topo, cfg = _tet_cube_setup(res=3, substeps=1, iterations=10,
+                                       gravity=(0.0, 0.0, 0.0))
+    squashed = state.replace(
+        positions=state.positions * jnp.asarray([1.0, 0.6, 1.0]))
+    from softbodysimulation_tpu.ops.tet_volume import tet_volumes6
+    v0 = float(np.asarray(topo.rest_tet_volumes).sum())
+    out_on = general.make_step(topo, cfg, 1 / 60., n_steps=20)(squashed)
+    cfg_off = cfg.replace(enable_tet_volume=False)
+    out_off = general.make_step(topo, cfg_off, 1 / 60., n_steps=20)(squashed)
+    v_on = float(np.asarray(tet_volumes6(out_on.positions, topo.tets)).sum())
+    v_off = float(np.asarray(
+        tet_volumes6(out_off.positions, topo.tets)).sum())
+    assert abs(v_on / v0 - 1.0) < 0.02
+    assert abs(v_on / v0 - 1.0) < abs(v_off / v0 - 1.0)
+
+
+def test_tet_pressure_inflates():
+    state, topo, cfg = _tet_cube_setup(res=3, substeps=2, iterations=8,
+                                       gravity=(0.0, 0.0, 0.0),
+                                       tet_pressure=1.2)
+    # distance constraints soft so the inflation can actually win
+    topo = topo.replace(compliance=topo.compliance * 0 + 1e-2)
+    out = general.make_step(topo, cfg, 1 / 60., n_steps=40)(state)
+    from softbodysimulation_tpu.ops.tet_volume import tet_volumes6
+    v0 = float(np.asarray(topo.rest_tet_volumes).sum())
+    v = float(np.asarray(tet_volumes6(out.positions, topo.tets)).sum())
+    assert v / v0 > 1.1
+
+
+@pytest.mark.parametrize("mode", [LambdaMode.RESET, LambdaMode.DECAY,
+                                  LambdaMode.WARM_START])
+def test_lambda_tet_lifecycle_runs(mode):
+    state, topo, cfg = _tet_cube_setup(res=3, lambda_mode=mode)
+    out = general.make_step(topo, cfg, 1 / 60., n_steps=5)(state)
+    assert bool(is_finite(out))
+    assert out.lambda_tet is not None
+    assert out.lambda_tet.shape == (topo.n_tets,)
+
+
+def test_tet_scene_builders():
+    from softbodysimulation_tpu.core import scenes
+    for name in ("tet_cube", "tet_ball"):
+        state, step, info = scenes.SCENES[name]()
+        out = step(state)
+        assert bool(is_finite(out))
+        assert info["topology"].n_tets > 0
+
+
+def test_checkpoint_roundtrip_with_tets(tmp_path):
+    from softbodysimulation_tpu.io import checkpoint as ckpt
+    state, topo, cfg = _tet_cube_setup(res=3)
+    out = general.make_step(topo, cfg, 1 / 60., n_steps=3)(state)
+    path = str(tmp_path / "tet.npz")
+    ckpt.save(path, out)
+    loaded = ckpt.load(path)
+    np.testing.assert_array_equal(np.asarray(loaded.lambda_tet),
+                                  np.asarray(out.lambda_tet))
+    # tet-free states still round-trip with lambda_tet absent -> None
+    from softbodysimulation_tpu.core import scenes
+    st2, _, _ = scenes.cpu_cube()
+    path2 = str(tmp_path / "plain.npz")
+    ckpt.save(path2, st2)
+    assert ckpt.load(path2).lambda_tet is None
+
+
+def test_health_scrub_covers_lambda_tet():
+    from softbodysimulation_tpu.diag.health import scrub
+    state, topo, cfg = _tet_cube_setup(res=3)
+    bad = state.replace(
+        lambda_tet=jnp.full((topo.n_tets,), jnp.nan, jnp.float32))
+    fixed = scrub(bad)
+    assert bool(jnp.isfinite(fixed.lambda_tet).all())
+
+
+def test_windowed_build_renumbers_tets():
+    res = 3
+    pos = L.lattice_points(res) + np.array([0, 1.0, 0])
+    tt = T.fix_orientation(pos, T.cube_lattice_tets(res))
+    pos2, topo = B.build_windowed_topology(
+        pos, T.tet_edges(tt), 1e-4, tets=tt, tet_compliance=1e-6,
+        triangles=T.boundary_faces(tt))
+    assert topo.n_tets == len(tt)
+    # renumbered tets measure the same rest volumes on the permuted
+    # positions (orientation preserved by relabeling)
+    v6 = T.tet_volumes6(pos2, np.asarray(topo.tets))
+    np.testing.assert_allclose(np.sort(v6),
+                               np.sort(T.tet_volumes6(pos, tt)), rtol=1e-5)
+    B.validate_topology(topo)
