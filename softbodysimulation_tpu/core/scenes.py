@@ -299,14 +299,16 @@ def tet_ball(dt: float = 1 / 60, subdiv: int = 2):
 
     m = _mesh.icosphere(subdiv, radius=0.5)
     verts, tt = _tets.tets_from_surface_centroid(m.vertices, m.triangles)
-    pos = verts.astype(np.float32) + np.array([0, 1.0, 0], np.float32)
     # tet_compliance 0 = incompressible target: fan tets are tiny, so any
     # soft compliance's alpha~ dwarfs their gradient norms and the
-    # pressurization never wins (measured in the round-3 verify drive)
-    topo = _build.build_topology(
-        pos, _tets.tet_edges(tt), compliance=1e-4,
+    # pressurization never wins (measured in the round-3 verify drive).
+    # Windowed build (RCM-renumbered) so --engine pallas runs the whole
+    # loop — including the in-kernel per-tet sweep — fused.
+    pos2, topo = _build.build_windowed_topology(
+        verts, _tets.tet_edges(tt), 1e-4,
         tets=tt, tet_compliance=0.0,
         triangles=_tets.boundary_faces(tt))
+    pos = pos2 + np.array([0, 1.0, 0], np.float32)
     cfg = SolverConfig(substeps=4, iterations=8, damping=0.02,
                        solve_mode=SolveMode.JACOBI,
                        enable_tet_volume=True, tet_pressure=1.05,

@@ -107,10 +107,11 @@ def _check_supported(cfg: SolverConfig, topo: Topology):
         raise NotImplementedError(
             "mesh pallas kernel: self-collision requires the general "
             "engine's contact backends")
-    if cfg.enable_tet_volume and topo.n_tets > 0:
+    if (cfg.solve_mode == SolveMode.COLORED and cfg.enable_tet_volume
+            and topo.n_tets > 0):
         raise NotImplementedError(
-            "mesh pallas kernel: the per-tet volume family runs in the "
-            "general engine")
+            "mesh pallas kernel: COLORED tet volume runs in the general "
+            "engine (the kernel's tet sweep is mass-splitting Jacobi)")
 
 
 def _acos(x):
@@ -258,6 +259,83 @@ def _build_volume_plan(topo: Topology, block_tris: int,
 
 
 @dataclasses.dataclass(frozen=True)
+class TetPlan:
+    """Host-built tet-block structure for the in-kernel PER-TET volume
+    family (``ops/tet_volume.py``).  Same synthesized-one-hot mechanism as
+    bending (4 endpoints, translation-invariant gradients,
+    grad0 = -(g1+g2+g3)); the apply step divides by the per-particle tet
+    degree (the general engine's mass-splitting Jacobi,
+    ``general._solve_tets_jacobi``), carried in as a per-call ``wtd =
+    inv_mass / tet_degree`` plane.  Padded slots point all four endpoints
+    at the same local index, so e1=e2=e3=0 and every gradient — and the
+    constraint residual's denominator — cancels to exact zeros (the
+    eps_denominator guard then zeroes dl)."""
+
+    idx_loc: np.ndarray     # (Kt, 4, S) int32 window-local p0..p3
+    idx_glob: np.ndarray    # (4, Kt*S) int32 global indices (per-call masses)
+    bases: Tuple[int, ...]
+    rest6: np.ndarray       # (Kt, 1, S) f32 6x rest volumes (0 for padding)
+    alpha: np.ndarray       # (Kt, 1, S) f32 compliance * inv_dt2
+    relax: np.ndarray       # (Kt, 1, S) f32 omega, validity-masked
+    order: np.ndarray       # (T,) original tet id of slot i (multiplier map)
+    n_blocks: int
+    block_tets: int
+    window: int
+
+
+def _build_tet_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
+                    block_tets: int, max_window: int) -> TetPlan:
+    tt = np.asarray(topo.tets, np.int64)
+    t = tt.shape[0]
+    rest6 = np.asarray(topo.rest_tet_volumes, np.float32)
+    comp = np.asarray(topo.tet_compliance, np.float32)
+    # Jacobi processing order is free (fp summation order only): sort by
+    # min vertex so RCM renumbering gives tight windows
+    order = np.argsort(tt.min(axis=1), kind="stable")
+    tt, rest6, comp = tt[order], rest6[order], comp[order]
+    s = int(block_tets)
+    k = -(-t // s)
+    tpad = k * s
+    if tpad > t:
+        pad = np.full((tpad - t, 4), tt[-1, 0], np.int64)
+        tt = np.vstack([tt, pad])
+        rest6 = np.concatenate([rest6, np.zeros(tpad - t, np.float32)])
+        comp = np.concatenate([comp, np.zeros(tpad - t, np.float32)])
+    valid = (np.arange(tpad) < t).astype(np.float32)
+    blocks = tt.reshape(k, s, 4)
+    bases = (blocks.min(axis=(1, 2)) // SEG) * SEG
+    span = int((blocks.max(axis=(1, 2)) - bases + 1).max())
+    w = SEG * -(-span // SEG)
+    if w > max_window:
+        raise NotImplementedError(
+            f"mesh kernel tet window {w} > {max_window}: bandwidth too "
+            "large — tets fall back to the general engine")
+    loc = (blocks - bases[:, None, None]).astype(np.int32)
+    alpha = comp / (dt_sub * dt_sub)
+    omega = cfg.omega if cfg.omega > 0 else 1.0
+    # mass-splitting Jacobi: full-strength projection, per-PARTICLE mean at
+    # apply time (general._solve_tets_jacobi; max-degree pre-scaling
+    # collapses on centroid-fan hubs)
+    relax = (valid * omega).astype(np.float32)
+
+    def slab(a):
+        return np.ascontiguousarray(a.reshape(k, 1, s), np.float32)
+
+    return TetPlan(
+        idx_loc=np.ascontiguousarray(np.transpose(loc, (0, 2, 1))),
+        idx_glob=np.ascontiguousarray(tt.T.astype(np.int32)),
+        bases=tuple(int(b) for b in bases),
+        rest6=slab(rest6),
+        alpha=slab(alpha),
+        relax=slab(relax),
+        order=order.astype(np.int32),
+        n_blocks=k,
+        block_tets=s,
+        window=w,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshKernelPlan:
     """Host-built static structure for the fused mesh kernel.
 
@@ -297,6 +375,7 @@ class MeshKernelPlan:
     vmem_bytes: int
     bend: Optional[BendPlan] = None
     vol: Optional[VolumePlan] = None
+    tet: Optional[TetPlan] = None
     didx: Optional[np.ndarray] = None  # (K, 2, S) int32 local a,b indices
     synth: bool = False
     # COLORED (exact parallel-GS) structure: blocks grouped color-major so
@@ -487,6 +566,12 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         n_pad = max(n_pad,
                     SEG * int((max(vol.bases) + vol.window) // SEG))
 
+    tet = None
+    if cfg.enable_tet_volume and topo.n_tets > 0:
+        tet = _build_tet_plan(topo, cfg, dt_sub, block_hinges, max_window)
+        n_pad = max(n_pad,
+                    SEG * int((max(tet.bases) + tet.window) // SEG))
+
     # ensemble row count: bodies stack on the sublane axis (runner pads
     # to a multiple of the 8-sublane f32 tile).  Plane accounting: the
     # live set is 9 (3R, n_pad) arrays (x/v in, x/v out, ext, pred/delta/
@@ -505,7 +590,12 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
            + 4 * bend.window * bend.block_hinges * 2)
         + (0 if vol is None else
            3 * vol.n_blocks * vol.block_tris * 4        # triangle idx slab
-           + 3 * vol.window * vol.block_tris * 2))      # transient one-hots
+           + 3 * vol.window * vol.block_tris * 2)       # transient one-hots
+        + (0 if tet is None else
+           12 * tet.n_blocks * tet.block_tets * 4       # tet slabs
+           + 2 * tet.n_blocks * tet.block_tets * 4 * (r_rows - 1)
+           + 4 * tet.window * tet.block_tets * 2        # transient one-hots
+           + n_pad * 4))                                # wtd plane
     resident_bytes = base_bytes + 2 * k * w * s * 2      # gd + gs (bf16)
     # synthesized: only the int32 index slab is resident; per sweep one
     # block's matrix plus its compare temporaries are live (~4 W x S bf16)
@@ -535,6 +625,7 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         vmem_bytes=synth_bytes if synth else resident_bytes,
         bend=bend,
         vol=vol,
+        tet=tet,
         didx=np.ascontiguousarray(didx) if synth else None,
         synth=synth,
         color_ranges=color_ranges,
@@ -657,6 +748,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
 
     bplan = plan.bend
     vplan = plan.vol
+    tplan = plan.tet
     in_names = (["x", "v", "w", "lam", "di", "act", "wlim"]
                 + (["didx"] if plan.synth else ["gd", "gs"])
                 + ["rest", "alpha", "relax", "warm"])
@@ -669,6 +761,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                      "bwa", "bwb", "bwc", "bwd", "bany"]
     if vplan is not None:
         in_names += ["vlam", "vidx"]
+    if tplan is not None:
+        in_names += ["tlam", "tidx", "trest", "talpha", "trelax",
+                     "tw0", "tw1", "tw2", "tw3", "wtd"]
 
     def kernel(*refs):
         m = dict(zip(in_names, refs))
@@ -685,6 +780,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         outs = outs[3:]
         blamo_ref = outs.pop(0) if bplan is not None else None
         vlamo_ref = outs.pop(0) if vplan is not None else None
+        tlamo_ref = outs.pop(0) if tplan is not None else None
 
         def scoped(pred, delta, prev, tmp):
             xo_ref[:] = x_in[:]
@@ -694,6 +790,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 blamo_ref[:] = m["blam"][:]
             if vplan is not None:
                 vlamo_ref[:] = m["vlam"][:]
+            if tplan is not None:
+                tlamo_ref[:] = m["tlam"][:]
             w = w_in[:]                        # (1, n_pad)
             pinned = w == 0.0
 
@@ -979,6 +1077,65 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 for c in range(3):
                     pred[rows(c)] += w * (dl * delta[rows(c)])
 
+            def tet_sweep():
+                """Per-tet volume Jacobi sweep (``ops/tet_volume.py`` math,
+                ``general._solve_tets_jacobi`` semantics): one-hots
+                synthesized in-registers (bending's mechanism), full-
+                -strength projection, per-particle MEAN at apply time via
+                the ``wtd = inv_mass / tet_degree`` plane (mass-splitting —
+                max-degree pre-scaling collapses on centroid-fan hubs)."""
+                tkn, tsn, twn = (tplan.n_blocks, tplan.block_tets,
+                                 tplan.window)
+                delta[:] = jnp.zeros_like(delta)
+                for kb in range(tkn):
+                    b0 = tplan.bases[kb]
+                    win = pred[:, b0:b0 + twn]               # (3R, Wt)
+                    iota = lax.broadcasted_iota(jnp.int32, (twn, tsn), 0)
+                    idx = m["tidx"][kb]                      # (4, S)
+                    oh = [(iota == idx[i:i + 1]).astype(jnp.bfloat16)
+                          for i in range(4)]                 # (Wt, S) {0,1}
+                    wparts = (jnp.concatenate(split3(win), axis=0)
+                              if exact_oh else None)
+                    p0, p1, p2, p3 = (
+                        dot_oh(win, o, (((1,), (0,)), ((), ())),
+                               exact=exact_oh, parts=wparts, stack_axis=0)
+                        for o in oh)                         # (3R, S)
+                    # padded slots: p0==p1==p2==p3 -> all e's and gradients
+                    # vanish; the denominator guard zeroes dl
+                    e1 = p1 - p0
+                    e2 = p2 - p0
+                    e3 = p3 - p0
+                    g1 = cross(e2, e3)
+                    g2 = cross(e3, e1)
+                    g3 = cross(e1, e2)
+                    g0 = -(g1 + g2 + g3)
+                    vol6 = vdot(e1, g1)                      # (R, S)
+                    cerr = vol6 - cfg.tet_pressure * m["trest"][kb]
+                    alpha_t = m["talpha"][kb]
+                    denom = (m["tw0"][kb] * nsq(g0) + m["tw1"][kb] * nsq(g1)
+                             + m["tw2"][kb] * nsq(g2)
+                             + m["tw3"][kb] * nsq(g3) + alpha_t)
+                    lam_t = tlamo_ref[kb]                    # (R, S)
+                    dl = ((-cerr - alpha_t * lam_t)
+                          / jnp.maximum(denom, 1e-30))
+                    dl = jnp.where(denom > cfg.eps_denominator, dl, 0.0)
+                    dl = dl * m["trelax"][kb]
+                    tlamo_ref[kb] = lam_t + dl
+
+                    dl3 = t3(dl)
+
+                    def scat(g, o):
+                        return dot_oh(dl3 * g, o, (((1,), (1,)), ((), ())),
+                                      exact=exact_oh, stack_axis=0)
+
+                    delta[:, b0:b0 + twn] += (
+                        scat(g0, oh[0]) + scat(g1, oh[1])
+                        + scat(g2, oh[2]) + scat(g3, oh[3]))
+                # mass-splitting apply: correction_i = (w_i / tet_deg_i) * sum
+                wtd = m["wtd"][:]
+                for c in range(3):
+                    pred[rows(c)] += wtd * delta[rows(c)]
+
             def contacts():
                 if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
                     gh = cfg.ground_height
@@ -1067,6 +1224,12 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         vlamo_ref[:] = vlamo_ref[:] * cfg.lambda_decay
                     else:
                         vlamo_ref[:] = jnp.zeros_like(vlamo_ref)
+                if tplan is not None:
+                    # tets follow the bending lifecycle (general._substep)
+                    if cfg.lambda_mode == LambdaMode.DECAY:
+                        tlamo_ref[:] = tlamo_ref[:] * cfg.lambda_decay
+                    else:
+                        tlamo_ref[:] = jnp.zeros_like(tlamo_ref)
 
                 # ---- predict (per coordinate plane)
                 for c, gc in ((0, gx), (1, gy), (2, gz)):
@@ -1116,6 +1279,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         sweep("solve")
                         if bplan is not None:
                             bend_sweep()
+                        if tplan is not None:
+                            tet_sweep()
                         if vplan is not None:
                             volume_sweep()
                         if has_contacts:
@@ -1144,6 +1309,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         sweep("solve")
                         if bplan is not None:
                             bend_sweep()
+                        if tplan is not None:
+                            tet_sweep()
                         if vplan is not None:
                             volume_sweep()
                         if has_contacts:
@@ -1214,6 +1381,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             (bplan.n_blocks, R, bplan.block_hinges), jnp.float32))
     if vplan is not None:
         out_shapes.append(jax.ShapeDtypeStruct((R, 128), jnp.float32))
+    if tplan is not None:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (tplan.n_blocks, R, tplan.block_tets), jnp.float32))
     call = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
@@ -1231,6 +1401,20 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         h_real = topo.n_hinges
     if vplan is not None:
         vidx_c = jnp.asarray(vplan.idx_loc)
+    if tplan is not None:
+        tidx_c = jnp.asarray(tplan.idx_loc)
+        trest_c = jnp.asarray(tplan.rest6)
+        talpha_c = jnp.asarray(tplan.alpha)
+        trelax_c = jnp.asarray(tplan.relax)
+        tg0, tg1, tg2, tg3 = (jnp.asarray(tplan.idx_glob[i])
+                              for i in range(4))
+        torder_c = jnp.asarray(tplan.order)
+        # inverse permutation: plan slot of each original tet
+        tinv = np.empty(tplan.order.shape[0], np.int64)
+        tinv[tplan.order] = np.arange(tplan.order.shape[0])
+        tinv_c = jnp.asarray(tinv.astype(np.int32))
+        t_real = topo.n_tets
+        tdeg_c = jnp.asarray(topo.tet_degree)
 
     def to_planes(a):
         """(B, n, 3) component-major batched planes -> (3R, n_pad)."""
@@ -1327,11 +1511,32 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             vlam = jnp.zeros((R, 128), jnp.float32).at[
                 :lam_v_in.shape[0], :].set(lam_v_in[:, None])
             args += [vlam, vidx_c]
+        if tplan is not None:
+            tkn, tsn = tplan.n_blocks, tplan.block_tets
+            # state multipliers are in original tet order; the plan's slots
+            # are window-sorted -> permute in, un-permute out
+            if batched:
+                tlam = lam_to_slab(
+                    jnp.pad(state.lambda_tet[:, torder_c],
+                            ((0, 0), (0, tkn * tsn - t_real))), tkn, tsn)
+            else:
+                tlam = jnp.pad(state.lambda_tet[torder_c],
+                               (0, tkn * tsn - t_real)).reshape(tkn, 1, tsn)
+            tw0 = state.inv_mass[tg0].reshape(tkn, 1, tsn)
+            tw1 = state.inv_mass[tg1].reshape(tkn, 1, tsn)
+            tw2 = state.inv_mass[tg2].reshape(tkn, 1, tsn)
+            tw3 = state.inv_mass[tg3].reshape(tkn, 1, tsn)
+            wtd = jnp.pad((state.inv_mass
+                           / jnp.maximum(tdeg_c, 1.0))[None, :],
+                          ((0, 0), (0, n_pad - n)))
+            args += [tlam, tidx_c, trest_c, talpha_c, trelax_c,
+                     tw0, tw1, tw2, tw3, wtd]
         res = list(call(*args))
         xo, vo, lamo = res[:3]
         res = res[3:]
         blamo = res.pop(0) if bplan is not None else None
         vlamo = res.pop(0) if vplan is not None else None
+        tlamo = res.pop(0) if tplan is not None else None
         if batched:
             lam_flat = slab_to_lam(lamo, k_blocks, s_edges)
             out = state.replace(
@@ -1346,6 +1551,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     bplan.block_hinges)[:, :h_real])
             if vlamo is not None:
                 out = out.replace(lambda_volume=vlamo[:n_b, 0])
+            if tlamo is not None:
+                out = out.replace(lambda_tet=slab_to_lam(
+                    tlamo, tplan.n_blocks,
+                    tplan.block_tets)[:, tinv_c])
         else:
             lam_flat = lamo.reshape(-1)
             out = state.replace(
@@ -1360,6 +1569,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 out = out.replace(
                     lambda_volume=vlamo[0, 0].reshape(
                         state.lambda_volume.shape))
+            if tlamo is not None:
+                out = out.replace(lambda_tet=tlamo.reshape(-1)[tinv_c])
         if with_ext:
             out = out.replace(ext_force=jnp.zeros_like(state.ext_force))
         return out

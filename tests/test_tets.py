@@ -315,6 +315,111 @@ def test_health_scrub_covers_lambda_tet():
     assert bool(jnp.isfinite(fixed.lambda_tet).all())
 
 
+# ------------------------------------------------- fused mesh kernel twin
+def _windowed_tet_setup(res=4, **cfg_kw):
+    pos = L.lattice_points(res) + np.array([0, 1.0, 0])
+    tt = T.fix_orientation(pos, T.cube_lattice_tets(res))
+    pos2, topo = B.build_windowed_topology(
+        pos, T.tet_edges(tt), 1e-4, tets=tt, tet_compliance=1e-6,
+        triangles=T.boundary_faces(tt))
+    cfg_kw.setdefault("substeps", 2)
+    cfg_kw.setdefault("iterations", 3)
+    cfg_kw.setdefault("solve_mode", SolveMode.JACOBI)
+    cfg = SolverConfig(damping=0.02, enable_tet_volume=True,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3, **cfg_kw)
+    return state_from_topology(topo, pos2), topo, cfg
+
+
+@pytest.mark.parametrize("lmode,rho", [
+    (LambdaMode.RESET, 0.9),
+    (LambdaMode.DECAY, 0.0),
+    (LambdaMode.WARM_START, 0.9),
+])
+def test_mesh_kernel_tets_track_engine(lmode, rho):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    st, topo, cfg = _windowed_tet_setup(lambda_mode=lmode, jacobi_rho=rho,
+                                        lambda_decay=0.98)
+    n_steps = 4
+    out_r = general.make_step(topo, cfg, 1 / 60., n_steps=n_steps)(st)
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True)
+        out_p = fn(st)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    dlam = np.abs(np.asarray(out_p.lambda_tet)
+                  - np.asarray(out_r.lambda_tet)).max()
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+    assert dpos < 2e-5, f"kernel/engine tet position mismatch {dpos}"
+    assert dlam < 1e-5, f"kernel/engine tet lambda mismatch {dlam}"
+
+
+def test_mesh_kernel_tets_pinned():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    st, topo, cfg = _windowed_tet_setup()
+    pins = np.arange(4)
+    st = st.replace(inv_mass=st.inv_mass.at[pins].set(0.0))
+    out_r = general.make_step(topo, cfg, 1 / 60., n_steps=3)(st)
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, 3 * cfg.substeps,
+            block_edges=128, with_ext=True)
+        out_p = fn(st)
+    np.testing.assert_array_equal(
+        np.asarray(out_p.positions)[pins], np.asarray(st.positions)[pins])
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    assert dpos < 2e-5
+
+
+def test_mesh_kernel_tets_ensemble_matches_single():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    st, topo, cfg = _windowed_tet_setup(res=3)
+    nb = 2
+    batched = st.replace(
+        positions=jnp.stack([st.positions] * nb),
+        velocities=jnp.stack([st.velocities] * nb),
+        ext_force=jnp.stack([st.ext_force] * nb),
+        lambda_dist=jnp.stack([st.lambda_dist] * nb),
+        lambda_bend=jnp.stack([st.lambda_bend] * nb),
+        lambda_tet=jnp.stack([st.lambda_tet] * nb),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        f1 = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True)
+        fb = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=nb)
+        out1 = f1(st)
+        outb = fb(batched)
+    for b in range(nb):
+        np.testing.assert_array_equal(
+            np.asarray(outb.positions)[b], np.asarray(out1.positions))
+        np.testing.assert_array_equal(
+            np.asarray(outb.lambda_tet)[b], np.asarray(out1.lambda_tet))
+
+
+def test_mesh_kernel_rejects_colored_tets():
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    st, topo, cfg = _windowed_tet_setup(solve_mode=SolveMode.COLORED)
+    with pytest.raises(NotImplementedError):
+        mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, 1 / 120., 2, block_edges=128)
+
+
 def test_windowed_build_renumbers_tets():
     res = 3
     pos = L.lattice_points(res) + np.array([0, 1.0, 0])
