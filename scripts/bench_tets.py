@@ -1,0 +1,187 @@
+"""Same-run A/B: the per-tet volume family (round-3 capability) on the
+solid jelly-cube workload — general engine (windowed distance + gather
+tets) vs the fused mesh kernel's in-kernel tet sweep, single instance and
+a small ensemble farm.
+
+Workload: res^3 tet lattice (Kuhn 6-tet cells, ``topology/tets.py``),
+distance constraints on the tet edges, incompressible per-tet volume
+(compliance 0), floor contact, 4 substeps x 4 Chebyshev iterations — the
+wired-up version of the reference's commented AddVolumeConstraints
+(``SoftBodySimulator.cs:187-212``).  Prints one JSON line per row.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from softbodysimulation_tpu import (  # noqa: E402
+    SolveMode,
+    SolverConfig,
+    state_from_topology,
+)
+from softbodysimulation_tpu.kernels import mesh_pallas  # noqa: E402
+from softbodysimulation_tpu.ops.tet_volume import tet_volumes6  # noqa: E402
+from softbodysimulation_tpu.solvers import general  # noqa: E402
+from softbodysimulation_tpu.topology import build, lattice  # noqa: E402
+from softbodysimulation_tpu.topology import tets as T  # noqa: E402
+
+DT = 1.0 / 60.0
+RES = int(os.environ.get("BENCH_TET_RES", "12"))
+SUBSTEPS_PER_CALL = int(os.environ.get("BENCH_SUBSTEPS_PER_CALL", "2000"))
+FARM = int(os.environ.get("BENCH_TET_FARM", "16"))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def measure(fn, state, n, work, repeats=5):
+    out = fn(state)
+    np.asarray(out.positions)          # compile + sync
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(out)
+        np.asarray(out.positions.reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    return n * work / best, out
+
+
+def main():
+    import jax.numpy as jnp  # noqa: E402
+
+    pos0 = lattice.lattice_points(RES) + np.array([0, 1.0, 0])
+    tt = T.fix_orientation(pos0, T.cube_lattice_tets(RES))
+    pos, topo = build.build_windowed_topology(
+        pos0, T.tet_edges(tt), 1e-4, tets=tt, tet_compliance=0.0,
+        triangles=T.boundary_faces(tt))
+    cfg = SolverConfig(substeps=4, iterations=4, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       enable_tet_volume=True,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    st = state_from_topology(topo, pos)
+    n = topo.n_particles
+    dt_sub = DT / cfg.substeps
+    emit(row="workload", n=n, e=topo.n_edges, tets=topo.n_tets, res=RES)
+
+    # --- XLA general engine (windowed distance + gather tet sweeps)
+    xla_steps = 50
+    fn_x = general.make_step(topo, cfg, DT, n_steps=xla_steps)
+    rate_x, _ = measure(fn_x, st, n, xla_steps * cfg.substeps)
+    emit(row="tet_cube_xla", particle_substeps_per_s=float(f"{rate_x:.4g}"))
+
+    # --- validation horizon: kernel must track the engine AND conserve
+    # volume (an absolute physical gate, immune to fp-chaos arguments).
+    # The trajectory gate is SELF-CALIBRATING like bench_mesh_kernel's:
+    # stiff XPBD + Chebyshev amplifies ulp-level rounding explosively on
+    # hardware, so the yardstick is the XLA engine's OWN spread between
+    # its two distance formulations (gather vs windowed) at the same
+    # horizon.
+    import dataclasses  # noqa: E402
+
+    fn_x_val = general.make_step(topo, cfg, DT, n_steps=15)
+    ref = fn_x_val(st)
+    ref_pos = np.asarray(ref.positions)
+    v0 = float(np.asarray(topo.rest_tet_volumes).sum())
+    cfg_g = dataclasses.replace(cfg, distance_backend="gather")
+    spread = float(np.abs(np.asarray(
+        general.make_step(topo, cfg_g, DT, n_steps=15)(st).positions)
+        - ref_pos).max())
+    gate = max(3.0 * spread, 1e-3)
+    emit(row="control_xla_gather_vs_windowed_60sub",
+         drift=float(f"{spread:.3g}"), gate=float(f"{gate:.3g}"))
+
+    for approx in (False, True):
+        tag = "approx" if approx else "exact"
+        try:
+            fn_p_val = mesh_pallas.make_mesh_substep_runner(
+                topo, cfg, dt_sub, 15 * cfg.substeps,
+                with_ext=True, approx_math=approx, block_edges=256)
+            outv = fn_p_val(st)
+            wp = np.asarray(outv.positions)
+            drift = float(np.abs(wp - ref_pos).max())
+            vol = float(np.asarray(
+                tet_volumes6(jnp.asarray(wp), topo.tets)).sum())
+            if not np.isfinite(wp).all():
+                raise RuntimeError("non-finite kernel output")
+            if drift >= gate:
+                raise RuntimeError(
+                    f"kernel drift {drift} exceeds the XLA backends' own "
+                    f"spread gate {gate}")
+            if abs(vol / v0 - 1.0) > 0.02:
+                raise RuntimeError(f"volume ratio {vol / v0} off by > 2%")
+            fn_p = mesh_pallas.make_mesh_substep_runner(
+                topo, cfg, dt_sub, SUBSTEPS_PER_CALL,
+                with_ext=True, approx_math=approx, block_edges=256)
+            t0 = time.perf_counter()
+            np.asarray(fn_p(st).positions)
+            compile_s = time.perf_counter() - t0
+            rate_p, _ = measure(fn_p, st, n, SUBSTEPS_PER_CALL)
+            emit(row=f"tet_cube_kernel_{tag}",
+                 particle_substeps_per_s=float(f"{rate_p:.4g}"),
+                 drift_vs_xla_60sub=float(f"{drift:.3g}"),
+                 vol_ratio=float(f"{vol / v0:.5g}"),
+                 compile_s=round(compile_s, 1),
+                 speedup_vs_xla=float(f"{rate_p / rate_x:.3g}"))
+        except Exception as e:  # noqa: BLE001
+            emit(row=f"tet_cube_kernel_{tag}", ok=False,
+                 err=f"{type(e).__name__}: {str(e)[:200]}")
+
+    # --- ensemble farm: FARM bodies on the sublane axis vs vmapped XLA
+    if FARM > 1:
+        import jax  # noqa: E402
+
+        def stack(a):
+            return jnp.stack([jnp.asarray(a)] * FARM)
+
+        batched = st.replace(
+            positions=stack(st.positions), velocities=stack(st.velocities),
+            ext_force=stack(st.ext_force),
+            lambda_dist=stack(st.lambda_dist),
+            lambda_bend=stack(st.lambda_bend),
+            lambda_tet=stack(st.lambda_tet))
+        xla_farm_steps = 20
+        # vmapped XLA: every leaf broadcast to (FARM, ...) (scalar
+        # lambda_volume and inv_mass included — vmap maps all leaves)
+        full = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                       (FARM,) + np.shape(x)), st)
+        fn_xf = jax.jit(jax.vmap(
+            lambda s: general.multi_step_fn(s, topo, cfg, DT,
+                                            xla_farm_steps)))
+        try:
+            rate_xf, _ = measure(fn_xf, full, n * FARM,
+                                 xla_farm_steps * cfg.substeps, repeats=3)
+            emit(row=f"tet_farm_x{FARM}_xla_vmap",
+                 particle_substeps_per_s=float(f"{rate_xf:.4g}"))
+        except Exception as e:  # noqa: BLE001
+            rate_xf = None
+            emit(row=f"tet_farm_x{FARM}_xla_vmap", ok=False,
+                 err=f"{type(e).__name__}: {str(e)[:200]}")
+        for approx in (False, True):
+            tag = "approx" if approx else "exact"
+            try:
+                fn_pf = mesh_pallas.make_mesh_substep_runner(
+                    topo, cfg, dt_sub, SUBSTEPS_PER_CALL, with_ext=True,
+                    approx_math=approx, block_edges=256, n_bodies=FARM)
+                rate_pf, _ = measure(fn_pf, batched, n * FARM,
+                                     SUBSTEPS_PER_CALL, repeats=3)
+                row = dict(row=f"tet_farm_x{FARM}_kernel_{tag}",
+                           particle_substeps_per_s=float(f"{rate_pf:.4g}"))
+                if rate_xf:
+                    row["speedup_vs_vmap"] = float(
+                        f"{rate_pf / rate_xf:.3g}")
+                emit(**row)
+            except Exception as e:  # noqa: BLE001
+                emit(row=f"tet_farm_x{FARM}_kernel_{tag}", ok=False,
+                     err=f"{type(e).__name__}: {str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()
