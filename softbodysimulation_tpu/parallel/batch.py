@@ -152,29 +152,39 @@ def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
     local = _mp.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, with_ext=True,
         n_bodies=n_bodies // n_shards, batched=True, **kernel_kw)
+    has_tets = cfg.enable_tet_volume and topo.n_tets > 0
 
-    def local_arrays(pos, vel, ext, lam, lamb, w):
+    def local_arrays(pos, vel, ext, lam, lamb, w, *rest):
         st = SimState(positions=pos, velocities=vel, inv_mass=w,
                       ext_force=ext, lambda_dist=lam, lambda_bend=lamb,
-                      lambda_volume=jnp.zeros((), jnp.float32))
+                      lambda_volume=jnp.zeros((), jnp.float32),
+                      lambda_tet=rest[0] if has_tets else None)
         out = local(st)
-        return (out.positions, out.velocities, out.ext_force,
-                out.lambda_dist, out.lambda_bend)
+        return ((out.positions, out.velocities, out.ext_force,
+                 out.lambda_dist, out.lambda_bend)
+                + ((out.lambda_tet,) if has_tets else ()))
 
+    n_out = 6 if has_tets else 5
     fn = shard_map(local_arrays, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                             P()),
-                   out_specs=(P(axis),) * 5,
+                             P()) + ((P(axis),) if has_tets else ()),
+                   out_specs=(P(axis),) * n_out,
                    check_rep=False)
 
     @jax.jit
     def run(batched: SimState) -> SimState:
-        pos, vel, ext, lam, lamb = fn(
-            batched.positions, batched.velocities, batched.ext_force,
-            batched.lambda_dist, batched.lambda_bend, batched.inv_mass)
-        return batched.replace(positions=pos, velocities=vel,
-                               ext_force=ext, lambda_dist=lam,
-                               lambda_bend=lamb)
+        args = [batched.positions, batched.velocities, batched.ext_force,
+                batched.lambda_dist, batched.lambda_bend, batched.inv_mass]
+        if has_tets:
+            args.append(batched.lambda_tet)
+        res = fn(*args)
+        pos, vel, ext, lam, lamb = res[:5]
+        out = batched.replace(positions=pos, velocities=vel,
+                              ext_force=ext, lambda_dist=lam,
+                              lambda_bend=lamb)
+        if has_tets:
+            out = out.replace(lambda_tet=res[5])
+        return out
 
     return run
 
@@ -193,7 +203,8 @@ def make_sharded_general_step(topo, cfg: SolverConfig, dt: float, mesh: Mesh,
     spec_b = SimState(
         positions=P(axis), velocities=P(axis), inv_mass=P(axis),
         ext_force=P(axis), lambda_dist=P(axis), lambda_bend=P(axis),
-        lambda_volume=P(axis))
+        lambda_volume=P(axis),
+        lambda_tet=(P(axis) if topo.n_tets else None))
 
     fn = shard_map(vstep, mesh=mesh, in_specs=(spec_b,), out_specs=spec_b,
                    check_rep=False)

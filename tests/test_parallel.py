@@ -256,3 +256,53 @@ def test_sharded_mesh_pallas_rollout_matches_single_kernel():
     assert np.isfinite(got).all()
     assert np.abs(got - want).max() < 1e-6
     assert out_s.lambda_dist.shape == (nb, topo.n_edges)
+
+
+def test_sharded_mesh_pallas_rollout_with_tets():
+    """The per-tet volume family rides the sharded mesh rollout: a solid
+    (centroid-fan) ball farm over a 4-device mesh, lambda_tet split on the
+    body axis, must match the single-device ensemble kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu import state_from_topology
+    from softbodysimulation_tpu.kernels import mesh_pallas
+    from softbodysimulation_tpu.topology import build, mesh
+    from softbodysimulation_tpu.topology import tets as T
+
+    m = mesh.icosphere(1, radius=0.4)
+    verts, tt = T.tets_from_surface_centroid(m.vertices, m.triangles)
+    pos, topo = build.build_windowed_topology(
+        verts, T.tet_edges(tt), 1e-4, tets=tt, tet_compliance=0.0,
+        triangles=T.boundary_faces(tt), block_edges=64)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.9,
+                       lambda_mode=LambdaMode.RESET,
+                       enable_tet_volume=True,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    nb = 8
+    st = state_from_topology(topo, pos + np.array([0, 1.0, 0], np.float32))
+    rng = np.random.RandomState(3)
+    offs = rng.uniform(-1, 1, (nb, 3)).astype(np.float32)
+    z = np.zeros((nb,) + tuple(st.positions.shape), np.float32)
+    batched = st.replace(
+        positions=np.asarray(st.positions)[None] + offs[:, None, :],
+        velocities=z, ext_force=z,
+        lambda_dist=np.zeros((nb, topo.n_edges), np.float32),
+        lambda_bend=np.zeros((nb, topo.n_hinges), np.float32),
+        lambda_tet=np.zeros((nb, topo.n_tets), np.float32))
+    n_sub = 2 * cfg.substeps
+    devmesh = pbatch.make_mesh(4)
+    with pltpu.force_tpu_interpret_mode():
+        out_s = pbatch.make_sharded_mesh_pallas_rollout(
+            topo, cfg, DT / cfg.substeps, n_sub, devmesh, nb,
+            block_edges=64)(batched)
+        ref = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_sub, with_ext=True,
+            n_bodies=nb, block_edges=64)(batched)
+    assert np.isfinite(np.asarray(out_s.positions)).all()
+    assert np.abs(np.asarray(out_s.positions)
+                  - np.asarray(ref.positions)).max() < 1e-6
+    np.testing.assert_allclose(np.asarray(out_s.lambda_tet),
+                               np.asarray(ref.lambda_tet), atol=1e-6)
+    assert out_s.lambda_tet.shape == (nb, topo.n_tets)

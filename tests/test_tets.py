@@ -315,6 +315,26 @@ def test_health_scrub_covers_lambda_tet():
     assert bool(jnp.isfinite(fixed.lambda_tet).all())
 
 
+def test_tet_rollout_is_differentiable():
+    """The tet family is plain jnp in the general engine, so whole-rollout
+    autodiff works: the gradient of final height w.r.t. initial upward
+    velocity must be positive and finite."""
+    state, topo, cfg = _tet_cube_setup(res=3, gravity=(0.0, -9.81, 0.0),
+                                       solve_mode=SolveMode.JACOBI)
+    step = general.make_step(topo, cfg, 1 / 60., n_steps=10)
+
+    def loss(v_up):
+        st = state.replace(
+            velocities=state.velocities + jnp.asarray([0.0, 1.0, 0.0])
+            * v_up)
+        out = step(st)
+        return out.positions[:, 1].mean()
+
+    g = jax.grad(loss)(jnp.float32(0.5))
+    assert bool(jnp.isfinite(g))
+    assert float(g) > 0.0
+
+
 # ------------------------------------------------- fused mesh kernel twin
 def _windowed_tet_setup(res=4, **cfg_kw):
     pos = L.lattice_points(res) + np.array([0, 1.0, 0])
