@@ -276,6 +276,39 @@ def main():
         print(f"ensemble mesh kernel unavailable: {type(e).__name__}: {e}",
               flush=True)
 
+    # 2d. per-tet volume family (round 3): solid jelly cube, general
+    # engine vs the fused kernel's in-kernel tet sweep — same-run pair
+    # (full sweep incl. farms + validation gates: scripts/bench_tets.py)
+    try:
+        from softbodysimulation_tpu.kernels import mesh_pallas as _mp
+        from softbodysimulation_tpu.topology import tets as _tets
+
+        res_t = 12
+        pos_t0 = lattice.lattice_points(res_t) + np.array([0, 1.0, 0])
+        tt = _tets.fix_orientation(pos_t0, _tets.cube_lattice_tets(res_t))
+        pos_t, topo_t = build.build_windowed_topology(
+            pos_t0, _tets.tet_edges(tt), 1e-4, tets=tt, tet_compliance=0.0,
+            triangles=_tets.boundary_faces(tt))
+        cfg_t = SolverConfig(substeps=4, iterations=4, damping=0.02,
+                             solve_mode=SolveMode.JACOBI,
+                             enable_tet_volume=True,
+                             distance_backend="windowed",
+                             ground_height=0.0, friction=0.3)
+        st_t = state_from_topology(topo_t, pos_t)
+        steps_t = 50
+        fn_t = general.make_step(topo_t, cfg_t, 1 / 60, n_steps=steps_t)
+        measure(f"tet cube {topo_t.n_particles}p/{topo_t.n_tets}t (xla)",
+                fn_t, st_t, topo_t.n_particles, steps_t * cfg_t.substeps,
+                pair="tets")
+        Lt = 2000
+        fn_tk = _mp.make_mesh_substep_runner(
+            topo_t, cfg_t, (1 / 60) / cfg_t.substeps, Lt, with_ext=True)
+        measure("tet cube (fused kernel, in-kernel tets)", fn_tk, st_t,
+                topo_t.n_particles, Lt, pair="tets")
+    except Exception as e:  # noqa: BLE001
+        print(f"tet kernel unavailable: {type(e).__name__}: {e}",
+              flush=True)
+
     # 3. 1024-body ensemble, res-4 braced lattices, vmapped
     spec4 = lattice.lattice_spec(4, braced=True)
     cfg4 = SolverConfig(substeps=4, iterations=1, damping=0.02,
