@@ -167,6 +167,11 @@ class SolverConfig:
     # Per-tet compliance lives on the Topology (like edge compliance).
     enable_tet_volume: bool = False
     tet_pressure: float = 1.0         # per-tet target volume multiplier
+    # Per-tet compliance for the STENCIL lattice engine's per-cell tet
+    # family (one scalar — the lattice's tets are congruent); the general
+    # engine carries per-tet compliances on the Topology instead (the
+    # builders' tet_compliance argument).  0 = incompressible.
+    tet_compliance: float = 0.0
 
     # --- collisions ---
     floor_mode: FloorMode = FloorMode.XPBD_INEQUALITY

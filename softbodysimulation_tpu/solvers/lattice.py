@@ -52,7 +52,11 @@ def n_lambda(spec: LatticeSpec) -> int:
 
 
 def make_lattice_state(spec: LatticeSpec, center=(0.0, 0.0, 0.0),
-                       mass: float = 1.0, dtype=jnp.float32) -> SimState:
+                       mass: float = 1.0, dtype=jnp.float32,
+                       tet_volume: bool = False) -> SimState:
+    """``tet_volume=True`` sizes ``lambda_tet`` for the stencil engine's
+    per-cell tet family (6 Kuhn tets per cell as 6 offset families; enable
+    with ``cfg.enable_tet_volume``)."""
     pos = lattice_points(spec.res, spec.size, center)
     n = pos.shape[0]
     inv = 0.0 if mass <= 1e-4 else 1.0 / mass
@@ -64,6 +68,8 @@ def make_lattice_state(spec: LatticeSpec, center=(0.0, 0.0, 0.0),
         lambda_dist=jnp.zeros((n_lambda(spec),), dtype),
         lambda_bend=jnp.zeros((0,), dtype),
         lambda_volume=jnp.zeros((), dtype),
+        lambda_tet=(jnp.zeros((6 * spec.res ** 3,), dtype)
+                    if tet_volume else None),
     )
 
 
@@ -187,6 +193,85 @@ def _warm_apply_family(pred, w, wb, lam_f, fam, valid, res, rest,
     return pred, lam_f
 
 
+@functools.lru_cache(maxsize=16)
+def _tet_fields(spec: LatticeSpec):
+    """Static structure for the per-cell tet family: the 6 Kuhn paths as
+    offset families (``topology/tets.kuhn_offset_paths``), the valid-cell
+    anchor mask, the per-particle tet degree (for the mass-splitting
+    apply), and the shared 6x rest volume (= the cell volume — every Kuhn
+    tet of a box cell has V = cellV/6 by the unit-determinant argument)."""
+    from ..topology import tets as _tets
+
+    res = spec.res
+    paths = _tets.kuhn_offset_paths()
+    cells = np.zeros((res, res, res), bool)
+    cells[:res - 1, :res - 1, :res - 1] = True
+    tdeg = np.zeros((res, res, res), np.float32)
+    c = res - 1
+    for path in paths:
+        for (ox, oy, oz) in path:
+            tdeg[ox:ox + c, oy:oy + c, oz:oz + c] += 1.0
+    spacing = tuple(s / (res - 1) for s in spec.size)
+    rest6 = float(spacing[0] * spacing[1] * spacing[2])
+    return (paths, cells.reshape(res, res * res),
+            tdeg.reshape(res, res * res), rest6)
+
+
+def _cross3(a, b):
+    """Cross product over the leading component axis of (3, res, r2)."""
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def _tet_sweep(pred, w, lam_t, spec: LatticeSpec, cfg: SolverConfig, dt,
+               tet_dev, omega):
+    """Per-cell tet-volume Jacobi sweep, gather-free: each Kuhn path is an
+    offset family, so the 4 endpoint gathers are rolls and the gradient
+    scatter is the inverse rolls.  Arithmetic matches
+    ``general._solve_tets_jacobi`` (``ops/tet_volume`` formulas,
+    full-strength projection, per-particle MEAN apply = mass splitting) up
+    to summation order; all 6 families project against the SAME pred
+    (Jacobi), then one apply.  lam_t: (6, res, r2)."""
+    paths, valid, tdeg, rest6 = tet_dev
+    res = spec.res
+    alpha = cfg.tet_compliance / (dt * dt)
+    delta = jnp.zeros_like(pred)
+    lam_parts = []
+    for pi, path in enumerate(paths):
+        f1 = path[1] + (0,)
+        f2 = path[2] + (0,)
+        f3 = path[3] + (0,)
+        e1 = _roll_fwd(pred, f1, res) - pred
+        e2 = _roll_fwd(pred, f2, res) - pred
+        e3 = _roll_fwd(pred, f3, res) - pred
+        g1 = _cross3(e2, e3)
+        g2 = _cross3(e3, e1)
+        g3 = _cross3(e1, e2)
+        g0 = -(g1 + g2 + g3)
+        vol6 = (e1 * g1).sum(0)
+        cerr = vol6 - cfg.tet_pressure * rest6
+        w1 = _roll_fwd(w, f1, res)
+        w2 = _roll_fwd(w, f2, res)
+        w3 = _roll_fwd(w, f3, res)
+        denom = (w * (g0 * g0).sum(0) + w1 * (g1 * g1).sum(0)
+                 + w2 * (g2 * g2).sum(0) + w3 * (g3 * g3).sum(0) + alpha)
+        lam_f = lam_t[pi]
+        dl = (-cerr - alpha * lam_f) / jnp.maximum(denom, 1e-30)
+        active = valid & (denom > cfg.eps_denominator)
+        dl = jnp.where(active, dl, 0.0) * omega
+        lam_parts.append(lam_f + dl)
+        dlb = dl[None]
+        delta = delta + dlb * g0
+        delta = delta + _roll_bwd(dlb * g1, f1, res)
+        delta = delta + _roll_bwd(dlb * g2, f2, res)
+        delta = delta + _roll_bwd(dlb * g3, f3, res)
+    pred = pred + (w / jnp.maximum(tdeg, 1.0))[None] * delta
+    return pred, jnp.stack(lam_parts)
+
+
 def _floor_xpbd(pred, x, w, dt, cfg: SolverConfig):
     """XPBD inequality floor + positional friction, componentwise on
     (3,res,res^2) (semantics of ops/collision.floor_project_xpbd)."""
@@ -207,13 +292,26 @@ def _floor_xpbd(pred, x, w, dt, cfg: SolverConfig):
 def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
              apply_ext: bool, masks_dev, contact_on: bool = True):
     """One substep in (3,res,res^2) layout.  x,v,f: (3,res,r2); w: (res,r2);
-    lam: (nfam,res,r2)."""
+    lam: (nfam,res,r2) — or a ``(lam_dist, lam_tet)`` tuple when the state
+    carries the per-cell tet family (lam_tet: (6,res,r2)); the same pytree
+    shape is returned."""
     res = spec.res
+
+    lam_t = None
+    if isinstance(lam, tuple):
+        lam, lam_t = lam
+    has_tets = cfg.enable_tet_volume and lam_t is not None
 
     if cfg.lambda_mode == LambdaMode.RESET:
         lam = jnp.zeros_like(lam)
     else:
         lam = lam * cfg.lambda_decay
+    if lam_t is not None:
+        # tets follow the general engine's lifecycle: fresh except in DECAY
+        if cfg.lambda_mode == LambdaMode.DECAY:
+            lam_t = lam_t * cfg.lambda_decay
+        else:
+            lam_t = jnp.zeros_like(lam_t)
 
     # predict (reference gravity is a force: v += dt*w*(g + f_ext);
     # gravity_is_acceleration applies g mass-independently)
@@ -258,8 +356,15 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
             lam_parts.append(lam_f)
         lam = jnp.stack(lam_parts)
 
+    tet_dev = None
+    if has_tets:
+        paths, valid_np, tdeg_np, rest6 = _tet_fields(spec)
+        tet_dev = (paths, jnp.asarray(valid_np), jnp.asarray(tdeg_np),
+                   rest6)
+    tet_omega = cfg.omega if cfg.omega > 0 else 1.0
+
     def iteration(_, carry):
-        pred, lam = carry
+        pred, lam, lam_t = carry
         lam_parts = []
         for fi, fam in enumerate(spec.families):
             valid, parity0 = masks_dev[fi]
@@ -295,6 +400,10 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
             lam_parts.append(lam_f)
         lam = jnp.stack(lam_parts)
 
+        if has_tets:
+            pred, lam_t = _tet_sweep(pred, w, lam_t, spec, cfg, dt,
+                                     tet_dev, tet_omega)
+
         if sc_on:
             # same projection order as the general engine (self-collision
             # before the floor/SDF projections); shared backend dispatch
@@ -329,9 +438,10 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
                 vt = vel - vn
                 fr = min(max(cfg.friction, 0.0), 1.0)
                 pred = pred - jnp.where(act[None], vt * (dt * fr), 0.0)
-        return pred, lam
+        return pred, lam, lam_t
 
-    pred, lam = lax.fori_loop(0, cfg.iterations, iteration, (pred, lam))
+    pred, lam, lam_t = lax.fori_loop(0, cfg.iterations, iteration,
+                                     (pred, lam, lam_t))
 
     # finalize
     pinned = (w == 0.0)[None]
@@ -358,24 +468,31 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
         x = jnp.stack([x[0], x1, x[2]])
         v = jnp.stack([v0, v1, v2])
 
-    return x, v, lam
+    return x, v, ((lam, lam_t) if lam_t is not None else lam)
 
 
 def _to_grid(state: SimState, spec: LatticeSpec):
     res = spec.res
     r2 = res * res
+    lam = state.lambda_dist.reshape(spec.n_families, res, r2)
+    if state.lambda_tet is not None:
+        lam = (lam, state.lambda_tet.reshape(6, res, r2))
     return (state.positions.T.reshape(3, res, r2),
             state.velocities.T.reshape(3, res, r2),
             state.inv_mass.reshape(res, r2),
             state.ext_force.T.reshape(3, res, r2),
-            state.lambda_dist.reshape(spec.n_families, res, r2))
+            lam)
 
 
 def _from_grid(state: SimState, x, v, lam) -> SimState:
+    lam_t = None
+    if isinstance(lam, tuple):
+        lam, lam_t = lam
     return state.replace(
         positions=x.reshape(3, -1).T,
         velocities=v.reshape(3, -1).T,
         lambda_dist=lam.reshape(-1),
+        lambda_tet=None if lam_t is None else lam_t.reshape(-1),
         ext_force=jnp.zeros_like(state.ext_force),
     )
 

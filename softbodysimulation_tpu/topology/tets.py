@@ -31,14 +31,28 @@ import numpy as np
 # Kuhn/path subdivision: cube corner id = 4x + 2y + z (matching the lattice's
 # x-major vertex numbering); each axis permutation walks 000 -> 111 one axis
 # at a time, giving 6 congruent tets that all share the 000-111 diagonal.
+# Odd permutations produce NEGATIVE orientation in walk order, so their
+# last two corners are swapped here — every path tet is positively oriented
+# as written (the stencil engine consumes these offsets directly and has no
+# fix_orientation pass).
 _KUHN_PATHS = (
     (0b000, 0b100, 0b110, 0b111),   # x, y, z
-    (0b000, 0b100, 0b101, 0b111),   # x, z, y
-    (0b000, 0b010, 0b110, 0b111),   # y, x, z
+    (0b000, 0b100, 0b111, 0b101),   # x, z, y (swapped)
+    (0b000, 0b010, 0b111, 0b110),   # y, x, z (swapped)
     (0b000, 0b010, 0b011, 0b111),   # y, z, x
     (0b000, 0b001, 0b101, 0b111),   # z, x, y
-    (0b000, 0b001, 0b011, 0b111),   # z, y, x
+    (0b000, 0b001, 0b111, 0b011),   # z, y, x (swapped)
 )
+
+
+def kuhn_offset_paths() -> Tuple[Tuple[Tuple[int, int, int], ...], ...]:
+    """The 6 Kuhn path tets as per-corner (dx, dy, dz) cell offsets —
+    corner order matches ``cube_lattice_tets`` (p0 = cell origin,
+    p3 = opposite corner).  The stencil lattice engine treats each path
+    as one offset FAMILY (``solvers/lattice._tet_sweep``)."""
+    return tuple(
+        tuple(((b >> 2) & 1, (b >> 1) & 1, b & 1) for b in path)
+        for path in _KUHN_PATHS)
 
 
 def cube_lattice_tets(res: int) -> np.ndarray:

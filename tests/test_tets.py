@@ -440,6 +440,98 @@ def test_mesh_kernel_rejects_colored_tets():
             topo, cfg, 1 / 120., 2, block_edges=128)
 
 
+# -------------------------------------------------- stencil lattice twin
+def test_kuhn_paths_positively_oriented_as_written():
+    # the stencil engine consumes the path offsets directly (no
+    # fix_orientation pass), so every path must be positive as written
+    pos = L.lattice_points(3)
+    v6 = T.tet_volumes6(pos, T.cube_lattice_tets(3))
+    assert (v6 > 0).all()
+
+
+def test_stencil_tet_sweep_matches_general():
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    res = 5
+    spec = L.lattice_spec(res, braced=True)
+    pos = L.lattice_points(res) + np.array([0, 1.0, 0])
+    tt = T.cube_lattice_tets(res)
+    cfg = SolverConfig(substeps=2, iterations=3,
+                       solve_mode=SolveMode.JACOBI, enable_tet_volume=True,
+                       tet_compliance=0.0, ground_height=0.0)
+    rng = np.random.default_rng(0)
+    pred = (pos * np.array([1.0, 0.8, 1.0])
+            + 0.01 * rng.normal(size=pos.shape)).astype(np.float32)
+    w = np.ones(len(pos), np.float32)
+    topo = B.build_topology(pos, T.tet_edges(tt), 1e-4, tets=tt,
+                            tet_compliance=0.0)
+    gp, gl = general._solve_tets_jacobi(
+        jnp.asarray(pred), jnp.zeros((topo.n_tets,), jnp.float32),
+        jnp.asarray(w), topo, cfg, 1 / 120., jnp.float32(1.0))
+    r2 = res * res
+    paths, valid_np, tdeg_np, rest6 = lat._tet_fields(spec)
+    tet_dev = (paths, jnp.asarray(valid_np), jnp.asarray(tdeg_np), rest6)
+    sp, sl = lat._tet_sweep(
+        jnp.asarray(pred.T.reshape(3, res, r2)),
+        jnp.asarray(w.reshape(res, r2)),
+        jnp.zeros((6, res, r2), jnp.float32), spec, cfg, 1 / 120., tet_dev,
+        1.0)
+    np.testing.assert_allclose(np.asarray(sp).reshape(3, -1).T,
+                               np.asarray(gp), atol=5e-7)
+    # stencil lambda fields map to the general per-tet order: path-major
+    # over cells in meshgrid-ij order (cube_lattice_tets' construction)
+    c = res - 1
+    cells = np.arange(res ** 3).reshape(res, res, res)[
+        :c, :c, :c].reshape(-1)
+    sl_np = np.asarray(sl).reshape(6, -1)
+    sl_per_tet = np.concatenate([sl_np[p][cells] for p in range(6)])
+    np.testing.assert_allclose(sl_per_tet, np.asarray(gl), atol=1e-6)
+    # per-particle tet degrees agree too
+    np.testing.assert_array_equal(np.asarray(tdeg_np).reshape(-1),
+                                  np.asarray(topo.tet_degree))
+
+
+def test_stencil_solid_lattice_drop_conserves_volume():
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    res = 5
+    spec = L.lattice_spec(res, braced=True)
+    st = lat.make_lattice_state(spec, center=(0, 1.0, 0), tet_volume=True)
+    cfg = SolverConfig(substeps=4, iterations=6, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, enable_tet_volume=True,
+                       ground_height=0.0, friction=0.3)
+    out = lat.make_step(spec, cfg, 1 / 60., n_steps=60)(st)
+    assert bool(is_finite(out))
+    assert out.lambda_tet.shape == (6 * res ** 3,)
+    tt = T.cube_lattice_tets(res)
+    p0 = L.lattice_points(res, center=(0, 1.0, 0))
+    v0 = T.tet_volumes6(p0, tt).sum()
+    v = float(np.asarray(tv.tet_volumes6(
+        out.positions, jnp.asarray(tt))).sum())
+    y = np.asarray(out.positions)[:, 1]
+    assert abs(v / v0 - 1.0) < 0.01
+    assert -0.01 < y.min() < 0.05
+    assert y.max() - y.min() > 0.9        # resting, not pancaked
+
+
+@pytest.mark.parametrize("mode", [LambdaMode.RESET, LambdaMode.DECAY,
+                                  LambdaMode.WARM_START])
+def test_stencil_tet_lifecycle_runs(mode):
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    spec = L.lattice_spec(4, braced=True)
+    st = lat.make_lattice_state(spec, center=(0, 1.0, 0), tet_volume=True)
+    cfg = SolverConfig(substeps=2, iterations=2, lambda_mode=mode,
+                       lambda_decay=0.98, solve_mode=SolveMode.JACOBI,
+                       enable_tet_volume=True, ground_height=0.0)
+    out = lat.make_step(spec, cfg, 1 / 60., n_steps=5)(st)
+    assert bool(is_finite(out))
+    # a tet-free state through the same engine stays tet-free
+    st_plain = lat.make_lattice_state(spec, center=(0, 1.0, 0))
+    out_plain = lat.make_step(spec, cfg, 1 / 60., n_steps=2)(st_plain)
+    assert out_plain.lambda_tet is None
+
+
 def test_windowed_build_renumbers_tets():
     res = 3
     pos = L.lattice_points(res) + np.array([0, 1.0, 0])
