@@ -133,6 +133,48 @@ def main():
             emit(row=f"tet_cube_kernel_{tag}", ok=False,
                  err=f"{type(e).__name__}: {str(e)[:200]}")
 
+    # --- solid 64k STENCIL lattice: per-cell tets as 6 offset families
+    # (rolls, no gathers) on the res-40 braced lattice — tets-on vs
+    # tets-off same-run (the marginal cost of solid-body physics at the
+    # flagship scale), plus volume conservation as the physical gate
+    from softbodysimulation_tpu.solvers import lattice as lat_engine  # noqa: E402
+    from softbodysimulation_tpu.topology import lattice as lattice_mod  # noqa: E402
+
+    res_l = int(os.environ.get("BENCH_TET_LATTICE_RES", "40"))
+    spec_l = lattice_mod.lattice_spec(res_l, braced=True)
+    cfg_l = SolverConfig(substeps=8, iterations=1, damping=0.02,
+                         solve_mode=SolveMode.JACOBI,
+                         gravity_is_acceleration=True, fast_math=True,
+                         enable_tet_volume=True,
+                         ground_height=0.0, friction=0.3)
+    st_l = lat_engine.make_lattice_state(spec_l, center=(0, 0.55, 0),
+                                         mass=0.001, tet_volume=True)
+    n_l = spec_l.n_particles
+    Ls = 400
+    fn_off = lat_engine.make_substep_runner(
+        spec_l, cfg_l.replace(enable_tet_volume=False), 1 / 480., Ls)
+    st_off = lat_engine.make_lattice_state(spec_l, center=(0, 0.55, 0),
+                                           mass=0.001)
+    rate_off, _ = measure(fn_off, st_off, n_l, Ls, repeats=3)
+    emit(row=f"lattice{res_l}_stencil_tets_off",
+         particle_substeps_per_s=float(f"{rate_off:.4g}"))
+    try:
+        fn_on = lat_engine.make_substep_runner(spec_l, cfg_l, 1 / 480., Ls)
+        rate_on, out_on = measure(fn_on, st_l, n_l, Ls, repeats=3)
+        tt_l = T.cube_lattice_tets(res_l)
+        v0_l = float(T.tet_volumes6(
+            np.asarray(st_l.positions, np.float64), tt_l).sum())
+        v_l = float(T.tet_volumes6(
+            np.asarray(out_on.positions, np.float64), tt_l).sum())
+        emit(row=f"lattice{res_l}_stencil_tets_on",
+             particle_substeps_per_s=float(f"{rate_on:.4g}"),
+             n_tets=6 * (res_l - 1) ** 3,
+             vol_ratio=float(f"{v_l / v0_l:.5g}"),
+             cost_vs_tets_off=float(f"{rate_off / rate_on:.3g}"))
+    except Exception as e:  # noqa: BLE001
+        emit(row=f"lattice{res_l}_stencil_tets_on", ok=False,
+             err=f"{type(e).__name__}: {str(e)[:200]}")
+
     # --- ensemble farm: FARM bodies on the sublane axis vs vmapped XLA
     if FARM > 1:
         import jax  # noqa: E402

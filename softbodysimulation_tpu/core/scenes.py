@@ -213,6 +213,27 @@ def flagship_perf(dt: float = 1 / 60, res: int = 40):
     return state, step, {"spec": spec, "config": cfg, "dt": dt}
 
 
+def solid_lattice(dt: float = 1 / 60, res: int = 40):
+    """Solid (volumetric) flagship-scale body on the STENCIL engine: the
+    res-40 braced lattice with per-cell tet volume constraints — 6 Kuhn
+    tets per cell as gather-free offset families
+    (``solvers/lattice._tet_sweep``).  The at-scale spelling of the
+    reference's commented per-cell ``AddVolumeConstraints`` intent."""
+    spec = _lattice.lattice_spec(res, braced=True)
+    cfg = SolverConfig(
+        substeps=8, iterations=1, damping=0.02,
+        solve_mode=SolveMode.JACOBI,
+        lambda_mode=LambdaMode.RESET,
+        gravity_is_acceleration=True,
+        fast_math=True,
+        enable_tet_volume=True,
+        ground_height=0.0, friction=0.3)
+    state = _lat_engine.make_lattice_state(spec, center=(0.0, 0.6, 0.0),
+                                           mass=0.001, tet_volume=True)
+    step = _lat_engine.make_step(spec, cfg, dt)
+    return state, step, {"spec": spec, "config": cfg, "dt": dt}
+
+
 def basic_micro(dt: float = 0.02, mode: str = "butterfly"):
     """Micro test-scenario scene (Scenes/Basic.unity: SoftBodyCPU driven by
     an InitializationMode).  ``mode`` picks one of core/fixtures.FIXTURES."""
@@ -331,4 +352,5 @@ SCENES: Dict[str, Callable] = {
     "cloth_xl": cloth_xl,
     "tet_cube": tet_cube,
     "tet_ball": tet_ball,
+    "solid_lattice": solid_lattice,
 }

@@ -287,6 +287,10 @@ def test_tet_scene_builders():
         out = step(state)
         assert bool(is_finite(out))
         assert info["topology"].n_tets > 0
+    state, step, info = scenes.solid_lattice(res=5)
+    out = step(state)
+    assert bool(is_finite(out))
+    assert out.lambda_tet.shape == (6 * 5 ** 3,)
 
 
 def test_checkpoint_roundtrip_with_tets(tmp_path):
