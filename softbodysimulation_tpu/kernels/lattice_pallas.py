@@ -39,7 +39,8 @@ from ..core.state import SimState
 from ..topology.lattice import LatticeSpec
 
 
-def _check_supported(cfg: SolverConfig, spec: LatticeSpec):
+def _check_supported(cfg: SolverConfig, spec: LatticeSpec,
+                     tets_ok: bool = False):
     # Round-2 parity: both floor modes, sphere/box SDF colliders and the
     # velocity/force/world clamps are all fused in-kernel now.  The one
     # remaining gap is particle self-collision (spatial hash), which has no
@@ -47,6 +48,12 @@ def _check_supported(cfg: SolverConfig, spec: LatticeSpec):
     if cfg.enable_self_collision:
         raise NotImplementedError("pallas engine: self-collision requires "
                                   "the general engine's spatial hash")
+    if cfg.enable_tet_volume and not tets_ok:
+        # per-cell tet volume is fused in the STREAMED kernel only; the
+        # resident kernel must refuse rather than silently drop the family
+        raise NotImplementedError(
+            "pallas resident kernel: per-cell tet volume runs in the "
+            "streamed kernel or the stencil engine")
 
 
 def _coords(res: int):
@@ -541,7 +548,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     plane and lambda slabs stream double-buffered per family pass; in
     RESET x iterations=1 the slab loads are skipped entirely and stores
     are predicated on the last substep."""
-    _check_supported(cfg, spec)
+    _check_supported(cfg, spec, tets_ok=True)
     res = spec.res
     r2 = res * res
     lanes = n_bodies * r2
@@ -552,6 +559,29 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     inv_dt2 = 1.0 / (dt * dt)
     gx, gy, gz = cfg.gravity
     relax = 0.5 * (cfg.omega if cfg.omega > 0 else 1.0)
+
+    # In-kernel per-cell tet-volume sweep (solvers/lattice._tet_sweep
+    # semantics): the 6 Kuhn paths as offset families, all projecting
+    # against the same pred (Jacobi) with one mass-splitting apply.  The
+    # 6 tet-lambda slabs live in VMEM scratch for the whole call; the
+    # sweep's stack temporaries (the cached e-vectors + the delta
+    # accumulator) dominate the solve pass's, so the residency-ladder
+    # budgets below all reserve ``tet_pad`` extra planes when enabled.
+    has_tets = cfg.enable_tet_volume
+    tet_pad = 0
+    if has_tets:
+        from ..solvers.lattice import _tet_fields
+
+        tet_paths, _tet_cells_np, tet_tdeg_np, tet_rest6 = _tet_fields(spec)
+        tet_omega = cfg.omega if cfg.omega > 0 else 1.0
+        tet_pad = 23   # 7 resident (6 lambda slabs + wt) + extra stack
+        # floor: pred/xo/w/wt/tres + ~24 live sweep planes must fit even
+        # before any ladder rung engages (res <= ~40; res 64 planes are
+        # 1 MB each and the stencil engine covers that scale)
+        if (17 + 24) * res * r2p * 4 > 15_500_000:
+            raise NotImplementedError(
+                "streamed tets exceed the VMEM budget at this res — "
+                "use the stencil engine (solvers/lattice)")
 
     def roll2(a, shift, axis):
         size = a.shape[axis]
@@ -613,7 +643,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # above that (res >= 56) velocities stream per plane as before.
     # v_resident=None => auto; pass a bool to force (tests cover both).
     if v_resident is None:
-        v_resident = 21 * res * r2p * 4 <= 15_000_000
+        v_resident = (21 + tet_pad) * res * r2p * 4 <= 15_000_000
     # All-lambda VMEM residency: when the nfam slabs ALSO fit next to the
     # live buffers and stack temporaries, hold the whole multiplier state
     # in scratch for the entire call — zero per-pass slab DMA in every
@@ -624,7 +654,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # runs 6% faster than v-res-only on hardware; res 64 stays excluded
     if lam_resident is None:
         lam_resident = (v_resident
-                        and (21 + nfam) * res * r2p * 4 <= 15_500_000)
+                        and (21 + nfam + tet_pad) * res * r2p * 4
+                        <= 15_500_000)
     elif lam_resident and not v_resident:
         raise ValueError("lam_resident requires v_resident")
     # Cache ladder (see solve_pass).  Round-3 measurement: pltpu.roll at
@@ -642,7 +673,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # compiles and wins +9%; res 64 EXACT + dc crashes the Mosaic compile)
     # so the big-res auto-enable is approx-only (dc_cache overrides).
     cache_budget_ok = (lam_resident
-                       and (24 + 2 * nfam) * res * r2p * 4 <= 15_000_000)
+                       and (24 + 2 * nfam + tet_pad) * res * r2p * 4
+                       <= 15_000_000)
     # The guarded (fast_math=False) mres initialization unrolls a
     # roll+denominator+compare chain per family whose temporaries stay
     # live across the unrolled loop in Mosaic's stack accounting, so it
@@ -653,7 +685,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # res-40 unbraced faithful config (7 guarded families, same plane
     # bytes) compiles; fast_math skips the guard chain entirely.
     mask_budget_ok = (cache_budget_ok and (cfg.fast_math or (
-        (24 + 4 * nfam) * res * r2p * 4 <= 15_000_000)))
+        (24 + 4 * nfam + tet_pad) * res * r2p * 4 <= 15_000_000)))
     mask_cached = mask_budget_ok if mask_cache is None else mask_cache
     wb_cached = cache_budget_ok and not mask_cached
     # static_denom (opt-in): the XPBD denominator w + wb + alpha is static
@@ -662,7 +694,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # Changes dl by ~1 ulp vs the engines' a/b division (validated against
     # the XLA trajectory wherever benchmarked), hence not the default.
     denom_cached = (static_denom and lam_resident
-                    and (24 + 3 * nfam) * res * r2p * 4 <= 15_500_000)
+                    and (24 + 3 * nfam + tet_pad) * res * r2p * 4
+                    <= 15_500_000)
     if static_denom and not denom_cached:
         raise NotImplementedError(
             "static_denom needs the lam-resident budget (+3*nfam planes)")
@@ -685,15 +718,20 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 "clamps g+ext jointly — use the resident kernel")
 
     def kernel(*refs):
-        if with_ext:
-            (x_in, v_hbm, w_ref, lam_hbm, f_hbm,
-             xo_ref, vo_hbm, lamo_hbm) = refs
-        else:
-            x_in, v_hbm, w_ref, lam_hbm = refs[:4]
-            xo_ref, vo_hbm, lamo_hbm = refs[4:]
-            f_hbm = None
+        refs = list(refs)
+        x_in, v_hbm, w_ref, lam_hbm = refs[:4]
+        del refs[:4]
+        f_hbm = refs.pop(0) if with_ext else None
+        if has_tets:
+            lamt_hbm = refs.pop(0)
+            wt_ref = refs.pop(0)
+        xo_ref, vo_hbm, lamo_hbm = refs[:3]
+        del refs[:3]
+        if has_tets:
+            lamto_hbm = refs.pop(0)
+
         def scoped(pred, sem, slots=None, vres=None, lres=None, wres2=None,
-                   mres=None, dres=None):
+                   mres=None, dres=None, tres=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
             cp_x = pltpu.make_async_copy(x_in, xo_ref, sem.at[2])
@@ -707,6 +745,12 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             cp_x.wait()
             cp_v.wait()
             cp_l.wait()
+            if has_tets:
+                # carried tet multipliers (only DECAY actually reads them;
+                # the other modes refresh per substep)
+                cp_t = pltpu.make_async_copy(lamt_hbm, tres, sem.at[0])
+                cp_t.start()
+                cp_t.wait()
             w = w_ref[:]
             if wb_cached:
                 # partner inv-mass rolls are static for the whole call
@@ -1004,6 +1048,90 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     else:
                         stream_families(family_solve)
 
+                    if has_tets:
+                        # ---- per-cell tet-volume Jacobi sweep: mirrors
+                        # solvers/lattice._tet_sweep (6 Kuhn paths as
+                        # offset families, all against the same pred, one
+                        # mass-splitting apply via the precomputed
+                        # wt = w / max(tet_degree, 1) plane).  g-vectors
+                        # are recomputed from the cached e-planes at each
+                        # use so only the 9 e-planes + the 3-delta
+                        # accumulator stay live.
+                        alpha_t = cfg.tet_compliance * inv_dt2
+                        xx = lax.broadcasted_iota(jnp.int32, (res, r2p), 0)
+                        cc = lax.broadcasted_iota(jnp.int32, (res, r2p), 1)
+                        ccb = lax.rem(cc, r2) if n_bodies > 1 else cc
+                        yy = ccb // res
+                        zz = ccb - yy * res
+                        cell_ok = ((xx < res - 1) & (yy < res - 1)
+                                   & (zz < res - 1))
+                        if lane_padded:
+                            cell_ok = cell_ok & (cc < lanes)
+                        delta = [jnp.zeros((res, r2p), jnp.float32)
+                                 for _ in range(3)]
+                        for pi, path in enumerate(tet_paths):
+                            fo = [path[k] + (0,) for k in (1, 2, 3)]
+                            ev = [[roll_fwd2(pred[c], fo[k]) - pred[c]
+                                   for c in range(3)] for k in range(3)]
+
+                            def gk(k, c, ev=ev):
+                                # cross-product component c of
+                                # g1=e2xe3, g2=e3xe1, g3=e1xe2
+                                a, b = ((ev[1], ev[2]), (ev[2], ev[0]),
+                                        (ev[0], ev[1]))[k]
+                                i, j = ((c + 1) % 3, (c + 2) % 3)
+                                return a[i] * b[j] - a[j] * b[i]
+
+                            vol6 = (ev[0][0] * gk(0, 0)
+                                    + ev[0][1] * gk(0, 1)
+                                    + ev[0][2] * gk(0, 2))
+                            cerr = vol6 - cfg.tet_pressure * tet_rest6
+                            g0sq = None
+                            for c in range(3):
+                                g0c = -(gk(0, c) + gk(1, c) + gk(2, c))
+                                g0sq = (g0c * g0c if g0sq is None
+                                        else g0sq + g0c * g0c)
+                            # same accumulation order as the engine:
+                            # w*|g0|^2 + w1*|g1|^2 + w2*|g2|^2 + w3*|g3|^2
+                            denom = w * g0sq
+                            for k in range(3):
+                                wk = roll_fwd2(w, fo[k])
+                                gsq = (gk(k, 0) ** 2 + gk(k, 1) ** 2
+                                       + gk(k, 2) ** 2)
+                                denom = denom + wk * gsq
+                            denom = denom + alpha_t
+                            lam_f = tres[pi]
+                            if cfg.lambda_mode == LambdaMode.DECAY:
+                                lam_f = jnp.where(
+                                    it == 0, lam_f * cfg.lambda_decay,
+                                    lam_f)
+                            else:
+                                # fresh per substep (general-engine
+                                # lifecycle for RESET/WARM_START)
+                                lam_f = jnp.where(it == 0, 0.0, lam_f)
+                            if approx_math:
+                                dl = ((-cerr - alpha_t * lam_f)
+                                      * pl.reciprocal(
+                                          jnp.maximum(denom, 1e-30),
+                                          approx=True))
+                            else:
+                                dl = ((-cerr - alpha_t * lam_f)
+                                      / jnp.maximum(denom, 1e-30))
+                            active = cell_ok & (denom
+                                                > cfg.eps_denominator)
+                            dl = jnp.where(active, dl, 0.0) * tet_omega
+                            tres[pi] = lam_f + dl
+                            for c in range(3):
+                                g0c = -(gk(0, c) + gk(1, c) + gk(2, c))
+                                acc = delta[c] + dl * g0c
+                                for k in range(3):
+                                    acc = acc + roll_bwd2(dl * gk(k, c),
+                                                          fo[k])
+                                delta[c] = acc
+                        wt = wt_ref[:]
+                        for c in range(3):
+                            pred[c] = pred[c] + wt * delta[c]
+
                     # ---- contacts (componentwise; mirrors resident kernel)
                     if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
                         gh = cfg.ground_height
@@ -1143,6 +1271,10 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 cp_lout = pltpu.make_async_copy(lres, lamo_hbm, sem.at[1])
                 cp_lout.start()
                 cp_lout.wait()
+            if has_tets:
+                cp_tout = pltpu.make_async_copy(tres, lamto_hbm, sem.at[2])
+                cp_tout.start()
+                cp_tout.wait()
             if v_resident:
                 cp_out.wait()
 
@@ -1164,6 +1296,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             scratch["mres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         if denom_cached:
             scratch["dres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
+        if has_tets:
+            scratch["tres"] = pltpu.VMEM((6, res, r2p), jnp.float32)
         pl.run_scoped(scoped, **scratch)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1172,15 +1306,22 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     in_specs = [aspec, aspec, vspec, aspec]
     if with_ext:
         in_specs.append(aspec)
+    out_shape = [
+        jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # x
+        jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # v
+        jax.ShapeDtypeStruct((nfam, res, r2p), jnp.float32),  # lambda
+    ]
+    out_specs = [vspec, aspec, aspec]
+    if has_tets:
+        in_specs += [aspec, vspec]   # tet lambdas (DMA'd), wt plane
+        out_shape.append(
+            jax.ShapeDtypeStruct((6, res, r2p), jnp.float32))  # tet lambda
+        out_specs.append(aspec)
     call = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # x
-            jax.ShapeDtypeStruct((3, res, r2p), jnp.float32),   # v
-            jax.ShapeDtypeStruct((nfam, res, r2p), jnp.float32),  # lambda
-        ),
+        out_shape=tuple(out_shape),
         in_specs=in_specs,
-        out_specs=(vspec, aspec, aspec),
+        out_specs=tuple(out_specs),
     )
 
     def to_wide(arr_bn3):
@@ -1192,8 +1333,21 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         a = a.reshape(3, res, n_bodies, r2)
         return jnp.transpose(a, (2, 1, 3, 0)).reshape(n_bodies, res * r2, 3)
 
+    if has_tets:
+        import numpy as _np
+
+        _tdeg_wide = _np.tile(tet_tdeg_np, (1, n_bodies))
+        if lane_padded:
+            _tdeg_wide = _np.pad(_tdeg_wide,
+                                 ((0, 0), (0, r2p - lanes)))
+        _tdeg_wide = jnp.asarray(_np.maximum(_tdeg_wide, 1.0),
+                                 jnp.float32)
+
     @jax.jit
     def fn(state: SimState) -> SimState:
+        if has_tets and state.lambda_tet is None:
+            raise ValueError("enable_tet_volume needs a state built with "
+                             "tet_volume=True (make_lattice_state)")
         if n_bodies > 1:
             x = to_wide(state.positions)
             v = to_wide(state.velocities)
@@ -1203,11 +1357,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             lam = jnp.transpose(
                 state.lambda_dist.reshape(n_bodies, nfam, res, r2),
                 (1, 2, 0, 3)).reshape(nfam, res, lanes)
+            if has_tets:
+                lamt = jnp.transpose(
+                    state.lambda_tet.reshape(n_bodies, 6, res, r2),
+                    (1, 2, 0, 3)).reshape(6, res, lanes)
         else:
             x = state.positions.T.reshape(3, res, r2)
             v = state.velocities.T.reshape(3, res, r2)
             w = state.inv_mass.reshape(res, r2)
             lam = state.lambda_dist.reshape(nfam, res, r2)
+            if has_tets:
+                lamt = state.lambda_tet.reshape(6, res, r2)
         if with_ext:
             f = (to_wide(state.ext_force) if n_bodies > 1
                  else state.ext_force.T.reshape(3, res, r2))
@@ -1219,16 +1379,31 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             w = jnp.pad(w, ((0, 0), (0, r2p - lanes)))  # pads pinned (w=0)
             if with_ext:
                 f = jnp.pad(f, pad3)
+            if has_tets:
+                lamt = jnp.pad(lamt, pad3)
+        args = (x, v, w, lam)
         if with_ext:
-            xo, vo, lamo = call(x, v, w, lam, f)
+            args = args + (f,)
+        if has_tets:
+            # mass-splitting apply plane (pads carry w=0 -> wt=0)
+            args = args + (lamt, w / _tdeg_wide)
+            xo, vo, lamo, lamto = call(*args)
         else:
-            xo, vo, lamo = call(x, v, w, lam)
+            xo, vo, lamo = call(*args)
         if lane_padded:
             xo = xo[..., :lanes]
             vo = vo[..., :lanes]
             lamo = lamo[..., :lanes]
+            if has_tets:
+                lamto = lamto[..., :lanes]
         extra = ({"ext_force": jnp.zeros_like(state.ext_force)}
                  if with_ext else {})
+        if has_tets:
+            extra["lambda_tet"] = (
+                jnp.transpose(
+                    lamto.reshape(6, res, n_bodies, r2), (2, 0, 1, 3)
+                ).reshape(n_bodies, -1)
+                if n_bodies > 1 else lamto.reshape(-1))
         if n_bodies > 1:
             return state.replace(
                 positions=from_wide(xo),

@@ -550,3 +550,119 @@ def test_windowed_build_renumbers_tets():
     np.testing.assert_allclose(np.sort(v6),
                                np.sort(T.tet_volumes6(pos, tt)), rtol=1e-5)
     B.validate_topology(topo)
+
+
+# ------------------------------------------- streamed Pallas kernel twin
+def _streamed_tet_setup(res=6, **cfg_kw):
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    spec = L.lattice_spec(res, braced=True)
+    kw = dict(substeps=4, iterations=2, damping=0.02,
+              solve_mode=SolveMode.JACOBI, enable_tet_volume=True,
+              gravity_is_acceleration=True, ground_height=0.0, friction=0.3)
+    kw.update(cfg_kw)
+    cfg = SolverConfig(**kw)
+    st = lat.make_lattice_state(spec, center=(0, 0.6, 0), mass=0.01,
+                                tet_volume=True)
+    return spec, cfg, st
+
+
+@pytest.mark.parametrize("mode", [LambdaMode.RESET, LambdaMode.DECAY,
+                                  LambdaMode.WARM_START])
+def test_streamed_kernel_tets_match_stencil_engine(mode):
+    """The in-kernel per-cell tet sweep must match solvers/lattice._tet_sweep
+    through the full substep loop (positions AND tet multipliers), in every
+    lambda lifecycle mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    spec, cfg, st = _streamed_tet_setup(
+        lambda_mode=mode, lambda_decay=0.98, warm_start_fraction=0.5)
+    ref = lat.make_substep_runner(spec, cfg, 1 / 480., 10)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 10)(st)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_tet)
+                  - np.asarray(ref.lambda_tet)).max()
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert dpos < 1e-5, f"streamed tets {mode}: position mismatch {dpos}"
+    assert dlam < 1e-5, f"streamed tets {mode}: lambda_tet mismatch {dlam}"
+
+
+def test_streamed_kernel_tets_colored_distance():
+    """Tet sweep composed with COLORED (family-parity GS) distance solve."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    spec, cfg, st = _streamed_tet_setup(solve_mode=SolveMode.COLORED)
+    ref = lat.make_substep_runner(spec, cfg, 1 / 480., 8)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 8)(st)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    assert dpos < 1e-5, f"streamed tets colored mismatch {dpos}"
+
+
+def test_streamed_kernel_tets_solid_scene_step_semantics():
+    """make_pallas_step on the solid_lattice config (ext-force lifecycle +
+    VELOCITY_REFLECT is not used here, but fast_math + RESET x1 is the
+    bench regime) matches the stencil engine's make_step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    spec, cfg, st = _streamed_tet_setup(
+        res=5, substeps=8, iterations=1, fast_math=True,
+        lambda_mode=LambdaMode.RESET)
+    f = np.zeros((spec.n_particles, 3), np.float32)
+    f[:7] = (2.0, 4.0, -3.0)
+    st = st.replace(ext_force=jnp.asarray(f))
+    ref = lat.make_step(spec, cfg, 1 / 60., n_steps=2)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_step(spec, cfg, 1 / 60., n_steps=2)(st)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_tet)
+                  - np.asarray(ref.lambda_tet)).max()
+    assert dpos < 1e-5, f"solid-scene step mismatch {dpos}"
+    assert dlam < 1e-5
+
+
+def test_streamed_kernel_tets_ensemble_rows_match_single():
+    """n_bodies ensembles with tets: every body row equals the single-body
+    kernel bitwise (row-independent arithmetic on the lane axis)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+    from softbodysimulation_tpu.parallel.batch import stack_states
+
+    spec, cfg, st = _streamed_tet_setup(res=4)
+    with pltpu.force_tpu_interpret_mode():
+        single = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 6)(st)
+        batched = stack_states([st, st, st])
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 6, n_bodies=3)(batched)
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(out.positions[b]),
+                                      np.asarray(single.positions))
+        np.testing.assert_array_equal(np.asarray(out.lambda_tet[b]),
+                                      np.asarray(single.lambda_tet))
+
+
+def test_resident_kernel_refuses_tets():
+    """The VMEM-resident kernel has no tet sweep: it must refuse rather
+    than silently drop the constraint family."""
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+
+    spec, cfg, _ = _streamed_tet_setup(res=4)
+    with pytest.raises(NotImplementedError):
+        lp.make_pallas_substep_runner(spec, cfg, 1 / 480., 4)
