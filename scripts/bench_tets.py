@@ -175,6 +175,51 @@ def main():
         emit(row=f"lattice{res_l}_stencil_tets_on", ok=False,
              err=f"{type(e).__name__}: {str(e)[:200]}")
 
+    # --- streamed Pallas kernel with the in-kernel tet sweep (round-3
+    # late addition): same workload, same-run vs the stencil rows above.
+    # Gates: short-horizon drift vs the stencil engine + absolute volume
+    # conservation (float64 rest volume yardstick).
+    from softbodysimulation_tpu.kernels import lattice_pallas  # noqa: E402
+
+    try:
+        ref_l = np.asarray(lat_engine.make_substep_runner(
+            spec_l, cfg_l, 1 / 480., 60)(st_l).positions)
+        tt_l = T.cube_lattice_tets(res_l)
+        v0_l = float(T.tet_volumes6(
+            np.asarray(st_l.positions, np.float64), tt_l).sum())
+    except Exception as e:  # noqa: BLE001
+        ref_l = None
+        emit(row="streamed_tets_ref", ok=False,
+             err=f"{type(e).__name__}: {str(e)[:200]}")
+    for approx in (False, True):
+        tag = "approx" if approx else "exact"
+        try:
+            fn_sv = lattice_pallas.make_pallas_substep_runner_streamed(
+                spec_l, cfg_l, 1 / 480., 60, approx_math=approx)
+            sp = np.asarray(fn_sv(st_l).positions)
+            if not np.isfinite(sp).all():
+                raise RuntimeError("non-finite kernel output")
+            drift = (float(np.abs(sp - ref_l).max())
+                     if ref_l is not None else -1.0)
+            if ref_l is not None and drift >= 1e-3:
+                raise RuntimeError(
+                    f"streamed-tet drift {drift} vs stencil >= 1e-3")
+            v_s = float(T.tet_volumes6(np.asarray(sp, np.float64),
+                                       tt_l).sum())
+            if abs(v_s / v0_l - 1.0) > 0.02:
+                raise RuntimeError(f"volume ratio {v_s / v0_l} off by > 2%")
+            fn_s = lattice_pallas.make_pallas_substep_runner_streamed(
+                spec_l, cfg_l, 1 / 480., Ls, approx_math=approx)
+            rate_s, _ = measure(fn_s, st_l, n_l, Ls, repeats=3)
+            emit(row=f"lattice{res_l}_streamed_tets_{tag}",
+                 particle_substeps_per_s=float(f"{rate_s:.4g}"),
+                 drift_vs_stencil_60sub=float(f"{drift:.3g}"),
+                 vol_ratio=float(f"{v_s / v0_l:.5g}"),
+                 speedup_vs_stencil=float(f"{rate_s / rate_on:.3g}"))
+        except Exception as e:  # noqa: BLE001
+            emit(row=f"lattice{res_l}_streamed_tets_{tag}", ok=False,
+                 err=f"{type(e).__name__}: {str(e)[:200]}")
+
     # --- ensemble farm: FARM bodies on the sublane axis vs vmapped XLA
     if FARM > 1:
         import jax  # noqa: E402

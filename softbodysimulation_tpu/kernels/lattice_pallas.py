@@ -574,7 +574,15 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
 
         tet_paths, _tet_cells_np, tet_tdeg_np, tet_rest6 = _tet_fields(spec)
         tet_omega = cfg.omega if cfg.omega > 0 else 1.0
-        tet_pad = 23   # 7 resident (6 lambda slabs + wt) + extra stack
+        # 22 resident tet planes (6 lambda slabs + the 16-plane tg staging
+        # scratch) + extra stack headroom.  26 (not 22) deliberately tips
+        # the lam_resident budget negative at res 40 (braced): with the
+        # tet scratch on board the unrolled 13-family solve loop's
+        # cumulative Mosaic stack no longer fits NEXT TO the 13 lambda
+        # slabs (measured 17.3M/16M scoped) — and for RESET x1 configs
+        # dropping lam_resident is free anyway (the no-lambda-IO streaming
+        # path only engages when lambda slabs are NOT resident).
+        tet_pad = 26
         # floor: pred/xo/w/wt/tres + ~24 live sweep planes must fit even
         # before any ladder rung engages (res <= ~40; res 64 planes are
         # 1 MB each and the stencil engine covers that scale)
@@ -731,7 +739,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             lamto_hbm = refs.pop(0)
 
         def scoped(pred, sem, slots=None, vres=None, lres=None, wres2=None,
-                   mres=None, dres=None, tres=None):
+                   mres=None, dres=None, tres=None, tg=None):
             # initialize the live buffers from the inputs (explicit copies
             # instead of input/output aliasing: robust in interpret mode)
             cp_x = pltpu.make_async_copy(x_in, xo_ref, sem.at[2])
@@ -751,6 +759,19 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 cp_t = pltpu.make_async_copy(lamt_hbm, tres, sem.at[0])
                 cp_t.start()
                 cp_t.wait()
+                # interior-cell mask is static geometry — materialize it
+                # ONCE as an f32 plane (tg[15]) so the per-iteration sweep
+                # doesn't keep 6 iota/mask planes live across its loop
+                _xx = lax.broadcasted_iota(jnp.int32, (res, r2p), 0)
+                _cc = lax.broadcasted_iota(jnp.int32, (res, r2p), 1)
+                _ccb = lax.rem(_cc, r2) if n_bodies > 1 else _cc
+                _yy = _ccb // res
+                _zz = _ccb - _yy * res
+                _cok = ((_xx < res - 1) & (_yy < res - 1)
+                        & (_zz < res - 1))
+                if lane_padded:
+                    _cok = _cok & (_cc < lanes)
+                tg[15] = jnp.where(_cok, 1.0, 0.0).astype(jnp.float32)
             w = w_ref[:]
             if wb_cached:
                 # partner inv-mass rolls are static for the whole call
@@ -1053,84 +1074,106 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                         # solvers/lattice._tet_sweep (6 Kuhn paths as
                         # offset families, all against the same pred, one
                         # mass-splitting apply via the precomputed
-                        # wt = w / max(tet_degree, 1) plane).  g-vectors
-                        # are recomputed from the cached e-planes at each
-                        # use so only the 9 e-planes + the 3-delta
-                        # accumulator stay live.
+                        # wt = w / max(tet_degree, 1) plane).  The four
+                        # g-vectors and the delta accumulator live in the
+                        # ``tg`` VMEM scratch (g0 at 0-2, g1..g3 at 3-11,
+                        # delta at 12-14), NOT as SSA temporaries: Mosaic
+                        # stack-accounts the unrolled 6-path loop
+                        # cumulatively (measured 25.8M scoped at res 40
+                        # with the recompute-from-e spelling), while
+                        # scratch is one fixed 15-plane allocation reused
+                        # by every path.  Only the 9 e-planes are live as
+                        # stack, and only until the g-store.
                         alpha_t = cfg.tet_compliance * inv_dt2
-                        xx = lax.broadcasted_iota(jnp.int32, (res, r2p), 0)
-                        cc = lax.broadcasted_iota(jnp.int32, (res, r2p), 1)
-                        ccb = lax.rem(cc, r2) if n_bodies > 1 else cc
-                        yy = ccb // res
-                        zz = ccb - yy * res
-                        cell_ok = ((xx < res - 1) & (yy < res - 1)
-                                   & (zz < res - 1))
-                        if lane_padded:
-                            cell_ok = cell_ok & (cc < lanes)
-                        delta = [jnp.zeros((res, r2p), jnp.float32)
-                                 for _ in range(3)]
-                        for pi, path in enumerate(tet_paths):
-                            fo = [path[k] + (0,) for k in (1, 2, 3)]
-                            ev = [[roll_fwd2(pred[c], fo[k]) - pred[c]
-                                   for c in range(3)] for k in range(3)]
+                        for c in range(3):
+                            tg[12 + c] = jnp.zeros((res, r2p), jnp.float32)
 
-                            def gk(k, c, ev=ev):
-                                # cross-product component c of
-                                # g1=e2xe3, g2=e3xe1, g3=e1xe2
-                                a, b = ((ev[1], ev[2]), (ev[2], ev[0]),
-                                        (ev[0], ev[1]))[k]
-                                i, j = ((c + 1) % 3, (c + 2) % 3)
-                                return a[i] * b[j] - a[j] * b[i]
-
-                            vol6 = (ev[0][0] * gk(0, 0)
-                                    + ev[0][1] * gk(0, 1)
-                                    + ev[0][2] * gk(0, 2))
-                            cerr = vol6 - cfg.tet_pressure * tet_rest6
-                            g0sq = None
-                            for c in range(3):
-                                g0c = -(gk(0, c) + gk(1, c) + gk(2, c))
-                                g0sq = (g0c * g0c if g0sq is None
-                                        else g0sq + g0c * g0c)
-                            # same accumulation order as the engine:
-                            # w*|g0|^2 + w1*|g1|^2 + w2*|g2|^2 + w3*|g3|^2
-                            denom = w * g0sq
-                            for k in range(3):
-                                wk = roll_fwd2(w, fo[k])
-                                gsq = (gk(k, 0) ** 2 + gk(k, 1) ** 2
-                                       + gk(k, 2) ** 2)
-                                denom = denom + wk * gsq
-                            denom = denom + alpha_t
-                            lam_f = tres[pi]
-                            if cfg.lambda_mode == LambdaMode.DECAY:
-                                lam_f = jnp.where(
-                                    it == 0, lam_f * cfg.lambda_decay,
-                                    lam_f)
-                            else:
-                                # fresh per substep (general-engine
-                                # lifecycle for RESET/WARM_START)
-                                lam_f = jnp.where(it == 0, 0.0, lam_f)
-                            if approx_math:
-                                dl = ((-cerr - alpha_t * lam_f)
-                                      * pl.reciprocal(
-                                          jnp.maximum(denom, 1e-30),
-                                          approx=True))
-                            else:
-                                dl = ((-cerr - alpha_t * lam_f)
-                                      / jnp.maximum(denom, 1e-30))
-                            active = cell_ok & (denom
-                                                > cfg.eps_denominator)
-                            dl = jnp.where(active, dl, 0.0) * tet_omega
-                            tres[pi] = lam_f + dl
-                            for c in range(3):
-                                g0c = -(gk(0, c) + gk(1, c) + gk(2, c))
-                                acc = delta[c] + dl * g0c
+                        def _tet_path_branch(pi, path):
+                            # one Kuhn path's projection, closed over its
+                            # STATIC offsets (rolls need static shifts);
+                            # dispatched via lax.switch so each path is
+                            # its own Mosaic region and the 6 paths'
+                            # stacks overlay instead of summing
+                            def branch():
+                                fo = [path[k] + (0,) for k in (1, 2, 3)]
+                                ev = [[roll_fwd2(pred[c], fo[k]) - pred[c]
+                                       for c in range(3)]
+                                      for k in range(3)]
+                                # cross products g1=e2xe3, g2=e3xe1,
+                                # g3=e1xe2 (bitwise the engine's gk)
                                 for k in range(3):
-                                    acc = acc + roll_bwd2(dl * gk(k, c),
-                                                          fo[k])
-                                delta[c] = acc
+                                    a, b = ((ev[1], ev[2]), (ev[2], ev[0]),
+                                            (ev[0], ev[1]))[k]
+                                    for c in range(3):
+                                        i, j = ((c + 1) % 3, (c + 2) % 3)
+                                        tg[3 + k * 3 + c] = (
+                                            a[i] * b[j] - a[j] * b[i])
+                                vol6 = (ev[0][0] * tg[3]
+                                        + ev[0][1] * tg[4]
+                                        + ev[0][2] * tg[5])
+                                del ev   # e-planes dead from here on
+                                cerr = vol6 - cfg.tet_pressure * tet_rest6
+                                for c in range(3):
+                                    tg[c] = -(tg[3 + c] + tg[6 + c]
+                                              + tg[9 + c])
+                                g0sq = None
+                                for c in range(3):
+                                    g0c = tg[c]
+                                    g0sq = (g0c * g0c if g0sq is None
+                                            else g0sq + g0c * g0c)
+                                # same accumulation order as the engine:
+                                # w*|g0|^2 + w1|g1|^2 + w2|g2|^2 + w3|g3|^2
+                                denom = w * g0sq
+                                for k in range(3):
+                                    wk = roll_fwd2(w, fo[k])
+                                    gsq = (tg[3 + k * 3] ** 2
+                                           + tg[3 + k * 3 + 1] ** 2
+                                           + tg[3 + k * 3 + 2] ** 2)
+                                    denom = denom + wk * gsq
+                                denom = denom + alpha_t
+                                lam_f = tres[pi]
+                                if cfg.lambda_mode == LambdaMode.DECAY:
+                                    lam_f = jnp.where(
+                                        it == 0, lam_f * cfg.lambda_decay,
+                                        lam_f)
+                                else:
+                                    # fresh per substep (general-engine
+                                    # lifecycle for RESET/WARM_START)
+                                    lam_f = jnp.where(it == 0, 0.0, lam_f)
+                                if approx_math:
+                                    dl = ((-cerr - alpha_t * lam_f)
+                                          * pl.reciprocal(
+                                              jnp.maximum(denom, 1e-30),
+                                              approx=True))
+                                else:
+                                    dl = ((-cerr - alpha_t * lam_f)
+                                          / jnp.maximum(denom, 1e-30))
+                                active = ((tg[15] > 0.5)
+                                          & (denom
+                                             > cfg.eps_denominator))
+                                dl = (jnp.where(active, dl, 0.0)
+                                      * tet_omega)
+                                tres[pi] = lam_f + dl
+                                for c in range(3):
+                                    acc = tg[12 + c] + dl * tg[c]
+                                    for k in range(3):
+                                        acc = acc + roll_bwd2(
+                                            dl * tg[3 + k * 3 + c], fo[k])
+                                    tg[12 + c] = acc
+                                return jnp.int32(0)
+                            return branch
+
+                        _tet_branches = [
+                            _tet_path_branch(pi, p)
+                            for pi, p in enumerate(tet_paths)]
+                        lax.fori_loop(
+                            0, len(_tet_branches),
+                            lambda pi, cry: (
+                                lax.switch(pi, _tet_branches), cry)[1],
+                            0)
                         wt = wt_ref[:]
                         for c in range(3):
-                            pred[c] = pred[c] + wt * delta[c]
+                            pred[c] = pred[c] + wt * tg[12 + c]
 
                     # ---- contacts (componentwise; mirrors resident kernel)
                     if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
@@ -1298,6 +1341,10 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             scratch["dres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         if has_tets:
             scratch["tres"] = pltpu.VMEM((6, res, r2p), jnp.float32)
+            # tet sweep staging: g0..g3 (12 planes) + delta (3) + the
+            # static interior-cell mask (1) — see the stack-vs-scratch
+            # note at the sweep
+            scratch["tg"] = pltpu.VMEM((16, res, r2p), jnp.float32)
         pl.run_scoped(scoped, **scratch)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
