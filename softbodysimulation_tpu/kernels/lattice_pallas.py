@@ -646,12 +646,23 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # fraction of a ~20 us substep at res 40.  Budget: 13 resident
     # res-planes of f32 (xo, pred, slots, vres, w; x streams in via DMA
     # from ANY memspace) PLUS ~8 planes of Mosaic stack temporaries in the
-    # solve pass (measured: res 64 with vres OOMs at 17.98M vs the 16M
-    # scoped-vmem limit) — so vres auto-enables only when ~21 planes fit;
-    # above that (res >= 56) velocities stream per plane as before.
+    # solve pass — vres auto-enables when ~21 planes fit.  The lean
+    # no-lambda-IO specialization (fast_math RESET x1, no ext hook — the
+    # headline bench config) skips the lambda slots/guard chains and fits
+    # in ~14 planes, so it keeps vres up through res 64 (measured matrix
+    # at res 64: this config compiles and runs +1.5-3% with vres, while
+    # COLORED/WARM_START/DECAY x2/guarded all OOM scoped vmem at
+    # 16.07-25.8M — do NOT widen this gate without re-probing).
     # v_resident=None => auto; pass a bool to force (tests cover both).
     if v_resident is None:
         v_resident = (21 + tet_pad) * res * r2p * 4 <= 15_000_000
+        if (not v_resident and not has_tets and cfg.fast_math
+                and cfg.lambda_mode == LambdaMode.RESET
+                and cfg.solve_mode != SolveMode.COLORED
+                and cfg.iterations == 1 and not with_ext):
+            # COLORED's second parity pass doubles the per-family stack
+            # (probed: 19.76M at res 64) — JACOBI-family modes only
+            v_resident = 14 * res * r2p * 4 <= 15_000_000
     # All-lambda VMEM residency: when the nfam slabs ALSO fit next to the
     # live buffers and stack temporaries, hold the whole multiplier state
     # in scratch for the entire call — zero per-pass slab DMA in every
