@@ -309,6 +309,25 @@ def main():
         print(f"tet kernel unavailable: {type(e).__name__}: {e}",
               flush=True)
 
+    # 2e. solid 64k lattice (round-3 late): per-cell tet family, stencil
+    # engine vs the streamed kernel's fused in-kernel tet sweep —
+    # same-run pair (validation gates live in scripts/bench_tets.py)
+    try:
+        cfg_sl = cfg.replace(enable_tet_volume=True)
+        st_sl = lat.make_lattice_state(spec, center=(0, 0.55, 0),
+                                       mass=0.001, tet_volume=True)
+        Lsl = 400
+        fn_sl = lat.make_substep_runner(spec, cfg_sl, 1 / 480, Lsl)
+        measure("solid 64k lattice, 356k tets (xla stencil)", fn_sl, st_sl,
+                spec.n_particles, Lsl, pair="solid64k")
+        fn_slk = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec, cfg_sl, 1 / 480, Lsl)
+        measure("solid 64k lattice (streamed kernel, in-kernel tets)",
+                fn_slk, st_sl, spec.n_particles, Lsl, pair="solid64k")
+    except Exception as e:  # noqa: BLE001
+        print(f"solid-lattice kernel unavailable: {type(e).__name__}: {e}",
+              flush=True)
+
     # 3. 1024-body ensemble, res-4 braced lattices, vmapped
     spec4 = lattice.lattice_spec(4, braced=True)
     cfg4 = SolverConfig(substeps=4, iterations=1, damping=0.02,
