@@ -694,17 +694,15 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     cache_budget_ok = (lam_resident
                        and (24 + 2 * nfam + tet_pad) * res * r2p * 4
                        <= 15_000_000)
-    # The guarded (fast_math=False) mres initialization unrolls a
-    # roll+denominator+compare chain per family whose temporaries stay
-    # live across the unrolled loop in Mosaic's stack accounting, so it
-    # needs ~2 extra planes PER FAMILY on top of the resident budget.
-    # Measured (scripts/probe_ensemble_vmem.py): res-4 braced x 1024
-    # bodies (13 guarded families, 4x16384 planes) OOMs scoped vmem at
-    # 18.86M/16M with the plain budget even with dc_cache off, while the
-    # res-40 unbraced faithful config (7 guarded families, same plane
-    # bytes) compiles; fast_math skips the guard chain entirely.
+    # The guarded (fast_math=False) mres initialization runs each
+    # family's roll+denominator+compare chain in its own lax.switch
+    # region (Mosaic accounts unrolled-loop stack cumulatively — the
+    # unrolled spelling cost ~2 extra planes PER FAMILY and OOM'd the
+    # res-4 x 1024-body ensemble at 18.86M/16M,
+    # scripts/probe_ensemble_vmem.py), so the guarded budget is now the
+    # plain cache budget plus ~4 planes of region stack.
     mask_budget_ok = (cache_budget_ok and (cfg.fast_math or (
-        (24 + 4 * nfam + tet_pad) * res * r2p * 4 <= 15_000_000)))
+        (28 + 2 * nfam + tet_pad) * res * r2p * 4 <= 15_000_000)))
     mask_cached = mask_budget_ok if mask_cache is None else mask_cache
     wb_cached = cache_budget_ok and not mask_cached
     # static_denom (opt-in): the XPBD denominator w + wb + alpha is static
@@ -794,22 +792,36 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 # inv-mass eps) folded in — a solve pass then derives its
                 # masks with one compare instead of the iota rebuild +
                 # guard chain.  fast_math skips guards by contract, so its
-                # planes encode plain validity/parity.
-                for _fi, _fam in enumerate(spec.families):
-                    _valid, _p0 = fam_masks(_fam)
-                    if not cfg.fast_math:
-                        _wb = roll_fwd2(w, _fam)
-                        _alpha = spec.compliances[_fi] * inv_dt2
-                        if cfg.min_alpha_tilde > 0:
-                            _alpha = max(_alpha, cfg.min_alpha_tilde)
-                        _denom = w + _wb + _alpha
-                        _valid = (
-                            _valid
-                            & (jnp.abs(_denom) >= cfg.eps_denominator)
-                            & ((w >= cfg.static_inv_mass_eps)
-                               | (_wb >= cfg.static_inv_mass_eps)))
-                    mres[_fi] = jnp.where(
-                        _valid, jnp.where(_p0, 1.0, 2.0), 0.0)
+                # planes encode plain validity/parity.  Each family's init
+                # runs as its own lax.switch region: Mosaic accounts
+                # unrolled-loop stack temporaries cumulatively (the
+                # guarded roll+denominator+compare chain cost ~2 planes
+                # PER FAMILY unrolled — the round-3 ensemble mask-cache
+                # OOM), while switch-region stacks overlay.
+                def _mres_branch(_fi, _fam):
+                    def branch():
+                        _valid, _p0 = fam_masks(_fam)
+                        if not cfg.fast_math:
+                            _wb = roll_fwd2(w, _fam)
+                            _alpha = spec.compliances[_fi] * inv_dt2
+                            if cfg.min_alpha_tilde > 0:
+                                _alpha = max(_alpha, cfg.min_alpha_tilde)
+                            _denom = w + _wb + _alpha
+                            _valid = (
+                                _valid
+                                & (jnp.abs(_denom) >= cfg.eps_denominator)
+                                & ((w >= cfg.static_inv_mass_eps)
+                                   | (_wb >= cfg.static_inv_mass_eps)))
+                        mres[_fi] = jnp.where(
+                            _valid, jnp.where(_p0, 1.0, 2.0), 0.0)
+                        return jnp.int32(0)
+                    return branch
+
+                _mbr = [_mres_branch(_fi, _fam)
+                        for _fi, _fam in enumerate(spec.families)]
+                lax.fori_loop(
+                    0, len(_mbr),
+                    lambda _fi, _cry: (lax.switch(_fi, _mbr), _cry)[1], 0)
             if denom_cached:
                 for _fi, _fam in enumerate(spec.families):
                     _alpha = spec.compliances[_fi] * inv_dt2
