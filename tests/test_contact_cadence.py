@@ -235,3 +235,37 @@ def test_hybrid_contact_step_matches_stencil_step():
     with pytest.raises(NotImplementedError):
         kp.make_hybrid_contact_step(
             spec, cfg.replace(self_collision_every=4), DT)
+
+
+def test_hybrid_contact_runner_with_tets():
+    """Solid self-colliding bodies: per-cell tet volume + contact cadence
+    compose — the hybrid runner's contact-free substeps run the streamed
+    kernel's in-kernel tet sweep and its contact substeps thread the
+    (lam_dist, lam_tet) tuple through the stencil engine.  Must track the
+    all-stencil cadence runner to fp noise (measured 7.5e-9)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as kp
+
+    spec = lattice.lattice_spec(6, braced=True)
+    st = lat_engine.make_lattice_state(spec, center=(0.0, 0.55, 0.0),
+                                       mass=0.001, tet_volume=True)
+    cfg = SolverConfig(substeps=6, iterations=1, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, fast_math=True,
+                       gravity_is_acceleration=True,
+                       enable_tet_volume=True,
+                       enable_self_collision=True,
+                       particle_radius=0.45 / 5,
+                       self_collision_backend="blocked",
+                       collision_block_size=128, block_neighbors=2,
+                       self_collision_every=3,
+                       ground_height=0.0, friction=0.3)
+    n_sub = 6
+    ref = lat_engine.make_substep_runner(spec, cfg, DT / 6, n_sub)(st)
+    assert np.isfinite(np.asarray(ref.positions)).all()
+    with pltpu.force_tpu_interpret_mode():
+        out = kp.make_hybrid_contact_runner(spec, cfg, DT / 6, n_sub)(st)
+    d = np.abs(np.asarray(out.positions) - np.asarray(ref.positions)).max()
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert out.lambda_tet is not None
+    assert d < 1e-5, f"solid hybrid diverges from stencil cadence: {d}"
