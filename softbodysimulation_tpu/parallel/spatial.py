@@ -141,6 +141,88 @@ def _apply_warm(pred, w, w_halo, lam_f, family, valid, axis, n_shards,
     return pred, lam_f
 
 
+def _sharded_tet_sweep(pred, w, lam_t, paths, valid, tdeg, rest6,
+                       cfg: SolverConfig, dt_sub, axis: str, n_shards: int,
+                       omega):
+    """Per-cell tet-volume Jacobi sweep on an x-slab (trailing-3 layout).
+
+    Mirrors ``solvers/lattice._tet_sweep``: the 6 Kuhn paths all project
+    against the SAME pred (Jacobi), then one mass-splitting apply.  Every
+    path offset has dx in {0, 1}, so ONE right-halo fetch of pred/w serves
+    the whole sweep, and the cross-boundary gradient scatters accumulate
+    in a single spill plane pushed right ONCE after the paths.  Boundary
+    lanes therefore sum their contributions in a different order than the
+    single-chip engine (own-path terms first, then the left neighbor's
+    spill) — an fp reordering bounded by the equivalence tests' tolerance,
+    not an algorithmic difference.
+
+    pred: (P,res,res,3); w/valid/tdeg: (P,res,res); lam_t: (6,P,res,res).
+    """
+    p_planes = pred.shape[0]
+    alpha = cfg.tet_compliance / (dt_sub * dt_sub)
+    halo_p = lax.ppermute(pred[0], axis, _right_perm(n_shards))
+    pred_x = jnp.concatenate([pred, halo_p[None]], axis=0)
+    halo_w = lax.ppermute(w[0], axis, _right_perm(n_shards))
+    w_x = jnp.concatenate([w, halo_w[None]], axis=0)
+
+    def fetch(a_x, off):
+        ox, oy, oz = off
+        a = a_x[ox:ox + p_planes]
+        if oy or oz:
+            a = jnp.roll(a, (-oy, -oz), axis=(1, 2))
+        return a
+
+    def cross(a, b):
+        # same component expressions as solvers/lattice._cross3
+        return jnp.stack([
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ], axis=-1)
+
+    def scatter(acc_x, val, off):
+        ox, oy, oz = off
+        if oy or oz:
+            # wrapped-in lanes carry only zeros: dl is masked to the valid
+            # anchor cells, which exclude the y/z faces (same argument as
+            # the stencil engine's inverse rolls)
+            val = jnp.roll(val, (oy, oz), axis=(1, 2))
+        return acc_x.at[ox:ox + p_planes].add(val)
+
+    acc = jnp.zeros((p_planes + 1,) + pred.shape[1:], pred.dtype)
+    lam_parts = []
+    for pi, path in enumerate(paths):
+        o1, o2, o3 = path[1], path[2], path[3]
+        e1 = fetch(pred_x, o1) - pred
+        e2 = fetch(pred_x, o2) - pred
+        e3 = fetch(pred_x, o3) - pred
+        g1 = cross(e2, e3)
+        g2 = cross(e3, e1)
+        g3 = cross(e1, e2)
+        g0 = -(g1 + g2 + g3)
+        vol6 = (e1 * g1).sum(-1)
+        cerr = vol6 - cfg.tet_pressure * rest6
+        w1 = fetch(w_x, o1)
+        w2 = fetch(w_x, o2)
+        w3 = fetch(w_x, o3)
+        denom = (w * (g0 * g0).sum(-1) + w1 * (g1 * g1).sum(-1)
+                 + w2 * (g2 * g2).sum(-1) + w3 * (g3 * g3).sum(-1) + alpha)
+        lam_f = lam_t[pi]
+        dl = (-cerr - alpha * lam_f) / jnp.maximum(denom, 1e-30)
+        active = valid & (denom > cfg.eps_denominator)
+        dl = jnp.where(active, dl, 0.0) * omega
+        lam_parts.append(lam_f + dl)
+        dlb = dl[..., None]
+        acc = scatter(acc, dlb * g0, (0, 0, 0))
+        acc = scatter(acc, dlb * g1, o1)
+        acc = scatter(acc, dlb * g2, o2)
+        acc = scatter(acc, dlb * g3, o3)
+    spill = lax.ppermute(acc[p_planes], axis, _left_perm(n_shards))
+    delta = acc[:p_planes].at[0].add(spill)
+    pred = pred + (w / jnp.maximum(tdeg, 1.0))[..., None] * delta
+    return pred, jnp.stack(lam_parts)
+
+
 def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                               dt: float, mesh: Mesh, n_steps: int = 1,
                               axis: str = "x"):
@@ -158,8 +240,25 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
     par0_np = np.stack(
         [p.reshape(res, res, res) for _, p in host_masks])
 
-    def local_substep(x, v, w, f, lam, valid, par0, apply_ext):
-        # x,v,f: (P,res,res,3); w: (P,res,res); lam: (nfam,P,res,res)
+    # per-cell tet family (solid lattices): static anchor mask + degree
+    # plane shard alongside w; the sweep itself is _sharded_tet_sweep
+    has_tets = cfg.enable_tet_volume
+    if has_tets:
+        from ..solvers.lattice import _tet_fields
+
+        tet_paths, tvalid_np, tdeg_np, tet_rest6 = _tet_fields(spec)
+        tvalid_np = np.asarray(tvalid_np).reshape(res, res, res)
+        tdeg_np = np.asarray(tdeg_np).reshape(res, res, res)
+        tet_omega = cfg.omega if cfg.omega > 0 else 1.0
+
+    def local_substep(x, v, w, f, lam, valid, par0, apply_ext,
+                      tvalid=None, tdeg=None):
+        # x,v,f: (P,res,res,3); w: (P,res,res); lam: (nfam,P,res,res) —
+        # or (lam_dist, lam_tet) with lam_tet (6,P,res,res) for solid
+        # lattices (same pytree shape returned)
+        lam_t = None
+        if isinstance(lam, tuple):
+            lam, lam_t = lam
         p = x.shape[0]
         pred, vel = _integrate.predict(
             x.reshape(-1, 3), v.reshape(-1, 3), w.reshape(-1),
@@ -174,6 +273,12 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
             lam = jnp.zeros_like(lam)
         else:
             lam = lam * cfg.lambda_decay
+        if lam_t is not None:
+            # tets follow the general engine's lifecycle: fresh except DECAY
+            if cfg.lambda_mode == LambdaMode.DECAY:
+                lam_t = lam_t * cfg.lambda_decay
+            else:
+                lam_t = jnp.zeros_like(lam_t)
 
         if cfg.lambda_mode == LambdaMode.WARM_START:
             lam_parts = []
@@ -185,7 +290,7 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
             lam = jnp.stack(lam_parts)
 
         def iteration(_, carry):
-            pred, lam = carry
+            pred, lam, lam_t = carry
             lam_parts = []
             for fi, fam in enumerate(spec.families):
                 lam_f = lam[fi]
@@ -208,6 +313,10 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                         relax=0.5 * (cfg.omega if cfg.omega > 0 else 1.0))
                 lam_parts.append(lam_f)
             lam = jnp.stack(lam_parts)
+            if lam_t is not None:
+                pred, lam_t = _sharded_tet_sweep(
+                    pred, w, lam_t, tet_paths, tvalid, tdeg, tet_rest6,
+                    cfg, dt_sub, axis, n_shards, tet_omega)
             if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
                 pf = _collision.floor_project_xpbd(
                     pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
@@ -223,28 +332,31 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                     pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
                     dt_sub, cfg)
                 pred = pf.reshape(p, res, res, 3)
-            return pred, lam
+            return pred, lam, lam_t
 
-        pred, lam = lax.fori_loop(0, cfg.iterations, iteration, (pred, lam))
+        pred, lam, lam_t = lax.fori_loop(0, cfg.iterations, iteration,
+                                         (pred, lam, lam_t))
 
         xf, vf = _integrate.finalize(
             x.reshape(-1, 3), pred.reshape(-1, 3), w.reshape(-1), dt_sub)
         if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
             xf, vf = _collision.floor_velocity_reflect(
                 xf, vf, w.reshape(-1), dt_sub, cfg)
-        return (xf.reshape(p, res, res, 3), vf.reshape(p, res, res, 3), lam)
+        lam_out = lam if lam_t is None else (lam, lam_t)
+        return (xf.reshape(p, res, res, 3), vf.reshape(p, res, res, 3),
+                lam_out)
 
     dt_sub = dt / cfg.substeps
 
-    def local_fn(x, v, w, f, lam, valid, par0):
+    def local_fn(x, v, w, f, lam, valid, par0, tvalid=None, tdeg=None):
         def one_step(x, v, lam, f, apply_ext):
             x, v, lam = local_substep(x, v, w, f, lam, valid, par0,
-                                      apply_ext)
+                                      apply_ext, tvalid, tdeg)
             if cfg.substeps > 1:
                 def body(carry, _):
                     x, v, lam = carry
                     return local_substep(x, v, w, f, lam, valid, par0,
-                                         False), None
+                                         False, tvalid, tdeg), None
 
                 (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
                                           length=cfg.substeps - 1)
@@ -261,16 +373,25 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
         return x, v, lam
 
     sx = P(axis)
+    # P(None, axis) applies as a pytree prefix to the lambda pack: both the
+    # distance slab stack (nfam,res,res,res) and, for solid lattices, the
+    # tet slab stack (6,res,res,res) shard their x axis (dim 1)
+    in_specs = [sx, sx, sx, sx, P(None, axis), P(None, axis),
+                P(None, axis)]
+    if has_tets:
+        in_specs += [sx, sx]   # tet anchor mask + degree plane
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(sx, sx, sx, sx, P(None, axis), P(None, axis),
-                  P(None, axis)),
+        in_specs=tuple(in_specs),
         out_specs=(sx, sx, P(None, axis)),
         check_rep=False)
     jfn = jax.jit(fn)
 
     valid_dev = jnp.asarray(valid_np)
     par0_dev = jnp.asarray(par0_np)
+    if has_tets:
+        tvalid_dev = jnp.asarray(tvalid_np)
+        tdeg_dev = jnp.asarray(tdeg_np)
 
     def step(state: SimState) -> SimState:
         x = state.positions.reshape(res, res, res, 3)
@@ -278,11 +399,22 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
         w = state.inv_mass.reshape(res, res, res)
         f = state.ext_force.reshape(res, res, res, 3)
         lam = state.lambda_dist.reshape(nfam, res, res, res)
-        x, v, lam = jfn(x, v, w, f, lam, valid_dev, par0_dev)
+        if has_tets:
+            if state.lambda_tet is None:
+                raise ValueError("enable_tet_volume needs a state built "
+                                 "with tet_volume=True (make_lattice_state)")
+            lam = (lam, state.lambda_tet.reshape(6, res, res, res))
+            x, v, lam = jfn(x, v, w, f, lam, valid_dev, par0_dev,
+                            tvalid_dev, tdeg_dev)
+            lam, lam_t = lam
+        else:
+            x, v, lam = jfn(x, v, w, f, lam, valid_dev, par0_dev)
+            lam_t = None
         return state.replace(
             positions=x.reshape(-1, 3),
             velocities=v.reshape(-1, 3),
             lambda_dist=lam.reshape(-1),
+            lambda_tet=None if lam_t is None else lam_t.reshape(-1),
             ext_force=jnp.zeros_like(state.ext_force),
         )
 
@@ -305,4 +437,6 @@ def shard_lattice_state(state: SimState, spec: LatticeSpec, mesh: Mesh,
         lambda_dist=jax.device_put(state.lambda_dist, rep),
         lambda_bend=jax.device_put(state.lambda_bend, rep),
         lambda_volume=jax.device_put(state.lambda_volume, rep),
+        lambda_tet=(None if state.lambda_tet is None
+                    else jax.device_put(state.lambda_tet, rep)),
     )

@@ -25,7 +25,8 @@ pytestmark = pytest.mark.skipif(
 
 def run_pair(cfg, res=8, n_shards=4, steps=30, center=(0, 1.2, 0)):
     spec = lattice.lattice_spec(res, braced=True)
-    state0 = lat_engine.make_lattice_state(spec, center=center)
+    state0 = lat_engine.make_lattice_state(
+        spec, center=center, tet_volume=cfg.enable_tet_volume)
     mesh = pbatch.make_mesh(n_shards, axis="x")
 
     sharded = spatial.shard_lattice_state(state0, spec, mesh)
@@ -86,6 +87,33 @@ def test_sharded_pinned_and_floor():
     assert np.allclose(p[pins], p0[pins], atol=1e-6)
     assert np.isfinite(p).all()
     assert p[:, 1].min() > -5e-3
+
+
+@pytest.mark.parametrize("lmode", [LambdaMode.RESET, LambdaMode.DECAY])
+def test_sharded_tets_match_single_device(lmode):
+    """Solid lattices shard too: the per-cell tet family runs as
+    _sharded_tet_sweep (one pred/w right-halo fetch for all 6 Kuhn paths,
+    one correction spill pushed right after them).  Boundary lanes sum
+    their gradient contributions in a different order than the single-chip
+    engine (deferred halo add), so the gate is the file's fp-reorder
+    tolerance, not bit equality."""
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, lambda_mode=lmode,
+                       enable_tet_volume=True,
+                       ground_height=0.0, friction=0.3)
+    out_sh, out_1 = run_pair(cfg)
+    p = np.asarray(out_sh.positions)
+    assert np.isfinite(p).all()
+    d = np.abs(p - np.asarray(out_1.positions)).max()
+    assert d < 1e-4, f"sharded tet sweep diverges from single-chip: {d}"
+    dt_ = np.abs(np.asarray(out_sh.lambda_tet)
+                 - np.asarray(out_1.lambda_tet)).max()
+    assert dt_ < 1e-3, f"sharded tet multipliers diverge: {dt_}"
+    # discriminator: tets-off trajectory must differ clearly, so the
+    # tolerance above cannot mask a silently-dropped tet family
+    off_sh, _ = run_pair(cfg.replace(enable_tet_volume=False))
+    d_off = np.abs(p - np.asarray(off_sh.positions)).max()
+    assert d_off > 1e-3, f"tets indistinguishable from tets-off: {d_off}"
 
 
 def test_res_not_divisible_raises():
