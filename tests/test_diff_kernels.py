@@ -54,6 +54,45 @@ def test_lattice_diff_runner_grads_match_xla():
     assert np.abs(np.asarray(grad_r)).max() > 1e-3  # non-trivial gradient
 
 
+def test_lattice_diff_runner_with_tets_grads_match_xla():
+    """Solid bodies stay differentiable: the paired runner's primal is the
+    streamed kernel's in-kernel tet sweep and its cotangent differentiates
+    the stencil engine's _tet_sweep (pure jnp) at the same point."""
+    spec = lattice.lattice_spec(4, braced=True)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.01,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET,
+                       gravity_is_acceleration=True,
+                       enable_tet_volume=True,
+                       ground_height=0.0, friction=0.3)
+    st = lat_engine.make_lattice_state(spec, center=(0, 0.7, 0),
+                                       tet_volume=True)
+    n_sub = 6
+    ref_fn = lat_engine.make_substep_runner(spec, cfg, DT_SUB, n_sub)
+
+    def loss_ref(v0):
+        s = st.replace(velocities=jnp.broadcast_to(v0,
+                                                   st.velocities.shape))
+        return jnp.sum(ref_fn(s).positions[:, 0])
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = kdiff.make_differentiable_lattice_runner(
+            spec, cfg, DT_SUB, n_sub)
+
+        def loss_pal(v0):
+            s = st.replace(velocities=jnp.broadcast_to(
+                v0, st.velocities.shape))
+            return jnp.sum(fused(s).positions[:, 0])
+
+        v0 = jnp.asarray([0.3, 0.1, -0.2])
+        val_p, grad_p = jax.value_and_grad(loss_pal)(v0)
+    val_r, grad_r = jax.value_and_grad(loss_ref)(v0)
+    assert abs(float(val_p) - float(val_r)) < 1e-3
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_r),
+                               rtol=1e-5, atol=1e-7)
+    assert np.abs(np.asarray(grad_r)).max() > 1e-3
+
+
 def test_mesh_diff_runner_grads_match_engine():
     m = mesh.icosphere(1)
     pos, topo = build.build_windowed_topology(
