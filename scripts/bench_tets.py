@@ -76,6 +76,22 @@ def main():
     rate_x, _ = measure(fn_x, st, n, xla_steps * cfg.substeps)
     emit(row="tet_cube_xla", particle_substeps_per_s=float(f"{rate_x:.4g}"))
 
+    # --- XLA general engine, WINDOWED tet sweeps (signed 4-endpoint
+    # one-hot MXU matmuls over topo.tet_windows — general._solve_tets_
+    # windowed): same-run vs the gather row above
+    if topo.tet_windows is not None:
+        try:
+            fn_xw = general.make_step(
+                topo, cfg.replace(tet_backend="windowed"), DT,
+                n_steps=xla_steps)
+            rate_xw, _ = measure(fn_xw, st, n, xla_steps * cfg.substeps)
+            emit(row="tet_cube_xla_windowed_tets",
+                 particle_substeps_per_s=float(f"{rate_xw:.4g}"),
+                 speedup_vs_gather_tets=float(f"{rate_xw / rate_x:.3g}"))
+        except Exception as e:  # noqa: BLE001
+            emit(row="tet_cube_xla_windowed_tets", ok=False,
+                 err=f"{type(e).__name__}: {str(e)[:200]}")
+
     # --- validation horizon: kernel must track the engine AND conserve
     # volume (an absolute physical gate, immune to fp-chaos arguments).
     # The trajectory gate is SELF-CALIBRATING like bench_mesh_kernel's:

@@ -119,6 +119,14 @@ class SolverConfig:
                                       # contract as distance_backend ("auto"
                                       # = windowed signed one-hots when the
                                       # topology carries bend_windows)
+    tet_backend: str = "gather"       # JACOBI tet-volume-sweep mechanics:
+                                      # "gather" (tet_incidence walks; the
+                                      # default — the fused kernels pin
+                                      # bitwise equality against it) or
+                                      # "windowed" (4-endpoint signed
+                                      # one-hot MXU sweep; requires
+                                      # topology tet_windows, fp-reordered
+                                      # vs gather)
     # Chebyshev semi-iterative acceleration of the Jacobi iterations
     # (classic accelerated-PBD recurrence); rho = spectral-radius estimate,
     # 0 disables.  gamma under-relaxes the inner update for contact safety.
@@ -258,6 +266,8 @@ class SolverConfig:
         if self.distance_backend not in ("auto", "gather", "windowed"):
             raise ValueError(
                 "distance_backend must be auto|gather|windowed")
+        if self.tet_backend not in ("gather", "windowed"):
+            raise ValueError("tet_backend must be gather|windowed")
         if self.bending_backend not in ("auto", "gather", "windowed"):
             raise ValueError(
                 "bending_backend must be auto|gather|windowed")

@@ -235,6 +235,11 @@ class Topology:
     tcol_valid: Optional[jax.Array] = None      # (Ct, Mt) f32
     tet_degree: Optional[jax.Array] = None      # (N,) f32
     tet_incidence: Optional[jax.Array] = None   # (N, Dt) i32 into 4T contribs
+    tet_windows: Optional["HingeWindows"] = None  # MXU tet-sweep backend
+    tet_window_perm: Optional[jax.Array] = None  # (T,) i32 window slot ->
+    #                                              original tet id (windows
+    #                                              block a min-endpoint-
+    #                                              sorted copy of tets)
     num_tet_colors: int = 0       # static
 
     @property
@@ -283,6 +288,8 @@ _register(
         "tcol_valid",
         "tet_degree",
         "tet_incidence",
+        "tet_windows",
+        "tet_window_perm",
     ),
     meta_fields=("num_colors", "num_bend_colors", "n_particles",
                  "num_tet_colors"),

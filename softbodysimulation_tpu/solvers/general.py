@@ -296,6 +296,78 @@ def _solve_bending_windowed(pred, lam, inv_mass, topo: Topology,
         lam_pad.reshape(-1)[:lam.shape[0]]
 
 
+def _solve_tets_windowed(pred, lam, inv_mass, topo: Topology,
+                         cfg: SolverConfig, dt, omega):
+    """Mass-splitting Jacobi tet sweep as dense signed-one-hot block
+    matmuls (MXU) — ``_solve_tets_jacobi`` semantics with the 4-endpoint
+    gathers/scatters riding ``topo.tet_windows`` instead of
+    ``tet_incidence`` walks (the bending machinery verbatim: the signed
+    matrix gathers e1/e2/e3 = tip - root directly, and scattering
+    [dl*g1 | dl*g2 | dl*g3] through its transpose lands
+    -dl*(g1+g2+g3) = dl*g0 on the root).  Unlike bending there is NO
+    per-constraint 1/max-degree prescale — tets keep the full-strength
+    projection and each particle applies the MEAN of the corrections
+    targeting it (``inv_mass / tet_degree`` after the overlap-add; see
+    the fan-hub rationale in ``_solve_tets_jacobi``).  Summation order
+    differs from the gather path (fp reorder), hence opt-in via
+    ``cfg.tet_backend='windowed'``."""
+    win = topo.tet_windows
+    perm = topo.tet_window_perm
+    kb, s, w = win.n_blocks, win.block_hinges, win.window
+    n = pred.shape[0]
+    seg = win.seg
+    n_pad = win.n_segs * seg
+
+    xw = jnp.concatenate([pred, inv_mass[:, None]], axis=1)       # (N, 4)
+    xw = jnp.pad(xw, ((0, n_pad - n), (0, 0)))
+    seg_flat = xw.reshape(win.n_segs, seg * 4)
+    win_flat = _mxu.dot_oh(win.win_onehot, seg_flat,
+                           (((1,), (0,)), ((), ())),
+                           split="rhs")                           # (P, 4seg)
+    wdat = win_flat.reshape(kb, w, 4)
+
+    wparts = _mxu.split3(wdat)
+    e123 = _mxu.dot_oh(
+        win.G, wdat[..., :3],
+        (((1,), (1,)), ((0,), (0,))), split="rhs", stack_axis=2,
+        parts=jnp.concatenate([p[..., :3] for p in wparts],
+                              axis=2))                            # (Kb,3S,3)
+    e1, e2, e3 = e123[:, :s], e123[:, s:2 * s], e123[:, 2 * s:]
+    wabcd = _mxu.dot_oh(
+        win.wsel, wdat[..., 3:],
+        (((1,), (1,)), ((0,), (0,))), split="rhs", stack_axis=2,
+        parts=jnp.concatenate([p[..., 3:] for p in wparts],
+                              axis=2))                            # (Kb,4S,1)
+    wabcd = wabcd[..., 0]
+    w0, w1 = wabcd[:, :s], wabcd[:, s:2 * s]
+    w2, w3 = wabcd[:, 2 * s:3 * s], wabcd[:, 3 * s:]
+
+    t = perm.shape[0]
+    lam_w = jnp.pad(lam[perm], (0, kb * s - t)).reshape(kb, s)
+    rest = jnp.pad(topo.rest_tet_volumes[perm],
+                   (0, kb * s - t)).reshape(kb, s)
+    comp = jnp.pad(topo.tet_compliance[perm],
+                   (0, kb * s - t)).reshape(kb, s)
+    dl, _g0, g1, g2, g3 = _tet_volume.tet_delta_lambda_rel(
+        e1, e2, e3, w0, w1, w2, w3, rest, comp, lam_w, dt, cfg)
+    dl = dl * (omega * win.valid)     # valid kills the padded slots
+    lam_w = lam_w + dl
+
+    dlb = dl[..., None]
+    uu = jnp.concatenate([dlb * g1, dlb * g2, dlb * g3], axis=1)  # (Kb,3S,3)
+    wdelta = _mxu.dot_oh(win.GT, uu,
+                         (((1,), (1,)), ((0,), (0,))),
+                         split="rhs", stack_axis=2)               # (Kb,W,3)
+    pieces = wdelta.reshape(kb * (w // seg), seg * 3)
+    delta = _mxu.dot_oh(win.seg_onehot, pieces,
+                        (((1,), (0,)), ((), ())),
+                        split="rhs").reshape(n_pad, 3)[:n]
+    scale = inv_mass / jnp.maximum(topo.tet_degree, 1.0)
+    pred = pred + scale[:, None] * delta
+    lam = lam.at[perm].set(lam_w.reshape(-1)[:t])
+    return pred, lam
+
+
 # ------------------------------------------------------------- tet volume
 def _solve_tets_colored(pred, lam, inv_mass, topo: Topology,
                         cfg: SolverConfig, dt):
@@ -462,6 +534,11 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     if use_windowed_bend and topo.bend_windows is None:
         raise ValueError("bending_backend='windowed' requires a topology "
                          "with hinge windows (build_windowed_topology)")
+    use_windowed_tets = cfg.tet_backend == "windowed"
+    if use_windowed_tets and has_tets and topo.tet_windows is None:
+        raise ValueError("tet_backend='windowed' requires a topology with "
+                         "tet windows (build_windowed_topology; centroid "
+                         "fans exceed the window bound and stay on gather)")
 
     sc_on = cfg.enable_self_collision and contact_on
     if sc_on and _spatial_hash.needs_morton_order(cfg):
@@ -516,6 +593,9 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
             if cfg.solve_mode == SolveMode.COLORED:
                 pred, lam_t = _solve_tets_colored(
                     pred, lam_t, state.inv_mass, topo, cfg, dt)
+            elif use_windowed_tets:
+                pred, lam_t = _solve_tets_windowed(
+                    pred, lam_t, state.inv_mass, topo, cfg, dt, omega)
             else:
                 pred, lam_t = _solve_tets_jacobi(
                     pred, lam_t, state.inv_mass, topo, cfg, dt, omega)

@@ -297,8 +297,29 @@ def build_windowed_topology(
                 dtype=window_dtype)
         except ValueError:
             bwin = None    # bandwidth too large: gather bending fallback
+    twin = tperm = None
+    if tets is not None and len(tets):
+        # tets share the hinge-window shape (4 endpoints, e_i = tip -
+        # root): block a min-endpoint-sorted COPY and keep the slot->tet
+        # permutation so the per-tet state (lambda, rest volume,
+        # compliance) stays in topo.tets order everywhere else
+        import jax.numpy as _jnp
+
+        torder = _windows.sort_hinges_by_window(tets)
+        try:
+            twin = _windows.build_hinge_windows(
+                tets[torder], n, np.asarray(topo.tet_degree),
+                block_hinges=min(block_edges, 128),
+                max_window=max_window, seg_align=seg_align,
+                dtype=window_dtype)
+            tperm = _jnp.asarray(torder.astype(np.int32))
+        except ValueError:
+            twin = tperm = None  # e.g. centroid fans (the hub endpoint
+            #                      spans the whole mesh): gather fallback
     return pos2.astype(np.float32), topo.replace(windows=win,
-                                                 bend_windows=bwin)
+                                                 bend_windows=bwin,
+                                                 tet_windows=twin,
+                                                 tet_window_perm=tperm)
 
 
 def validate_topology(topo: Topology) -> dict:

@@ -666,3 +666,81 @@ def test_resident_kernel_refuses_tets():
     spec, cfg, _ = _streamed_tet_setup(res=4)
     with pytest.raises(NotImplementedError):
         lp.make_pallas_substep_runner(spec, cfg, 1 / 480., 4)
+
+
+# -------------------------------------------------- windowed tet backend
+def _windowed_tet_backend_setup(res=5, **cfg_kw):
+    pos0 = L.lattice_points(res) + np.array([0, 1.0, 0])
+    tt = T.fix_orientation(pos0, T.cube_lattice_tets(res))
+    pos, topo = B.build_windowed_topology(
+        pos0, T.tet_edges(tt), 1e-4, tets=tt, tet_compliance=0.0,
+        triangles=T.boundary_faces(tt))
+    cfg_kw.setdefault("substeps", 4)
+    cfg_kw.setdefault("iterations", 4)
+    cfg_kw.setdefault("solve_mode", SolveMode.JACOBI)
+    cfg_kw.setdefault("distance_backend", "windowed")
+    cfg_kw.setdefault("ground_height", 0.0)
+    # inflate: the tet family does real work from step one, so the
+    # windowed-vs-gather comparison (and its tets-off discriminator)
+    # exercise meaningful corrections
+    cfg_kw.setdefault("tet_pressure", 1.3)
+    cfg = SolverConfig(enable_tet_volume=True, **cfg_kw)
+    return state_from_topology(topo, pos), topo, cfg
+
+
+def test_windowed_tets_match_gather():
+    """tet_backend='windowed' (4-endpoint signed one-hot MXU sweeps over
+    topo.tet_windows) == the gather sweep.  dot_oh's exact one-hot
+    discipline makes the two paths agree to fp-reassociation noise
+    (measured 6e-6 over 20 contact steps on CPU)."""
+    state, topo, cfg = _windowed_tet_backend_setup()
+    assert topo.tet_windows is not None and topo.tet_window_perm is not None
+    out_g = general.make_step(topo, cfg, 1 / 60., n_steps=20)(state)
+    out_w = general.make_step(topo, cfg.replace(tet_backend="windowed"),
+                              1 / 60., n_steps=20)(state)
+    d = np.abs(np.asarray(out_w.positions)
+               - np.asarray(out_g.positions)).max()
+    assert bool(is_finite(out_w))
+    assert d < 1e-4, f"windowed tet sweep diverges from gather: {d}"
+    dl = np.abs(np.asarray(out_w.lambda_tet)
+                - np.asarray(out_g.lambda_tet)).max()
+    assert dl < 1e-3, f"windowed tet multipliers diverge: {dl}"
+    # discriminator: tets-off differs clearly, so the tolerance cannot
+    # mask a silently-skipped family
+    out_off = general.make_step(
+        topo, cfg.replace(enable_tet_volume=False), 1 / 60., n_steps=20)(
+            state.replace(lambda_tet=state.lambda_tet))
+    d_off = np.abs(np.asarray(out_w.positions)
+                   - np.asarray(out_off.positions)).max()
+    assert d_off > 1e-3
+
+
+def test_windowed_tets_centroid_fan_matches():
+    """Small centroid fans fit the window bound (the hub span is the whole
+    mesh, but the mesh is small) and must match the gather sweep's
+    mass-splitting hub behavior."""
+    verts, tt = T.tets_from_surface_centroid(M.icosphere(1).vertices,
+                                             M.icosphere(1).triangles)
+    pos, topo = B.build_windowed_topology(
+        verts.astype(np.float32), T.tet_edges(tt), 1e-4, tets=tt,
+        tet_compliance=0.0)
+    assert topo.tet_windows is not None
+    state = state_from_topology(topo, pos)
+    cfg = SolverConfig(enable_tet_volume=True, substeps=2, iterations=4,
+                       solve_mode=SolveMode.JACOBI,
+                       distance_backend="windowed", tet_pressure=1.5)
+    out_g = general.make_step(topo, cfg, 1 / 60., n_steps=10)(state)
+    out_w = general.make_step(topo, cfg.replace(tet_backend="windowed"),
+                              1 / 60., n_steps=10)(state)
+    d = np.abs(np.asarray(out_w.positions)
+               - np.asarray(out_g.positions)).max()
+    assert bool(is_finite(out_w))
+    assert d < 1e-4, f"fan windowed diverges from gather: {d}"
+
+
+def test_windowed_tets_guard_without_windows():
+    state, topo, cfg = _tet_cube_setup(res=3)   # plain build: no windows
+    with pytest.raises(ValueError, match="tet windows"):
+        general.make_step(topo, cfg.replace(tet_backend="windowed",
+                                            solve_mode=SolveMode.JACOBI),
+                          1 / 60.)(state)
