@@ -229,6 +229,37 @@ def main():
         print(f"colored mesh kernel unavailable: {type(e).__name__}: {e}",
               flush=True)
 
+    # 2b'''. COLORED bunny WITH bending (late round 3: the kernel's
+    # bending sweep gained a color-major exact-GS mode — the full
+    # SoftBodyCPU.cs constraint set under sequential-GS-equal semantics)
+    try:
+        from softbodysimulation_tpu.kernels import mesh_pallas
+
+        pos_cb, topo_cb = build.topology_from_mesh(
+            m, compliance=1e-10, bending=True, bend_compliance=1e-4,
+            windowed="colored")
+        stcb = state_from_topology(
+            topo_cb, pos_cb + np.array([0, 1.0, 0], np.float32))
+        cfgcb = SolverConfig(substeps=1, iterations=15, damping=0.01,
+                             gravity=(0.0, -1.0, 0.0),
+                             solve_mode=SolveMode.COLORED,
+                             enable_bending=True, max_dlambda=1e-3,
+                             ground_height=0.0, friction=0.1)
+        steps_cb = 25
+        fncb = general.make_step(topo_cb, cfgcb, 0.02, n_steps=steps_cb)
+        measure("bunny colored+bending x15it (xla)",
+                fncb, stcb, topo_cb.n_particles, steps_cb,
+                pair="bunny_colored_bend")
+        Lcb = 1000
+        fncbk = mesh_pallas.make_mesh_substep_runner(
+            topo_cb, cfgcb, 0.02, Lcb, with_ext=True)
+        measure("bunny colored+bending x15it (fused pallas, in-kernel GS)",
+                fncbk, stcb, topo_cb.n_particles, Lcb,
+                pair="bunny_colored_bend")
+    except Exception as e:  # noqa: BLE001
+        print(f"colored bending kernel unavailable: {type(e).__name__}: "
+              f"{e}", flush=True)
+
     # 2c. bunny ensemble x64, windowed backend under vmap (the one-hot
     # matrices are shared across the batch, so the MXU lanes fill up)
     nb = 64
@@ -305,6 +336,22 @@ def main():
             topo_t, cfg_t, (1 / 60) / cfg_t.substeps, Lt, with_ext=True)
         measure("tet cube (fused kernel, in-kernel tets)", fn_tk, st_t,
                 topo_t.n_particles, Lt, pair="tets")
+
+        # COLORED twin (late round 3): exact-GS tet sweeps in-kernel
+        pos_tc, topo_tc = build.build_windowed_topology(
+            pos_t0, _tets.tet_edges(tt), 1e-4, tets=tt, tet_compliance=0.0,
+            triangles=_tets.boundary_faces(tt), colored=True)
+        cfg_tc = cfg_t.replace(solve_mode=SolveMode.COLORED,
+                               distance_backend="auto")
+        st_tc = state_from_topology(topo_tc, pos_tc)
+        fn_tc = general.make_step(topo_tc, cfg_tc, 1 / 60, n_steps=steps_t)
+        measure("tet cube COLORED (xla, color-major GS)", fn_tc, st_tc,
+                topo_tc.n_particles, steps_t * cfg_tc.substeps,
+                pair="tets_colored")
+        fn_tck = _mp.make_mesh_substep_runner(
+            topo_tc, cfg_tc, (1 / 60) / cfg_tc.substeps, Lt, with_ext=True)
+        measure("tet cube COLORED (fused kernel, in-kernel GS tets)",
+                fn_tck, st_tc, topo_tc.n_particles, Lt, pair="tets_colored")
     except Exception as e:  # noqa: BLE001
         print(f"tet kernel unavailable: {type(e).__name__}: {e}",
               flush=True)

@@ -98,20 +98,10 @@ def _check_supported(cfg: SolverConfig, topo: Topology):
         raise NotImplementedError(
             f"mesh pallas kernel: solve mode {cfg.solve_mode} — use the "
             "general engine")
-    if (cfg.solve_mode == SolveMode.COLORED and cfg.enable_bending
-            and topo.n_hinges > 0):
-        raise NotImplementedError(
-            "mesh pallas kernel: COLORED bending runs in the general "
-            "engine (the kernel's bending sweep is Jacobi-windowed)")
     if cfg.enable_self_collision:
         raise NotImplementedError(
             "mesh pallas kernel: self-collision requires the general "
             "engine's contact backends")
-    if (cfg.solve_mode == SolveMode.COLORED and cfg.enable_tet_volume
-            and topo.n_tets > 0):
-        raise NotImplementedError(
-            "mesh pallas kernel: COLORED tet volume runs in the general "
-            "engine (the kernel's tet sweep is mass-splitting Jacobi)")
 
 
 def _acos(x):
@@ -133,13 +123,75 @@ def _acos(x):
     return half_pi - jnp.where(x < 0, -asin_a, asin_a)
 
 
+def _colored_pack(mins, maxs, colors, s: int, max_window: int, what: str):
+    """Span-bounded greedy packing of color-sorted constraints into
+    fixed-``s``-slot blocks (the distance sweep's COLORED packing, shared
+    by the bending/tet plans).  Inputs must be sorted by (color, min
+    endpoint).  A block closes when it reaches ``s`` slots OR its particle
+    window would exceed ``max_window`` (color classes scatter constraints
+    across the mesh, so fixed-count blocks would need mesh-wide windows).
+    Returns ``(rows, valid, bases, width, color_ranges)`` where
+    ``rows[i]`` is the input row filling slot i (padded slots replicate
+    the block's last real row, ``valid`` 0) and ``color_ranges`` records
+    the block range of every color for the kernel's apply-after-each-
+    color GS ordering."""
+    n_colors = int(colors[-1]) + 1
+    cbounds = np.searchsorted(colors, np.arange(n_colors + 1))
+    slot_blocks, vmasks, bases_l, ranges = [], [], [], []
+    span_max = 0
+    for c in range(n_colors):
+        i, end = int(cbounds[c]), int(cbounds[c + 1])
+        b_first = len(bases_l)
+        while i < end:
+            base = int(mins[i] // SEG) * SEG
+            hi = int(maxs[i])
+            if hi - base + 1 > max_window:
+                raise NotImplementedError(
+                    f"mesh kernel {what} span {hi - base + 1} > "
+                    f"{max_window}: bandwidth too large (is the topology "
+                    "RCM-renumbered?)")
+            j = i + 1
+            while j < end and (j - i) < s:
+                nhi = max(hi, int(maxs[j]))
+                if nhi - base + 1 > max_window:
+                    break
+                hi = nhi
+                j += 1
+            ids = np.arange(i, j, dtype=np.int64)
+            ids = np.concatenate(
+                [ids, np.full(s - len(ids), j - 1, np.int64)])
+            slot_blocks.append(ids)
+            vmasks.append((np.arange(s) < (j - i)).astype(np.float32))
+            bases_l.append(base)
+            span_max = max(span_max, hi - base + 1)
+            i = j
+        if len(bases_l) > b_first:
+            ranges.append((b_first, len(bases_l)))
+    w = SEG * -(-span_max // SEG)
+    return (np.concatenate(slot_blocks), np.concatenate(vmasks),
+            np.asarray(bases_l, np.int64), w, tuple(ranges))
+
+
+def _slot_inverse(slot_ids, valid, n: int):
+    """Slot of each real constraint (multiplier in/out mapping)."""
+    inv = np.empty(n, np.int64)
+    fv = valid > 0
+    inv[slot_ids[fv]] = np.flatnonzero(fv)
+    return inv
+
+
 @dataclasses.dataclass(frozen=True)
 class BendPlan:
     """Host-built hinge-block structure for in-kernel bending.
 
     The one-hot matrices themselves are NOT stored — they are synthesized
     in-kernel from ``idx_loc`` (iota compare), so the only resident data is
-    a handful of (Kb, ., S) slabs."""
+    a handful of (Kb, ., S) slabs.  ``color_ranges`` (COLORED mode): block
+    range of each hinge color, packed color-major — the kernel applies
+    corrections after each color (exact parallel GS, the in-kernel twin of
+    ``general._solve_bending_colored``); None = Jacobi sweep.  Slots are a
+    padded permutation of hinges in either mode (``slot_ids`` hinge id per
+    slot, ``cslot`` slot of each real hinge — the multiplier mapping)."""
 
     idx_loc: np.ndarray     # (Kb, 4, S) int32 window-local A,B,C,D indices
     idx_glob: np.ndarray    # (4, Kb*S) int32 global indices (per-call masses)
@@ -147,52 +199,73 @@ class BendPlan:
     rest: np.ndarray        # (Kb, 1, S) f32 rest dihedral angles
     alpha: np.ndarray       # (Kb, 1, S) f32 compliance * inv_dt2
     relax: np.ndarray       # (Kb, 1, S) f32 omega / max-bend-degree, masked
+                            #   (COLORED: validity only — full strength)
+    slot_ids: np.ndarray    # (Kb*S,) int64 hinge id per slot
+    cslot: np.ndarray       # (H,) int64 slot of each real hinge
     n_blocks: int
     block_hinges: int
     window: int
+    color_ranges: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 def _build_bend_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
-                     block_hinges: int, max_window: int) -> BendPlan:
-    hg = np.asarray(topo.hinges, np.int64)
-    h = hg.shape[0]
-    if not (np.diff(hg.min(axis=1)) >= 0).all():
-        raise NotImplementedError(
-            "mesh kernel bending needs window-sorted hinges — build the "
-            "topology with topology_from_mesh(windowed=True)")
+                     block_hinges: int, max_window: int,
+                     colored: bool = False) -> BendPlan:
+    hg0 = np.asarray(topo.hinges, np.int64)
+    h = hg0.shape[0]
     s = int(block_hinges)
-    k = -(-h // s)
-    hpad = k * s
-    if hpad > h:
-        hg = np.vstack([hg, np.tile(hg[-1:], (hpad - h, 1))])
-    valid = (np.arange(hpad) < h).astype(np.float32)
+    color_ranges = None
+    if colored:
+        bc = np.asarray(topo.bend_colors, np.int64)
+        order = np.lexsort((hg0.min(axis=1), bc))
+        hgs = hg0[order]
+        rows, valid, bases, w, color_ranges = _colored_pack(
+            hgs.min(axis=1), hgs.max(axis=1), bc[order], s, max_window,
+            "hinge")
+        slot_ids = order[rows]
+        k = bases.shape[0]
+        hg = hg0[slot_ids]
+    else:
+        if not (np.diff(hg0.min(axis=1)) >= 0).all():
+            raise NotImplementedError(
+                "mesh kernel bending needs window-sorted hinges — build "
+                "the topology with topology_from_mesh(windowed=True)")
+        k = -(-h // s)
+        hpad = k * s
+        slot_ids = np.concatenate([np.arange(h, dtype=np.int64),
+                                   np.full(hpad - h, h - 1, np.int64)])
+        valid = (np.arange(hpad) < h).astype(np.float32)
+        hg = hg0[slot_ids]
+        blocks0 = hg.reshape(k, s, 4)
+        bases = (blocks0.min(axis=(1, 2)) // SEG) * SEG
+        span = int((blocks0.max(axis=(1, 2)) - bases + 1).max())
+        w = SEG * -(-span // SEG)
+        if w > max_window:
+            raise NotImplementedError(
+                f"mesh kernel hinge window {w} > {max_window}: bandwidth "
+                "too large — bending falls back to the general engine")
 
     blocks = hg.reshape(k, s, 4)
-    bases = (blocks.min(axis=(1, 2)) // SEG) * SEG
-    span = int((blocks.max(axis=(1, 2)) - bases + 1).max())
-    w = SEG * -(-span // SEG)
-    if w > max_window:
-        raise NotImplementedError(
-            f"mesh kernel hinge window {w} > {max_window}: bandwidth too "
-            "large — bending falls back to the general engine")
-
     loc = (blocks - bases[:, None, None]).astype(np.int32)   # (k, s, 4)
     idx_loc = np.ascontiguousarray(np.transpose(loc, (0, 2, 1)))
 
-    rest = np.concatenate([
-        np.asarray(topo.rest_angles, np.float32), np.zeros(hpad - h,
-                                                           np.float32)])
-    comp = np.concatenate([
-        np.asarray(topo.bend_compliance, np.float32),
-        np.zeros(hpad - h, np.float32)])
+    # padded slots replicate a real hinge (finite geometry); their dl is
+    # exactly zeroed by the validity-masked relax slab
+    rest = np.asarray(topo.rest_angles, np.float32)[slot_ids]
+    comp = np.asarray(topo.bend_compliance, np.float32)[slot_ids]
     alpha = comp / (dt_sub * dt_sub)
 
-    bd = np.asarray(topo.bend_degree, np.float32)
-    maxdeg = np.maximum(
-        np.maximum(np.maximum(bd[hg[:, 0]], bd[hg[:, 1]]),
-                   np.maximum(bd[hg[:, 2]], bd[hg[:, 3]])), 1.0)
-    omega = cfg.omega if cfg.omega > 0 else 1.0
-    relax = (valid * omega / maxdeg).astype(np.float32)
+    if colored:
+        # exact GS: full-strength projection, one color at a time
+        # (general._solve_bending_colored has no omega/degree scaling)
+        relax = valid.astype(np.float32)
+    else:
+        bd = np.asarray(topo.bend_degree, np.float32)
+        maxdeg = np.maximum(
+            np.maximum(np.maximum(bd[hg[:, 0]], bd[hg[:, 1]]),
+                       np.maximum(bd[hg[:, 2]], bd[hg[:, 3]])), 1.0)
+        omega = cfg.omega if cfg.omega > 0 else 1.0
+        relax = (valid * omega / maxdeg).astype(np.float32)
 
     def slab(a):
         return np.ascontiguousarray(a.reshape(k, 1, s), np.float32)
@@ -204,9 +277,12 @@ def _build_bend_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         rest=slab(rest),
         alpha=slab(alpha),
         relax=slab(relax),
+        slot_ids=slot_ids,
+        cslot=_slot_inverse(slot_ids, valid, h),
         n_blocks=k,
         block_hinges=s,
         window=w,
+        color_ranges=color_ranges,
     )
 
 
@@ -263,60 +339,95 @@ class TetPlan:
     """Host-built tet-block structure for the in-kernel PER-TET volume
     family (``ops/tet_volume.py``).  Same synthesized-one-hot mechanism as
     bending (4 endpoints, translation-invariant gradients,
-    grad0 = -(g1+g2+g3)); the apply step divides by the per-particle tet
-    degree (the general engine's mass-splitting Jacobi,
-    ``general._solve_tets_jacobi``), carried in as a per-call ``wtd =
-    inv_mass / tet_degree`` plane.  Padded slots point all four endpoints
-    at the same local index, so e1=e2=e3=0 and every gradient — and the
-    constraint residual's denominator — cancels to exact zeros (the
-    eps_denominator guard then zeroes dl)."""
+    grad0 = -(g1+g2+g3)).  JACOBI (``color_ranges`` None): the apply step
+    divides by the per-particle tet degree (the general engine's
+    mass-splitting Jacobi, ``general._solve_tets_jacobi``), carried in as
+    a per-call ``wtd = inv_mass / tet_degree`` plane.  COLORED: blocks are
+    packed color-major, projections run at full strength and corrections
+    apply after each color with the plain inverse mass (the in-kernel twin
+    of ``general._solve_tets_colored``).  Padded slots replicate a real
+    tet (finite geometry); their dl is exactly zeroed by the
+    validity-masked relax slab."""
 
     idx_loc: np.ndarray     # (Kt, 4, S) int32 window-local p0..p3
     idx_glob: np.ndarray    # (4, Kt*S) int32 global indices (per-call masses)
     bases: Tuple[int, ...]
-    rest6: np.ndarray       # (Kt, 1, S) f32 6x rest volumes (0 for padding)
+    rest6: np.ndarray       # (Kt, 1, S) f32 6x rest volumes
     alpha: np.ndarray       # (Kt, 1, S) f32 compliance * inv_dt2
     relax: np.ndarray       # (Kt, 1, S) f32 omega, validity-masked
-    order: np.ndarray       # (T,) original tet id of slot i (multiplier map)
+                            #   (COLORED: validity only — full strength)
+    slot_ids: np.ndarray    # (Kt*S,) int64 original tet id per slot
+    cslot: np.ndarray       # (T,) int64 slot of each real tet
     n_blocks: int
     block_tets: int
     window: int
+    color_ranges: Optional[Tuple[Tuple[int, int], ...]] = None
+
+
+def _flat_tet_colors(topo: Topology) -> np.ndarray:
+    """Per-tet color ids, reconstructed from the padded ``tcol_*`` buckets
+    (the general engine's COLORED structures — flat colors aren't stored)."""
+    t = topo.n_tets
+    tc = np.full(t, -1, np.int64)
+    ids = np.asarray(topo.tcol_tet_ids, np.int64)
+    val = np.asarray(topo.tcol_valid) > 0
+    for c in range(topo.num_tet_colors):
+        tc[ids[c][val[c]]] = c
+    if (tc < 0).any():
+        raise ValueError("tet coloring does not cover every tet")
+    return tc
 
 
 def _build_tet_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
-                    block_tets: int, max_window: int) -> TetPlan:
-    tt = np.asarray(topo.tets, np.int64)
-    t = tt.shape[0]
-    rest6 = np.asarray(topo.rest_tet_volumes, np.float32)
-    comp = np.asarray(topo.tet_compliance, np.float32)
-    # Jacobi processing order is free (fp summation order only): sort by
-    # min vertex so RCM renumbering gives tight windows
-    order = np.argsort(tt.min(axis=1), kind="stable")
-    tt, rest6, comp = tt[order], rest6[order], comp[order]
+                    block_tets: int, max_window: int,
+                    colored: bool = False) -> TetPlan:
+    tt0 = np.asarray(topo.tets, np.int64)
+    t = tt0.shape[0]
     s = int(block_tets)
-    k = -(-t // s)
-    tpad = k * s
-    if tpad > t:
-        pad = np.full((tpad - t, 4), tt[-1, 0], np.int64)
-        tt = np.vstack([tt, pad])
-        rest6 = np.concatenate([rest6, np.zeros(tpad - t, np.float32)])
-        comp = np.concatenate([comp, np.zeros(tpad - t, np.float32)])
-    valid = (np.arange(tpad) < t).astype(np.float32)
+    color_ranges = None
+    if colored:
+        tc = _flat_tet_colors(topo)
+        order = np.lexsort((tt0.min(axis=1), tc))
+        tts = tt0[order]
+        rows, valid, bases, w, color_ranges = _colored_pack(
+            tts.min(axis=1), tts.max(axis=1), tc[order], s, max_window,
+            "tet")
+        slot_ids = order[rows]
+        k = bases.shape[0]
+    else:
+        # Jacobi processing order is free (fp summation order only): sort
+        # by min vertex so RCM renumbering gives tight windows
+        order = np.argsort(tt0.min(axis=1), kind="stable")
+        k = -(-t // s)
+        tpad = k * s
+        rows = np.concatenate([np.arange(t, dtype=np.int64),
+                               np.full(tpad - t, t - 1, np.int64)])
+        slot_ids = order[rows]
+        valid = (np.arange(tpad) < t).astype(np.float32)
+        blocks0 = tt0[slot_ids].reshape(k, s, 4)
+        bases = (blocks0.min(axis=(1, 2)) // SEG) * SEG
+        span = int((blocks0.max(axis=(1, 2)) - bases + 1).max())
+        w = SEG * -(-span // SEG)
+        if w > max_window:
+            raise NotImplementedError(
+                f"mesh kernel tet window {w} > {max_window}: bandwidth too "
+                "large — tets fall back to the general engine")
+    tt = tt0[slot_ids]
+    rest6 = np.asarray(topo.rest_tet_volumes, np.float32)[slot_ids]
+    comp = np.asarray(topo.tet_compliance, np.float32)[slot_ids]
     blocks = tt.reshape(k, s, 4)
-    bases = (blocks.min(axis=(1, 2)) // SEG) * SEG
-    span = int((blocks.max(axis=(1, 2)) - bases + 1).max())
-    w = SEG * -(-span // SEG)
-    if w > max_window:
-        raise NotImplementedError(
-            f"mesh kernel tet window {w} > {max_window}: bandwidth too "
-            "large — tets fall back to the general engine")
     loc = (blocks - bases[:, None, None]).astype(np.int32)
     alpha = comp / (dt_sub * dt_sub)
-    omega = cfg.omega if cfg.omega > 0 else 1.0
-    # mass-splitting Jacobi: full-strength projection, per-PARTICLE mean at
-    # apply time (general._solve_tets_jacobi; max-degree pre-scaling
-    # collapses on centroid-fan hubs)
-    relax = (valid * omega).astype(np.float32)
+    if colored:
+        # exact GS: full-strength projection, one color at a time
+        # (general._solve_tets_colored has no omega scaling)
+        relax = valid.astype(np.float32)
+    else:
+        omega = cfg.omega if cfg.omega > 0 else 1.0
+        # mass-splitting Jacobi: full-strength projection, per-PARTICLE
+        # mean at apply time (general._solve_tets_jacobi; max-degree
+        # pre-scaling collapses on centroid-fan hubs)
+        relax = (valid * omega).astype(np.float32)
 
     def slab(a):
         return np.ascontiguousarray(a.reshape(k, 1, s), np.float32)
@@ -328,10 +439,12 @@ def _build_tet_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
         rest6=slab(rest6),
         alpha=slab(alpha),
         relax=slab(relax),
-        order=order.astype(np.int32),
+        slot_ids=slot_ids,
+        cslot=_slot_inverse(slot_ids, valid, t),
         n_blocks=k,
         block_tets=s,
         window=w,
+        color_ranges=color_ranges,
     )
 
 
@@ -556,7 +669,8 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
 
     bend = None
     if cfg.enable_bending and topo.n_hinges > 0:
-        bend = _build_bend_plan(topo, cfg, dt_sub, block_hinges, max_window)
+        bend = _build_bend_plan(topo, cfg, dt_sub, block_hinges, max_window,
+                                colored=colored)
         n_pad = max(n_pad,
                     SEG * int((max(bend.bases) + bend.window) // SEG))
 
@@ -568,7 +682,8 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
 
     tet = None
     if cfg.enable_tet_volume and topo.n_tets > 0:
-        tet = _build_tet_plan(topo, cfg, dt_sub, block_hinges, max_window)
+        tet = _build_tet_plan(topo, cfg, dt_sub, block_hinges, max_window,
+                              colored=colored)
         n_pad = max(n_pad,
                     SEG * int((max(tet.bases) + tet.window) // SEG))
 
@@ -666,9 +781,11 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     consumed on the first substep, zeroed after).  Semantically equivalent
     to ``solvers.general`` with ``distance_backend='windowed'`` — tested in
     interpret mode (tests/test_mesh_pallas.py).  COLORED configs run the
-    exact parallel-GS color sweep in-kernel (corrections applied after
-    each color, matching ``general._solve_distance_colored``'s ordering;
-    needs ``topology_from_mesh(windowed='colored')``).  ``approx_math``
+    exact parallel-GS color sweep in-kernel for EVERY family — distance,
+    bending, and per-tet volume (corrections applied after each color,
+    matching ``general._solve_{distance,bending,tets}_colored``'s
+    ordering; needs ``topology_from_mesh(windowed='colored')``).
+    ``approx_math``
     swaps sqrt/divide for rsqrt + approximate reciprocal (opt-in, bench
     regime), as in the lattice kernels.
 
@@ -928,17 +1045,19 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 return relax_ref[kb] > 0.0   # valid-masked relax slab
 
             def bend_sweep():
-                """Windowed bending Jacobi sweep, one-hots synthesized
-                in-registers (module docstring).  Arithmetic matches
-                ``general._solve_bending_windowed`` / ``ops/bending.py``
-                (same guards, omega/max-degree scaling; ``sin`` via
-                ``sqrt(1-cos^2)`` and ``acos`` via ``_acos`` — the only
-                Mosaic-imposed rounding differences)."""
+                """Windowed bending sweep, one-hots synthesized
+                in-registers (module docstring).  JACOBI arithmetic
+                matches ``general._solve_bending_windowed`` /
+                ``ops/bending.py`` (same guards, omega/max-degree scaling;
+                ``sin`` via ``sqrt(1-cos^2)`` and ``acos`` via ``_acos`` —
+                the only Mosaic-imposed rounding differences).  COLORED
+                runs the blocks color-major with corrections applied after
+                each color at full strength (exact parallel GS — the
+                in-kernel twin of ``general._solve_bending_colored``)."""
                 bkn, bsn, bwn = (bplan.n_blocks, bplan.block_hinges,
                                  bplan.window)
 
-                delta[:] = jnp.zeros_like(delta)
-                for kb in range(bkn):
+                def bend_block(kb):
                     b0 = bplan.bases[kb]
                     win = pred[:, b0:b0 + bwn]               # (3, Wb)
                     iota = lax.broadcasted_iota(jnp.int32, (bwn, bsn), 0)
@@ -1018,9 +1137,18 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     delta[:, b0:b0 + bwn] += (
                         scat(ga, oh[0]) + scat(gb, oh[1])
                         + scat(gc, oh[2]) + scat(gdv, oh[3]))
-                # destination-weighted overlap-add (same as distance)
-                for c in range(3):
-                    pred[rows(c)] += w * delta[rows(c)]
+
+                ranges = (bplan.color_ranges
+                          if bplan.color_ranges is not None
+                          else ((0, bkn),))
+                for b_lo, b_hi in ranges:
+                    delta[:] = jnp.zeros_like(delta)
+                    for kb in range(b_lo, b_hi):
+                        bend_block(kb)
+                    # destination-weighted overlap-add (same as distance;
+                    # COLORED: applied after each color — exact GS)
+                    for c in range(3):
+                        pred[rows(c)] += w * delta[rows(c)]
 
             def volume_sweep():
                 """Global volume constraint (``ops/volume.py``): ONE XPBD
@@ -1078,16 +1206,19 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     pred[rows(c)] += w * (dl * delta[rows(c)])
 
             def tet_sweep():
-                """Per-tet volume Jacobi sweep (``ops/tet_volume.py`` math,
-                ``general._solve_tets_jacobi`` semantics): one-hots
-                synthesized in-registers (bending's mechanism), full-
-                -strength projection, per-particle MEAN at apply time via
-                the ``wtd = inv_mass / tet_degree`` plane (mass-splitting —
-                max-degree pre-scaling collapses on centroid-fan hubs)."""
+                """Per-tet volume sweep (``ops/tet_volume.py`` math):
+                one-hots synthesized in-registers (bending's mechanism),
+                full-strength projection.  JACOBI: per-particle MEAN at
+                apply time via the ``wtd = inv_mass / tet_degree`` plane
+                (``general._solve_tets_jacobi`` mass-splitting — max-degree
+                pre-scaling collapses on centroid-fan hubs).  COLORED:
+                blocks run color-major, corrections apply after each color
+                with the plain inverse mass (exact parallel GS — the
+                in-kernel twin of ``general._solve_tets_colored``)."""
                 tkn, tsn, twn = (tplan.n_blocks, tplan.block_tets,
                                  tplan.window)
-                delta[:] = jnp.zeros_like(delta)
-                for kb in range(tkn):
+
+                def tet_block(kb):
                     b0 = tplan.bases[kb]
                     win = pred[:, b0:b0 + twn]               # (3R, Wt)
                     iota = lax.broadcasted_iota(jnp.int32, (twn, tsn), 0)
@@ -1100,8 +1231,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         dot_oh(win, o, (((1,), (0,)), ((), ())),
                                exact=exact_oh, parts=wparts, stack_axis=0)
                         for o in oh)                         # (3R, S)
-                    # padded slots: p0==p1==p2==p3 -> all e's and gradients
-                    # vanish; the denominator guard zeroes dl
+                    # padded slots replicate a real tet; the
+                    # validity-masked relax slab zeroes their dl
                     e1 = p1 - p0
                     e2 = p2 - p0
                     e3 = p3 - p0
@@ -1131,10 +1262,24 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     delta[:, b0:b0 + twn] += (
                         scat(g0, oh[0]) + scat(g1, oh[1])
                         + scat(g2, oh[2]) + scat(g3, oh[3]))
-                # mass-splitting apply: correction_i = (w_i / tet_deg_i) * sum
-                wtd = m["wtd"][:]
-                for c in range(3):
-                    pred[rows(c)] += wtd * delta[rows(c)]
+
+                if tplan.color_ranges is not None:
+                    # exact GS: plain inverse-mass apply after each color
+                    for b_lo, b_hi in tplan.color_ranges:
+                        delta[:] = jnp.zeros_like(delta)
+                        for kb in range(b_lo, b_hi):
+                            tet_block(kb)
+                        for c in range(3):
+                            pred[rows(c)] += w * delta[rows(c)]
+                else:
+                    delta[:] = jnp.zeros_like(delta)
+                    for kb in range(tkn):
+                        tet_block(kb)
+                    # mass-splitting apply:
+                    # correction_i = (w_i / tet_deg_i) * sum
+                    wtd = m["wtd"][:]
+                    for c in range(3):
+                        pred[rows(c)] += wtd * delta[rows(c)]
 
             def contacts():
                 if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
@@ -1398,7 +1543,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         brelax_c = jnp.asarray(bplan.relax)
         bha, bhb, bhc, bhd = (jnp.asarray(bplan.idx_glob[i])
                               for i in range(4))
-        h_real = topo.n_hinges
+        # slots are a (padded) permutation of hinges (multiplier mapping)
+        bslot_c = jnp.asarray(bplan.slot_ids.astype(np.int32))
+        bcslot_c = jnp.asarray(bplan.cslot.astype(np.int32))
     if vplan is not None:
         vidx_c = jnp.asarray(vplan.idx_loc)
     if tplan is not None:
@@ -1408,12 +1555,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         trelax_c = jnp.asarray(tplan.relax)
         tg0, tg1, tg2, tg3 = (jnp.asarray(tplan.idx_glob[i])
                               for i in range(4))
-        torder_c = jnp.asarray(tplan.order)
-        # inverse permutation: plan slot of each original tet
-        tinv = np.empty(tplan.order.shape[0], np.int64)
-        tinv[tplan.order] = np.arange(tplan.order.shape[0])
-        tinv_c = jnp.asarray(tinv.astype(np.int32))
-        t_real = topo.n_tets
+        # slots are a (padded) permutation of tets (multiplier mapping)
+        tslot_c = jnp.asarray(tplan.slot_ids.astype(np.int32))
+        tcslot_c = jnp.asarray(tplan.cslot.astype(np.int32))
         tdeg_c = jnp.asarray(topo.tet_degree)
 
     def to_planes(a):
@@ -1491,12 +1635,9 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         if bplan is not None:
             bkn, bsn = bplan.n_blocks, bplan.block_hinges
             if batched:
-                blam = lam_to_slab(
-                    jnp.pad(state.lambda_bend,
-                            ((0, 0), (0, bkn * bsn - h_real))), bkn, bsn)
+                blam = lam_to_slab(state.lambda_bend[:, bslot_c], bkn, bsn)
             else:
-                blam = jnp.pad(state.lambda_bend,
-                               (0, bkn * bsn - h_real)).reshape(bkn, 1, bsn)
+                blam = state.lambda_bend[bslot_c].reshape(bkn, 1, bsn)
             bwa = state.inv_mass[bha].reshape(bkn, 1, bsn)
             bwb = state.inv_mass[bhb].reshape(bkn, 1, bsn)
             bwc = state.inv_mass[bhc].reshape(bkn, 1, bsn)
@@ -1514,14 +1655,11 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         if tplan is not None:
             tkn, tsn = tplan.n_blocks, tplan.block_tets
             # state multipliers are in original tet order; the plan's slots
-            # are window-sorted -> permute in, un-permute out
+            # are a padded permutation -> permute in, un-permute out
             if batched:
-                tlam = lam_to_slab(
-                    jnp.pad(state.lambda_tet[:, torder_c],
-                            ((0, 0), (0, tkn * tsn - t_real))), tkn, tsn)
+                tlam = lam_to_slab(state.lambda_tet[:, tslot_c], tkn, tsn)
             else:
-                tlam = jnp.pad(state.lambda_tet[torder_c],
-                               (0, tkn * tsn - t_real)).reshape(tkn, 1, tsn)
+                tlam = state.lambda_tet[tslot_c].reshape(tkn, 1, tsn)
             tw0 = state.inv_mass[tg0].reshape(tkn, 1, tsn)
             tw1 = state.inv_mass[tg1].reshape(tkn, 1, tsn)
             tw2 = state.inv_mass[tg2].reshape(tkn, 1, tsn)
@@ -1548,13 +1686,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             if blamo is not None:
                 out = out.replace(lambda_bend=slab_to_lam(
                     blamo, bplan.n_blocks,
-                    bplan.block_hinges)[:, :h_real])
+                    bplan.block_hinges)[:, bcslot_c])
             if vlamo is not None:
                 out = out.replace(lambda_volume=vlamo[:n_b, 0])
             if tlamo is not None:
                 out = out.replace(lambda_tet=slab_to_lam(
                     tlamo, tplan.n_blocks,
-                    tplan.block_tets)[:, tinv_c])
+                    tplan.block_tets)[:, tcslot_c])
         else:
             lam_flat = lamo.reshape(-1)
             out = state.replace(
@@ -1564,13 +1702,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                              else lam_flat[eslot_c]),
             )
             if blamo is not None:
-                out = out.replace(lambda_bend=blamo.reshape(-1)[:h_real])
+                out = out.replace(lambda_bend=blamo.reshape(-1)[bcslot_c])
             if vlamo is not None:
                 out = out.replace(
                     lambda_volume=vlamo[0, 0].reshape(
                         state.lambda_volume.shape))
             if tlamo is not None:
-                out = out.replace(lambda_tet=tlamo.reshape(-1)[tinv_c])
+                out = out.replace(lambda_tet=tlamo.reshape(-1)[tcslot_c])
         if with_ext:
             out = out.replace(ext_force=jnp.zeros_like(state.ext_force))
         return out

@@ -490,22 +490,71 @@ def test_mesh_kernel_colored_clamps():
     assert_close(out_p, out_r)
 
 
-def test_mesh_kernel_colored_rejects_bending_and_plain_topology():
-    pos, topo = colored_topo()
-    with pytest.raises(NotImplementedError, match="COLORED bending"):
-        m = mesh.grid_plane(1.0, 6)
-        _, btopo = build.topology_from_mesh(m, compliance=1e-4,
-                                            bending=True,
-                                            windowed="colored")
-        mesh_pallas.make_mesh_substep_runner(
-            btopo, SolverConfig(solve_mode=SolveMode.COLORED,
-                                enable_bending=True), DT, 2)
+def test_mesh_kernel_colored_rejects_plain_topology():
     # COLORED on a topology without color-contiguous edges is refused
     pos2, topo2 = sphere_topo()
     with pytest.raises(NotImplementedError, match="color-contiguous"):
         mesh_pallas.build_mesh_plan(
             topo2, SolverConfig(solve_mode=SolveMode.COLORED), DT,
             colored=True)
+
+
+@pytest.mark.parametrize("lmode", [LambdaMode.RESET, LambdaMode.DECAY])
+def test_mesh_kernel_colored_bending_matches_engine(lmode):
+    """In-kernel COLORED bending (blocks packed color-major, corrections
+    applied after each color at full strength) vs
+    general._solve_bending_colored.  Tolerance covers the kernel's
+    e-vector/_acos formulation vs the engine's absolute-position
+    ``bending_delta_lambda`` (same class as the Jacobi bend tests)."""
+    m = mesh.icosphere(2)
+    pos2, topo = build.topology_from_mesh(
+        m, compliance=1e-3, bending=True, bend_compliance=1e-3,
+        windowed="colored", block_edges=128)
+    pos = pos2 + np.array([0, 5.0, 0], np.float32)   # contact-free
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.COLORED, lambda_mode=lmode,
+                       lambda_decay=0.98, enable_bending=True,
+                       ground_height=0.0, friction=0.3)
+    st = state_from_topology(topo, pos)
+    out_r = general.make_step(topo, cfg, DT, n_steps=2)(st)
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True)
+        out_p = fn(st)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    dlam = np.abs(np.asarray(out_p.lambda_bend)
+                  - np.asarray(out_r.lambda_bend)).max()
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+    assert dpos < 1e-5, dpos
+    assert dlam < 1e-5, dlam
+    assert out_p.lambda_bend.shape == (topo.n_hinges,)
+
+
+def test_mesh_kernel_colored_bending_pinned():
+    m = mesh.icosphere(2)
+    pos2, topo = build.topology_from_mesh(
+        m, compliance=1e-3, bending=True, bend_compliance=1e-3,
+        windowed="colored", block_edges=128)
+    pos = pos2 + np.array([0, 5.0, 0], np.float32)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.COLORED,
+                       lambda_mode=LambdaMode.RESET, enable_bending=True,
+                       ground_height=0.0, friction=0.3)
+    st = state_from_topology(topo, pos)
+    pins = np.asarray([1, 7])
+    st = st.replace(inv_mass=st.inv_mass.at[pins].set(0.0))
+    out_r = general.make_step(topo, cfg, DT, n_steps=2)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True)(st)
+    np.testing.assert_array_equal(
+        np.asarray(out_p.positions)[pins], np.asarray(pos)[pins])
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    assert dpos < 1e-5, dpos
 
 
 # ---------------------------------------------------------------------------

@@ -435,13 +435,68 @@ def test_mesh_kernel_tets_ensemble_matches_single():
             np.asarray(outb.lambda_tet)[b], np.asarray(out1.lambda_tet))
 
 
-def test_mesh_kernel_rejects_colored_tets():
+def _colored_windowed_tet_setup(res=4, **cfg_kw):
+    """Like _windowed_tet_setup but with color-contiguous edges (the fused
+    mesh kernel's COLORED distance mode requires them)."""
+    pos = L.lattice_points(res) + np.array([0, 1.0, 0])
+    tt = T.fix_orientation(pos, T.cube_lattice_tets(res))
+    pos2, topo = B.build_windowed_topology(
+        pos, T.tet_edges(tt), 1e-4, tets=tt, tet_compliance=1e-6,
+        triangles=T.boundary_faces(tt), colored=True)
+    cfg_kw.setdefault("substeps", 2)
+    cfg_kw.setdefault("iterations", 2)
+    cfg = SolverConfig(damping=0.02, enable_tet_volume=True,
+                       solve_mode=SolveMode.COLORED,
+                       ground_height=0.0, friction=0.3, **cfg_kw)
+    return state_from_topology(topo, pos2), topo, cfg
+
+
+@pytest.mark.parametrize("lmode", [LambdaMode.RESET, LambdaMode.DECAY])
+def test_mesh_kernel_colored_tets_match_engine(lmode):
+    """In-kernel COLORED tets (blocks packed color-major, full-strength
+    projections applied after each color with the plain inverse mass) vs
+    general._solve_tets_colored."""
+    from jax.experimental.pallas import tpu as pltpu
+
     from softbodysimulation_tpu.kernels import mesh_pallas
 
-    st, topo, cfg = _windowed_tet_setup(solve_mode=SolveMode.COLORED)
-    with pytest.raises(NotImplementedError):
-        mesh_pallas.make_mesh_substep_runner(
-            topo, cfg, 1 / 120., 2, block_edges=128)
+    st, topo, cfg = _colored_windowed_tet_setup(lambda_mode=lmode,
+                                                lambda_decay=0.98)
+    n_steps = 3
+    out_r = general.make_step(topo, cfg, 1 / 60., n_steps=n_steps)(st)
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True)
+        out_p = fn(st)
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    dlam = np.abs(np.asarray(out_p.lambda_tet)
+                  - np.asarray(out_r.lambda_tet)).max()
+    assert np.isfinite(np.asarray(out_p.positions)).all()
+    assert dpos < 2e-5, f"kernel/engine colored-tet position mismatch {dpos}"
+    assert dlam < 1e-5, f"kernel/engine colored-tet lambda mismatch {dlam}"
+    assert out_p.lambda_tet.shape == (topo.n_tets,)
+
+
+def test_mesh_kernel_colored_tets_pinned():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    st, topo, cfg = _colored_windowed_tet_setup()
+    pins = np.arange(4)
+    st = st.replace(inv_mass=st.inv_mass.at[pins].set(0.0))
+    out_r = general.make_step(topo, cfg, 1 / 60., n_steps=2)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True)(st)
+    np.testing.assert_array_equal(
+        np.asarray(out_p.positions)[pins], np.asarray(st.positions)[pins])
+    dpos = np.abs(np.asarray(out_p.positions)
+                  - np.asarray(out_r.positions)).max()
+    assert dpos < 2e-5, dpos
 
 
 # -------------------------------------------------- stencil lattice twin
