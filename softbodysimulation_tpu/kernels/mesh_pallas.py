@@ -505,7 +505,8 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
                     block_hinges: int = 256,
                     synth_gd: Optional[bool] = None,
                     colored: bool = False,
-                    n_bodies: int = 1) -> MeshKernelPlan:
+                    n_bodies: int = 1,
+                    per_body_mass: bool = False) -> MeshKernelPlan:
     """Build the blocked signed-one-hot structure from a topology whose
     particles are RCM-renumbered and whose edges are sorted by min endpoint
     (``topology/build.build_windowed_topology`` produces exactly this).
@@ -711,6 +712,18 @@ def build_mesh_plan(topo: Topology, cfg: SolverConfig, dt_sub: float,
            + 2 * tet.n_blocks * tet.block_tets * 4 * (r_rows - 1)
            + 4 * tet.window * tet.block_tets * 2        # transient one-hots
            + n_pad * 4))                                # wtd plane
+    if per_body_mass and r_rows > 1:
+        # heterogeneous farms: the mass-derived dynamic slabs gain a body
+        # axis too (di/act/wlim per edge; bwa..bwd+bany per hinge;
+        # tw0..tw3 per tet; w and wtd planes)
+        base_bytes += int(
+            3 * k * s * 4 * (r_rows - 1)
+            + (0 if bend is None else
+               5 * bend.n_blocks * bend.block_hinges * 4 * (r_rows - 1))
+            + (0 if tet is None else
+               4 * tet.n_blocks * tet.block_tets * 4 * (r_rows - 1)
+               + n_pad * 4 * (r_rows - 1))
+            + n_pad * 4 * (r_rows - 1))
     resident_bytes = base_bytes + 2 * k * w * s * 2      # gd + gs (bf16)
     # synthesized: only the int32 index slab is resident; per sweep one
     # block's matrix plus its compare temporaries are live (~4 W x S bf16)
@@ -774,7 +787,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                              plan: Optional[MeshKernelPlan] = None,
                              synth_gd: Optional[bool] = None,
                              n_bodies: int = 1,
-                             batched: Optional[bool] = None):
+                             batched: Optional[bool] = None,
+                             per_body_mass: bool = False):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
     raw substeps of the general-mesh XPBD loop in ONE fused kernel
     (``with_ext=True`` adds the reference force lifecycle: ``ext_force``
@@ -799,11 +813,14 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     on the other axis).  The returned fn then takes/returns a SimState of
     BATCHED leaves: positions/velocities/ext_force ``(B, n, 3)``,
     lambda_dist ``(B, e)``, lambda_bend ``(B, h)``; ``inv_mass``/pinning
-    stays a shared ``(n,)`` (the replicated-farm workload — per-body masses
-    need the vmapped XLA backend).  Equivalent to ``jax.vmap`` of the
-    single-body semantics (tested in tests/test_mesh_pallas.py).
-    ``batched=True`` forces the batched state contract even at
-    ``n_bodies=1`` (a one-body-per-chip shard of a sharded farm)."""
+    is a shared ``(n,)`` by default (the replicated-farm workload), or —
+    with ``per_body_mass=True`` — a per-body ``(B, n)`` leaf
+    (HETEROGENEOUS farms: per-body masses and pins; every mass-derived
+    slab gains a body axis, so the VMEM budget grows accordingly).
+    Equivalent to ``jax.vmap`` of the single-body semantics (tested in
+    tests/test_mesh_pallas.py).  ``batched=True`` forces the batched state
+    contract even at ``n_bodies=1`` (a one-body-per-chip shard of a
+    sharded farm)."""
     _check_supported(cfg, topo)
     if n_bodies < 1:
         raise ValueError("n_bodies must be >= 1")
@@ -811,6 +828,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         batched = n_bodies > 1
     elif not batched and n_bodies > 1:
         raise ValueError("n_bodies > 1 requires the batched contract")
+    if per_body_mass and not batched:
+        raise ValueError("per_body_mass requires the batched contract")
     n_b = n_bodies
     # pad the body axis to the 8-sublane f32 register tile so every row
     # group slice is tile-aligned (padded bodies simulate zeros, sliced off)
@@ -820,7 +839,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     if plan is None:
         plan = build_mesh_plan(topo, cfg, dt_sub, block_edges=block_edges,
                                synth_gd=synth_gd, colored=colored,
-                               n_bodies=n_bodies)
+                               n_bodies=n_bodies,
+                               per_body_mass=per_body_mass)
     if colored and plan.color_ranges is None:
         raise NotImplementedError(
             "mesh kernel COLORED solve needs a plan built with "
@@ -1603,25 +1623,37 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 lam = jnp.pad(state.lambda_dist,
                               (0, k_blocks * s_edges - e_real)
                               ).reshape(k_blocks, 1, s_edges)
-        w = jnp.pad(state.inv_mass[None, :], ((0, 0), (0, n_pad - n)))
+        if per_body_mass:
+            # heterogeneous farm: (B, n) masses -> (R, n_pad) plane
+            # (padded bodies get w = 0: fully pinned, rows sliced off)
+            w = jnp.pad(state.inv_mass,
+                        ((0, R - n_b), (0, n_pad - n)))
+        else:
+            w = jnp.pad(state.inv_mass[None, :], ((0, 0), (0, n_pad - n)))
+
+        def wsel(idx, kb, sb):
+            """Endpoint inverse-mass slab from a flat (kb*sb,) global index
+            array: (kb, 1, sb) shared across bodies, (kb, R, sb) when
+            per-body (the mass-derived slabs gain the body axis)."""
+            if per_body_mass:
+                return lam_to_slab(state.inv_mass[:, idx], kb, sb)
+            return state.inv_mass[idx].reshape(kb, 1, sb)
+
         # per-call slabs (inv_mass is dynamic state: SetPinned)
-        wa = state.inv_mass[ea_c]
-        wb = state.inv_mass[eb_c]
-        denom = wa + wb + jnp.asarray(plan.alpha).reshape(-1)
-        denom_inv = (1.0 / jnp.maximum(denom, 1e-30)
-                     ).reshape(k_blocks, 1, s_edges)
-        act = (valid_c.reshape(-1) *
-               ((jnp.abs(denom) >= cfg.eps_denominator)
-                & ((wa >= cfg.static_inv_mass_eps)
-                   | (wb >= cfg.static_inv_mass_eps))).astype(jnp.float32)
-               ).reshape(k_blocks, 1, s_edges)
+        wa = wsel(ea_c, k_blocks, s_edges)
+        wb = wsel(eb_c, k_blocks, s_edges)
+        denom = wa + wb + jnp.asarray(plan.alpha)
+        denom_inv = 1.0 / jnp.maximum(denom, 1e-30)
+        act = (valid_c
+               * ((jnp.abs(denom) >= cfg.eps_denominator)
+                  & ((wa >= cfg.static_inv_mass_eps)
+                     | (wb >= cfg.static_inv_mass_eps))
+                  ).astype(jnp.float32))
         if cfg.warm_start_clamp > 0:
             wmax = jnp.maximum(jnp.maximum(wa, wb), 1e-12)
-            wlim = (cfg.warm_start_clamp
-                    * jnp.asarray(plan.rest).reshape(-1) / wmax
-                    ).reshape(k_blocks, 1, s_edges)
+            wlim = cfg.warm_start_clamp * jnp.asarray(plan.rest) / wmax
         else:
-            wlim = jnp.zeros((k_blocks, 1, s_edges), jnp.float32)
+            wlim = jnp.zeros_like(denom)
 
         args = ([x, v, w, lam, denom_inv, act, wlim]
                 + ([didx_c] if plan.synth else [gd_c, gs_c])
@@ -1638,10 +1670,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 blam = lam_to_slab(state.lambda_bend[:, bslot_c], bkn, bsn)
             else:
                 blam = state.lambda_bend[bslot_c].reshape(bkn, 1, bsn)
-            bwa = state.inv_mass[bha].reshape(bkn, 1, bsn)
-            bwb = state.inv_mass[bhb].reshape(bkn, 1, bsn)
-            bwc = state.inv_mass[bhc].reshape(bkn, 1, bsn)
-            bwd = state.inv_mass[bhd].reshape(bkn, 1, bsn)
+            bwa = wsel(bha, bkn, bsn)
+            bwb = wsel(bhb, bkn, bsn)
+            bwc = wsel(bhc, bkn, bsn)
+            bwd = wsel(bhd, bkn, bsn)
             eps = cfg.static_inv_mass_eps
             bany = ((bwa >= eps) | (bwb >= eps) | (bwc >= eps)
                     | (bwd >= eps)).astype(jnp.float32)
@@ -1660,13 +1692,18 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 tlam = lam_to_slab(state.lambda_tet[:, tslot_c], tkn, tsn)
             else:
                 tlam = state.lambda_tet[tslot_c].reshape(tkn, 1, tsn)
-            tw0 = state.inv_mass[tg0].reshape(tkn, 1, tsn)
-            tw1 = state.inv_mass[tg1].reshape(tkn, 1, tsn)
-            tw2 = state.inv_mass[tg2].reshape(tkn, 1, tsn)
-            tw3 = state.inv_mass[tg3].reshape(tkn, 1, tsn)
-            wtd = jnp.pad((state.inv_mass
-                           / jnp.maximum(tdeg_c, 1.0))[None, :],
-                          ((0, 0), (0, n_pad - n)))
+            tw0 = wsel(tg0, tkn, tsn)
+            tw1 = wsel(tg1, tkn, tsn)
+            tw2 = wsel(tg2, tkn, tsn)
+            tw3 = wsel(tg3, tkn, tsn)
+            if per_body_mass:
+                wtd = jnp.pad(
+                    state.inv_mass / jnp.maximum(tdeg_c, 1.0)[None, :],
+                    ((0, R - n_b), (0, n_pad - n)))
+            else:
+                wtd = jnp.pad((state.inv_mass
+                               / jnp.maximum(tdeg_c, 1.0))[None, :],
+                              ((0, 0), (0, n_pad - n)))
             args += [tlam, tidx_c, trest_c, talpha_c, trelax_c,
                      tw0, tw1, tw2, tw3, wtd]
         res = list(call(*args))

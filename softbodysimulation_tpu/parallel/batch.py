@@ -128,6 +128,7 @@ def make_sharded_pallas_rollout(spec, cfg: SolverConfig, dt_sub: float,
 def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
                                      n_substeps: int, mesh: Mesh,
                                      n_bodies: int, axis: str = "dp",
+                                     per_body_mass: bool = False,
                                      **kernel_kw):
     """DP over chips x the fused ENSEMBLE mesh kernel per shard (the mesh
     twin of ``make_sharded_pallas_rollout``).
@@ -136,11 +137,12 @@ def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
     n_bodies=B_local)`` on its contiguous slab of bodies — the whole
     multi-chip bunny/cloth farm advances in ONE fused kernel per chip with
     zero hot-loop collectives.  The batched state's body leaves split on
-    the mesh; ``inv_mass`` stays the shared (n,) leaf the ensemble kernel
-    requires (replicated input).  ``n_bodies`` is the GLOBAL body count
-    and must divide by the mesh size; note the kernel pads each shard's
-    local batch to the 8-row sublane tile, so B_local >= 8 per chip wastes
-    nothing."""
+    the mesh; ``inv_mass`` is the shared (n,) leaf by default (replicated
+    input), or — with ``per_body_mass=True`` — a per-body (B, n) leaf
+    that shards with the bodies (heterogeneous farms: per-body masses and
+    pins).  ``n_bodies`` is the GLOBAL body count and must divide by the
+    mesh size; note the kernel pads each shard's local batch to the 8-row
+    sublane tile, so B_local >= 8 per chip wastes nothing."""
     from jax.experimental.shard_map import shard_map
 
     from ..kernels import mesh_pallas as _mp
@@ -151,7 +153,8 @@ def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
                          f"{n_shards}-device mesh")
     local = _mp.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, with_ext=True,
-        n_bodies=n_bodies // n_shards, batched=True, **kernel_kw)
+        n_bodies=n_bodies // n_shards, batched=True,
+        per_body_mass=per_body_mass, **kernel_kw)
     has_tets = cfg.enable_tet_volume and topo.n_tets > 0
 
     def local_arrays(pos, vel, ext, lam, lamb, w, *rest):
@@ -165,9 +168,10 @@ def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
                 + ((out.lambda_tet,) if has_tets else ()))
 
     n_out = 6 if has_tets else 5
+    w_spec = P(axis) if per_body_mass else P()
     fn = shard_map(local_arrays, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                             P()) + ((P(axis),) if has_tets else ()),
+                             w_spec) + ((P(axis),) if has_tets else ()),
                    out_specs=(P(axis),) * n_out,
                    check_rep=False)
 

@@ -635,6 +635,60 @@ def test_mesh_ensemble_matches_per_body_engine():
     assert out.positions.shape == (3,) + tuple(refs[0].positions.shape)
 
 
+def test_mesh_ensemble_per_body_mass():
+    """``per_body_mass=True``: heterogeneous farms — each body carries its
+    OWN inverse masses and pins as a (B, n) leaf.  Every ensemble row must
+    match its own single-body kernel run BITWISE (the mass-derived slabs
+    gain a body axis but stay row-independent) and its own general-engine
+    rollout to the usual tolerance."""
+    cfg = SolverConfig(substeps=2, iterations=3, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.DECAY, lambda_decay=0.98,
+                       jacobi_rho=0.9, distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    pos, topo = sphere_topo()
+    states = _make_body_states(pos, topo, 3, pins=())
+    for b in range(3):
+        im = np.asarray(states[b].inv_mass) * np.float32(0.5 + 0.5 * b)
+        im[b] = 0.0   # a different pinned particle per body
+        states[b] = states[b].replace(inv_mass=im)
+    batched = _batch(states).replace(
+        inv_mass=np.stack([np.asarray(s.inv_mass) for s in states]))
+    n_steps = 2
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=n_steps)
+    refs = [ref_fn(s) for s in states]
+    with pltpu.force_tpu_interpret_mode():
+        fb = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=3,
+            per_body_mass=True)
+        outb = fb(batched)
+        f1 = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True)
+        singles = [f1(s) for s in states]
+    _assert_bodies_close(outb, refs)
+    for b in range(3):
+        # the body's own pin held
+        np.testing.assert_array_equal(
+            np.asarray(outb.positions[b])[b],
+            np.asarray(states[b].positions)[b])
+        np.testing.assert_array_equal(
+            np.asarray(outb.positions[b]),
+            np.asarray(singles[b].positions))
+        np.testing.assert_array_equal(
+            np.asarray(outb.lambda_dist[b]),
+            np.asarray(singles[b].lambda_dist))
+
+
+def test_mesh_ensemble_per_body_mass_requires_batched():
+    pos, topo = sphere_topo()
+    with pytest.raises(ValueError, match="per_body_mass"):
+        mesh_pallas.make_mesh_substep_runner(
+            topo, SolverConfig(distance_backend="windowed"), DT, 2,
+            per_body_mass=True)
+
+
 def test_mesh_ensemble_matches_single_body_kernel_bitwise():
     """Each ensemble row must be the SAME arithmetic as the single-body
     kernel: identical MXU contractions on stacked rows (padded bodies

@@ -435,6 +435,49 @@ def test_mesh_kernel_tets_ensemble_matches_single():
             np.asarray(outb.lambda_tet)[b], np.asarray(out1.lambda_tet))
 
 
+def test_mesh_kernel_tets_ensemble_per_body_mass():
+    """Heterogeneous tet farm (``per_body_mass=True``): per-body masses
+    flow through the tet denominators and the mass-splitting wtd plane;
+    each row must equal its own single-body kernel run bitwise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    st, topo, cfg = _windowed_tet_setup(res=3)
+    nb = 2
+    states = []
+    for b in range(nb):
+        im = np.asarray(st.inv_mass) * np.float32(1.0 + b)
+        im[b] = 0.0
+        states.append(st.replace(inv_mass=im))
+    batched = st.replace(
+        positions=jnp.stack([st.positions] * nb),
+        velocities=jnp.stack([st.velocities] * nb),
+        ext_force=jnp.stack([st.ext_force] * nb),
+        lambda_dist=jnp.stack([st.lambda_dist] * nb),
+        lambda_bend=jnp.stack([st.lambda_bend] * nb),
+        lambda_tet=jnp.stack([st.lambda_tet] * nb),
+        inv_mass=jnp.stack([s.inv_mass for s in states]),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        f1 = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True)
+        fb = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, (1 / 60.) / cfg.substeps, 2 * cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=nb,
+            per_body_mass=True)
+        singles = [f1(s) for s in states]
+        outb = fb(batched)
+    for b in range(nb):
+        np.testing.assert_array_equal(
+            np.asarray(outb.positions)[b],
+            np.asarray(singles[b].positions))
+        np.testing.assert_array_equal(
+            np.asarray(outb.lambda_tet)[b],
+            np.asarray(singles[b].lambda_tet))
+
+
 def _colored_windowed_tet_setup(res=4, **cfg_kw):
     """Like _windowed_tet_setup but with color-contiguous edges (the fused
     mesh kernel's COLORED distance mode requires them)."""
