@@ -90,3 +90,34 @@ def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
         return out
 
     return pair_with_vjp(pal, ref)
+
+
+def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,
+                                             n_substeps: int,
+                                             n_bodies: int, **pallas_kw):
+    """Differentiable HETEROGENEOUS mesh farm: fused ensemble kernel
+    forward (``per_body_mass=True`` — ``inv_mass`` is a per-body (B, n)
+    leaf; replicate it for homogeneous farms), vmapped general-engine
+    backward.  Gradients flow to every batched leaf INCLUDING the
+    per-body masses — the system-identification workload: fit per-instance
+    masses/pins against observations with the fused kernel carrying the
+    many forward evaluations."""
+    from ..solvers import general
+    from . import mesh_pallas
+
+    from jax import lax
+
+    pal = mesh_pallas.make_mesh_substep_runner(
+        topo, cfg, dt_sub, n_substeps, n_bodies=n_bodies, batched=True,
+        per_body_mass=True, **pallas_kw)
+
+    def one(state: SimState) -> SimState:
+        def body(carry, _):
+            return general._substep(carry, topo, cfg, dt_sub,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, state, None, length=n_substeps)
+        return out
+
+    ref = jax.jit(jax.vmap(one))
+    return pair_with_vjp(pal, ref)

@@ -14,6 +14,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.config import SolverConfig
+import jax
+
+
+@jax.custom_jvp
+def _safe_arccos(x):
+    """arccos with a bitwise-identical primal but a clamped derivative.
+
+    d/dx arccos = -1/sqrt(1-x^2) is inf at |x| = 1 (a FLAT hinge — the
+    rest state of any planar mesh), and a zero cotangent times that inf is
+    NaN, poisoning every gradient downstream.  Clamping 1-x^2 to 1e-12
+    (sin >= 1e-6) only perturbs lanes that ``bend_skip_sin_eps`` (1e-5)
+    already marks invalid — so gradients stay exact wherever they are used.
+    """
+    return jnp.arccos(x)
+
+
+@_safe_arccos.defjvp
+def _safe_arccos_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    d = -1.0 / jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    return jnp.arccos(x), d * t
 
 
 def bending_delta_lambda(pa, pb, pc, pd, wa, wb, wc, wd, rest_angle,
@@ -44,7 +65,7 @@ def bending_delta_lambda_rel(e0, e1, e2, wa, wb, wc, wd, rest_angle,
     n2n = n2 / l2[..., None]
 
     cos = jnp.clip(jnp.sum(n1n * n2n, axis=-1), -1.0, 1.0)
-    angle = jnp.arccos(cos)
+    angle = _safe_arccos(cos)
     c = angle - rest_angle
     sin = jnp.sin(angle)
 
@@ -78,15 +99,18 @@ def bending_delta_lambda_rel(e0, e1, e2, wa, wb, wc, wd, rest_angle,
          + wc * jnp.sum(grad_c * grad_c, axis=-1)
          + wd * jnp.sum(grad_d * grad_d, axis=-1))
     denom = s + alpha
-    dl = (-c - alpha * lam) / jnp.maximum(denom, 1e-30)
-    if cfg.max_dlambda > 0:
-        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
 
     any_dynamic = (
         (wa >= cfg.static_inv_mass_eps) | (wb >= cfg.static_inv_mass_eps)
         | (wc >= cfg.static_inv_mass_eps) | (wd >= cfg.static_inv_mass_eps)
     )
     valid = geom_ok & sin_ok & (denom >= 1e-9) & any_dynamic
+    # Safe-where divisor: forward-bitwise-equal to maximum(denom, 1e-30) on
+    # valid lanes (denom >= 1e-9 there); keeps the division VJP finite on
+    # zero-padded window slots (see ops/distance.py for the failure mode).
+    dl = (-c - alpha * lam) / jnp.where(valid, denom, 1.0)
+    if cfg.max_dlambda > 0:
+        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
     dl = jnp.where(valid, dl, 0.0)
     zero = jnp.zeros_like(grad_a)
     vmask = valid[..., None]

@@ -21,9 +21,11 @@ def floor_project_xpbd(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
     pen = gh - pred[:, 1]                       # >0 when below ground
     alpha = cfg.collision_compliance / (dt * dt)
     denom = inv_mass + alpha
-    dl = pen / jnp.maximum(denom, 1e-30)
     active = (pen > 0) & (inv_mass >= cfg.static_inv_mass_eps) \
         & (jnp.abs(denom) >= cfg.eps_denominator)
+    # safe-where divisor: finite VJP on pinned particles with zero
+    # collision compliance (forward-bitwise-equal on active lanes)
+    dl = pen / jnp.where(active, denom, 1.0)
     dy = jnp.where(active, inv_mass * dl, 0.0)
     pred = pred.at[:, 1].add(dy)
 

@@ -32,18 +32,22 @@ def distance_delta_lambda(pa, pb, wa, wb, rest, compliance, lam, dt,
         alpha = jnp.maximum(alpha, cfg.min_alpha_tilde)
     denom = wa + wb + alpha
 
-    dl = (-c - alpha * lam) / jnp.maximum(denom, 1e-30)
-    if cfg.max_dlambda > 0:
-        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
-    if cfg.max_dlambda_rel > 0:
-        m = cfg.max_dlambda_rel * rest
-        dl = jnp.clip(dl, -m, m)
-
     valid = (
         (length >= cfg.eps_length)
         & (jnp.abs(denom) >= cfg.eps_denominator)
         & ((wa >= cfg.static_inv_mass_eps) | (wb >= cfg.static_inv_mass_eps))
     )
+    # Safe-where double guard: valid lanes divide by denom (>= eps >> 1e-30,
+    # so forward-bitwise-equal to the old maximum(denom, 1e-30) divisor);
+    # invalid lanes (e.g. the windowed backend's zero-padded slots) divide by
+    # 1.0 so the division VJP stays finite — max(0, 1e-30)**2 underflows f32
+    # and the cotangent-zero x inf-primal-derivative product was NaN.
+    dl = (-c - alpha * lam) / jnp.where(valid, denom, 1.0)
+    if cfg.max_dlambda > 0:
+        dl = jnp.clip(dl, -cfg.max_dlambda, cfg.max_dlambda)
+    if cfg.max_dlambda_rel > 0:
+        m = cfg.max_dlambda_rel * rest
+        dl = jnp.clip(dl, -m, m)
     dl = jnp.where(valid, dl, 0.0)
     return dl, n
 

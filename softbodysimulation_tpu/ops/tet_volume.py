@@ -65,10 +65,13 @@ def tet_delta_lambda_rel(e1, e2, e3, w0, w1, w2, w3, rest_vol6,
              + w2 * jnp.einsum("...i,...i->...", g2, g2)
              + w3 * jnp.einsum("...i,...i->...", g3, g3)
              + alpha)
-    dl = (-c - alpha * lam) / jnp.maximum(denom, 1e-30)
     # degenerate tet (all gradients ~0, e.g. fully collapsed) or all-pinned:
-    # skip, mirroring the distance solver's denominator guard
-    dl = jnp.where(denom > cfg.eps_denominator, dl, 0.0)
+    # skip, mirroring the distance solver's denominator guard.  Safe-where
+    # divisor keeps the division VJP finite on skipped/padded lanes
+    # (forward-bitwise-equal to maximum(denom, 1e-30) on valid lanes).
+    valid = denom > cfg.eps_denominator
+    dl = (-c - alpha * lam) / jnp.where(valid, denom, 1.0)
+    dl = jnp.where(valid, dl, 0.0)
     return dl, g0, g1, g2, g3
 
 

@@ -51,7 +51,10 @@ def volume_project(pred, inv_mass, triangles, rest_volume, lam, dt,
     s = jnp.sum(inv_mass * jnp.sum(grads * grads, axis=-1))
     alpha = cfg.volume_compliance / (dt * dt)
     denom = s + alpha
-    dl = (-c - alpha * lam) / jnp.maximum(denom, 1e-30)
-    dl = jnp.where(denom > 1e-12, dl, 0.0)
+    valid = denom > 1e-12
+    # safe-where divisor: finite VJP when the body is fully pinned
+    # (forward-bitwise-equal to maximum(denom, 1e-30) on valid lanes)
+    dl = (-c - alpha * lam) / jnp.where(valid, denom, 1.0)
+    dl = jnp.where(valid, dl, 0.0)
     pred = pred + w * dl * grads
     return pred, lam + dl
