@@ -26,6 +26,7 @@ what optimisation loops (many forward evaluations per gradient) want.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..core.state import SimState
 
@@ -45,6 +46,29 @@ def pair_with_vjp(kernel_fn, xla_fn):
 
     def bwd(state: SimState, ct):
         _, vjp = jax.vjp(xla_fn, state)
+        return vjp(ct)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+def pair_with_vjp_params(kernel_fn, xla_fn):
+    """``pair_with_vjp`` for runners that take a second differentiable
+    argument (a params pytree, e.g. materials): forward runs
+    ``kernel_fn(state, params)``, reverse-mode flows through
+    ``xla_fn(state, params)``'s VJP — cotangents reach BOTH the state
+    leaves and the params leaves."""
+
+    @jax.custom_vjp
+    def run(state: SimState, params):
+        return kernel_fn(state, params)
+
+    def fwd(state: SimState, params):
+        return kernel_fn(state, params), (state, params)
+
+    def bwd(res, ct):
+        state, params = res
+        _, vjp = jax.vjp(xla_fn, state, params)
         return vjp(ct)
 
     run.defvjp(fwd, bwd)
@@ -90,6 +114,47 @@ def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
         return out
 
     return pair_with_vjp(pal, ref)
+
+
+def make_differentiable_material_runner(topo, cfg, dt_sub: float,
+                                        n_substeps: int, **pallas_kw):
+    """Differentiable-in-MATERIALS mesh rollout: returns
+    ``fn(state, materials) -> SimState`` with
+    ``materials = {"rest_lengths": (E,), "compliance": (E,)}`` (topo edge
+    order).  Forward runs the fused mesh kernel with the material slabs
+    rebuilt from the traced vectors; backward differentiates the XLA
+    general engine at ``topo.replace(rest_lengths=..., compliance=...)``
+    — gradients reach the state leaves AND both material vectors.  The
+    material-fitting workload (estimate stiffness / rest shape from
+    observed trajectories) with the fused kernel carrying the many
+    forward evaluations; the reference has no analog (its solver is not
+    differentiable at all)."""
+    from ..solvers import general
+    from . import mesh_pallas
+
+    from jax import lax
+
+    pal = mesh_pallas.make_mesh_substep_runner(
+        topo, cfg, dt_sub, n_substeps, **pallas_kw)
+
+    def pal_p(state: SimState, materials) -> SimState:
+        return pal(state, materials)
+
+    @jax.jit
+    def ref(state: SimState, materials) -> SimState:
+        t2 = topo.replace(
+            rest_lengths=jnp.asarray(materials["rest_lengths"],
+                                     jnp.float32),
+            compliance=jnp.asarray(materials["compliance"], jnp.float32))
+
+        def body(carry, _):
+            return general._substep(carry, t2, cfg, dt_sub,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, state, None, length=n_substeps)
+        return out
+
+    return pair_with_vjp_params(pal_p, ref)
 
 
 def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,

@@ -820,7 +820,17 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     Equivalent to ``jax.vmap`` of the single-body semantics (tested in
     tests/test_mesh_pallas.py).  ``batched=True`` forces the batched state
     contract even at ``n_bodies=1`` (a one-body-per-chip shard of a
-    sharded farm)."""
+    sharded farm).
+
+    The returned fn also accepts an optional second argument
+    ``materials = {"rest_lengths": (E,), "compliance": (E,)}`` (topo edge
+    order, shared across ensemble bodies): the distance-material slabs are
+    then rebuilt from these TRACED vectors per call instead of the
+    plan's baked constants — same padding/floors, so passing the
+    topology's own values reproduces the static path exactly.  This is
+    what lets ``kernels.diff.make_differentiable_material_runner``
+    differentiate rollouts w.r.t. rest lengths and compliance (material
+    system identification) while keeping the fused-kernel primal."""
     _check_supported(cfg, topo)
     if n_bodies < 1:
         raise ValueError("n_bodies must be >= 1")
@@ -1599,8 +1609,46 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         """(kb, R, sb) -> (B, kb*sb)."""
         return slab.transpose(1, 0, 2)[:n_b].reshape(n_b, kb * sb)
 
+    def material_slabs(materials):
+        """Traced twin of ``build_mesh_plan``'s distance-material slab
+        construction: same padding (rest 1.0 / compliance 0.0 on dead
+        slots; colored packing replicates via ``slot_ids``), same
+        ``min_alpha_tilde`` floor and ``max_dlambda*`` bound — so a call
+        with ``materials == (topo.rest_lengths, topo.compliance)``
+        reproduces the static plan's operands exactly, while tracing keeps
+        rest/compliance differentiable (system identification)."""
+        rest_v = jnp.asarray(materials["rest_lengths"], jnp.float32)
+        comp_v = jnp.asarray(materials["compliance"], jnp.float32)
+        if slot_c is not None:
+            rest_flat = rest_v[slot_c]
+            comp_flat = comp_v[slot_c]
+        else:
+            epad = k_blocks * s_edges
+            rest_flat = jnp.concatenate(
+                [rest_v, jnp.ones(epad - e_real, jnp.float32)])
+            comp_flat = jnp.concatenate(
+                [comp_v, jnp.zeros(epad - e_real, jnp.float32)])
+        alpha_flat = comp_flat * inv_dt2
+        if cfg.min_alpha_tilde > 0:
+            alpha_flat = jnp.maximum(alpha_flat, cfg.min_alpha_tilde)
+        rest_s = rest_flat.reshape(k_blocks, 1, s_edges)
+        alpha_s = alpha_flat.reshape(k_blocks, 1, s_edges)
+        bound_s = None
+        if bound_c is not None:
+            b = jnp.full(rest_flat.shape, jnp.inf, jnp.float32)
+            if cfg.max_dlambda > 0:
+                b = jnp.minimum(b, cfg.max_dlambda)
+            if cfg.max_dlambda_rel > 0:
+                b = jnp.minimum(b, cfg.max_dlambda_rel * rest_flat)
+            bound_s = b.reshape(k_blocks, 1, s_edges)
+        return rest_s, alpha_s, bound_s
+
     @jax.jit
-    def fn(state: SimState) -> SimState:
+    def fn(state: SimState, materials=None) -> SimState:
+        if materials is None:
+            rest_s, alpha_s, bound_s = rest_c, alpha_c, bound_c
+        else:
+            rest_s, alpha_s, bound_s = material_slabs(materials)
         if batched:
             x = to_planes(state.positions)
             v = to_planes(state.velocities)
@@ -1642,7 +1690,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         # per-call slabs (inv_mass is dynamic state: SetPinned)
         wa = wsel(ea_c, k_blocks, s_edges)
         wb = wsel(eb_c, k_blocks, s_edges)
-        denom = wa + wb + jnp.asarray(plan.alpha)
+        denom = wa + wb + alpha_s
         denom_inv = 1.0 / jnp.maximum(denom, 1e-30)
         act = (valid_c
                * ((jnp.abs(denom) >= cfg.eps_denominator)
@@ -1651,15 +1699,15 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                   ).astype(jnp.float32))
         if cfg.warm_start_clamp > 0:
             wmax = jnp.maximum(jnp.maximum(wa, wb), 1e-12)
-            wlim = cfg.warm_start_clamp * jnp.asarray(plan.rest) / wmax
+            wlim = cfg.warm_start_clamp * rest_s / wmax
         else:
             wlim = jnp.zeros_like(denom)
 
         args = ([x, v, w, lam, denom_inv, act, wlim]
                 + ([didx_c] if plan.synth else [gd_c, gs_c])
-                + [rest_c, alpha_c, relax_c, warm_c])
+                + [rest_s, alpha_s, relax_c, warm_c])
         if bound_c is not None:
-            args.append(bound_c)
+            args.append(bound_s)
         if with_ext:
             args.append(to_planes(state.ext_force) if batched
                         else jnp.pad(state.ext_force.T,

@@ -180,3 +180,107 @@ def test_mesh_ensemble_diff_runner_mass_grads_match_engine():
     assert np.abs(np.asarray(grad_r)).max() > 1e-4  # non-trivial
     # the two bodies' mass gradients differ (heterogeneous dynamics)
     assert np.abs(np.asarray(grad_r)[0] - np.asarray(grad_r)[1]).max() > 1e-6
+
+
+def _mat_setup():
+    m = mesh.icosphere(1)
+    pos, topo = build.build_windowed_topology(
+        m.vertices, unique_edges(m.triangles), 1e-4, triangles=m.triangles)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.01,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       distance_backend="windowed",
+                       ground_height=-2.0)
+    st = state_from_topology(topo, pos + np.array([0, 0.5, 0], np.float32))
+    return topo, cfg, st
+
+
+def test_mesh_traced_materials_match_static_plan():
+    """Passing the topology's own rest/compliance as traced materials must
+    reproduce the static-plan kernel bitwise (same padding, same
+    min_alpha_tilde floor, same max_dlambda_rel bound)."""
+    from softbodysimulation_tpu.kernels import mesh_pallas
+    topo, cfg, st = _mat_setup()
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(topo, cfg, DT_SUB, 4,
+                                                  block_edges=128)
+        out_static = fn(st)
+        out_traced = fn(st, {"rest_lengths": topo.rest_lengths,
+                             "compliance": topo.compliance})
+    np.testing.assert_array_equal(np.asarray(out_static.positions),
+                                  np.asarray(out_traced.positions))
+    np.testing.assert_array_equal(np.asarray(out_static.lambda_dist),
+                                  np.asarray(out_traced.lambda_dist))
+
+
+def test_material_grads_match_engine():
+    """System identification over MATERIALS: gradients of a rollout loss
+    w.r.t. rest_lengths and compliance through the fused-kernel runner must
+    match differentiating the XLA engine at topo.replace(...)."""
+    from jax import lax
+    topo, cfg, st = _mat_setup()
+    n_sub = 4
+    mats0 = {"rest_lengths": topo.rest_lengths * 1.05,
+             "compliance": topo.compliance * 2.0}
+
+    def loss_ref(mats):
+        t2 = topo.replace(rest_lengths=mats["rest_lengths"],
+                          compliance=mats["compliance"])
+
+        def body(carry, _):
+            return general._substep(carry, t2, cfg, DT_SUB,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, st, None, length=n_sub)
+        return jnp.sum(out.positions ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = kdiff.make_differentiable_material_runner(
+            topo, cfg, DT_SUB, n_sub, block_edges=128)
+
+        def loss_pal(mats):
+            return jnp.sum(fused(st, mats).positions ** 2)
+
+        val_p, grad_p = jax.value_and_grad(loss_pal)(mats0)
+    val_r, grad_r = jax.value_and_grad(loss_ref)(mats0)
+    assert abs(float(val_p) - float(val_r)) / abs(float(val_r)) < 1e-4
+    for k in ("rest_lengths", "compliance"):
+        gp, gr = np.asarray(grad_p[k]), np.asarray(grad_r[k])
+        assert np.isfinite(gr).all(), k
+        np.testing.assert_allclose(gp, gr, rtol=1e-4, atol=1e-7, err_msg=k)
+    assert np.abs(np.asarray(grad_r["rest_lengths"])).max() > 1e-3
+
+
+def test_material_fit_descends():
+    """Three gradient steps on perturbed rest lengths move the loss down —
+    the material-fitting loop runs end-to-end on the paired runner."""
+    topo, cfg, st = _mat_setup()
+    target_rest = topo.rest_lengths
+    with pltpu.force_tpu_interpret_mode():
+        fused = kdiff.make_differentiable_material_runner(
+            topo, cfg, DT_SUB, 4, block_edges=128)
+
+        def rollout_pos(rest):
+            mats = {"rest_lengths": rest, "compliance": topo.compliance}
+            return fused(st, mats).positions
+
+        target = rollout_pos(target_rest)
+
+        def loss(rest):
+            return jnp.sum((rollout_pos(rest) - target) ** 2)
+
+        rest = target_rest * (1.0 + 0.1)
+        l0 = float(loss(rest))
+        vg = jax.value_and_grad(loss)
+        cur = l0
+        for _ in range(3):
+            l, g = vg(rest)
+            lr = 0.25 * l / float(jnp.sum(g * g))   # Cauchy-ish step
+            for _ in range(8):                       # backtracking
+                trial = rest - lr * g
+                lt = float(loss(trial))
+                if lt < l:
+                    rest, cur = trial, lt
+                    break
+                lr *= 0.25
+        l1 = cur
+    assert l1 < l0 * 0.9, (l0, l1)
