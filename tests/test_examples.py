@@ -11,6 +11,7 @@ from softbodysimulation_tpu.examples import (
     config7_mesh_farm,
     config8_fused_kernel,
     config9_tet_solid,
+    config10_material_fit,
 )
 
 
@@ -105,3 +106,11 @@ def test_config9_tet_solid():
     v0 = float(np.asarray(topo.rest_tet_volumes).sum())
     v = float(np.asarray(tet_volumes6(state.positions, topo.tets)).sum())
     assert abs(v / v0 - 1.0) < 0.02       # solid volume preserved
+
+
+def test_config10_material_fit():
+    l0, l1, err0, err1 = config10_material_fit.run(
+        subdiv=1, n_substeps=4, opt_iters=4, verbose=False)
+    assert np.isfinite(l1)
+    assert l1 < 0.5 * l0          # trajectory loss shrinks
+    assert err1 < err0            # materials move toward truth
