@@ -1,0 +1,140 @@
+"""Same-run A/B for the DIFFERENTIABLE surface (kernels/diff.py) on the
+bunny mesh: what a rollout primal and a gradient step actually cost.
+
+Rows (all particle-substeps/s at the stated substep count per call):
+  primal_kernel   — fused mesh kernel forward (the paired runner's primal)
+  primal_xla      — XLA windowed engine forward (the backward's engine)
+  grad_paired     — value_and_grad through the paired custom-VJP runner
+                    (kernel fwd + XLA fwd replay + XLA bwd)
+  grad_xla        — value_and_grad through the XLA engine directly
+  grad_materials  — value_and_grad w.r.t. {rest_lengths, compliance}
+                    through make_differentiable_material_runner
+
+The paired construction's design point: optimisation loops evaluate many
+primals per gradient (line searches, population candidates, rollout
+serving), so the primal rides the kernel while the gradient costs the
+same as differentiating the XLA engine — grad_paired should sit just
+below grad_xla (one extra kernel fwd), never above the engine's cost.
+
+Prints one JSON line per row.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from softbodysimulation_tpu import (  # noqa: E402
+    SolveMode,
+    SolverConfig,
+    state_from_topology,
+)
+from softbodysimulation_tpu.core.scenes import BUNNY_PATHS  # noqa: E402
+from softbodysimulation_tpu.kernels import diff as kdiff  # noqa: E402
+from softbodysimulation_tpu.kernels import mesh_pallas  # noqa: E402
+from softbodysimulation_tpu.solvers import general  # noqa: E402
+from softbodysimulation_tpu.topology import build, mesh  # noqa: E402
+from softbodysimulation_tpu.topology.objloader import load_obj  # noqa: E402
+
+DT_SUB = 1.0 / 240.0
+PRIMAL_SUBSTEPS = int(os.environ.get("BENCH_PRIMAL_SUBSTEPS", "2000"))
+GRAD_SUBSTEPS = int(os.environ.get("BENCH_GRAD_SUBSTEPS", "40"))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def measure_scalar(fn, arg, work, repeats=5):
+    """Time fn(arg) with a host-fetch sync on a scalar-ish leaf."""
+    out = fn(arg)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:1]
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(arg)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:1]
+        best = min(best, time.perf_counter() - t0)
+    return work / best
+
+
+def main():
+    p = next((q for q in BUNNY_PATHS if os.path.exists(q)), None)
+    m = load_obj(p) if p else mesh.icosphere(4, radius=0.5)
+    pos, topo = build.topology_from_mesh(
+        m, compliance=1e-6, windowed=True, block_edges=256, seg_align=32,
+        window_dtype="bf16")
+    pos = pos + np.array([0, 1.0, 0], np.float32)
+    cfg = SolverConfig(substeps=4, iterations=4, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       gravity_is_acceleration=True,
+                       distance_backend="windowed",
+                       ground_height=0.0, friction=0.3)
+    st = state_from_topology(topo, pos)
+    n = topo.n_particles
+    emit(row="scene", n=n, e=topo.n_edges,
+         primal_substeps=PRIMAL_SUBSTEPS, grad_substeps=GRAD_SUBSTEPS,
+         backend=jax.default_backend())
+
+    # --- primals ---
+    fn_k = mesh_pallas.make_mesh_substep_runner(
+        topo, cfg, DT_SUB, PRIMAL_SUBSTEPS)
+    rate = measure_scalar(lambda s: fn_k(s).positions, st,
+                          n * PRIMAL_SUBSTEPS)
+    emit(row="primal_kernel", particle_substeps_per_s=float(f"{rate:.4g}"))
+
+    from jax import lax
+
+    def make_xla_roll(nsub):
+        @jax.jit
+        def roll(s):
+            def body(c, _):
+                return general._substep(c, topo, cfg, DT_SUB,
+                                        apply_ext=False), None
+            out, _ = lax.scan(body, s, None, length=nsub)
+            return out
+        return roll
+
+    roll_x = make_xla_roll(PRIMAL_SUBSTEPS)
+    rate = measure_scalar(lambda s: roll_x(s).positions, st,
+                          n * PRIMAL_SUBSTEPS)
+    emit(row="primal_xla", particle_substeps_per_s=float(f"{rate:.4g}"))
+
+    # --- gradient steps (shorter rollout: reverse-mode stores the chain) ---
+    paired = kdiff.make_differentiable_mesh_runner(
+        topo, cfg, DT_SUB, GRAD_SUBSTEPS)
+    vg_p = jax.jit(jax.value_and_grad(
+        lambda v0: jnp.sum(paired(st.replace(
+            velocities=jnp.broadcast_to(v0, st.velocities.shape))
+        ).positions ** 2)))
+    rate = measure_scalar(vg_p, jnp.asarray([0.1, 0.0, 0.0]),
+                          n * GRAD_SUBSTEPS)
+    emit(row="grad_paired", particle_substeps_per_s=float(f"{rate:.4g}"))
+
+    roll_g = make_xla_roll(GRAD_SUBSTEPS)
+    vg_x = jax.jit(jax.value_and_grad(
+        lambda v0: jnp.sum(roll_g(st.replace(
+            velocities=jnp.broadcast_to(v0, st.velocities.shape))
+        ).positions ** 2)))
+    rate = measure_scalar(vg_x, jnp.asarray([0.1, 0.0, 0.0]),
+                          n * GRAD_SUBSTEPS)
+    emit(row="grad_xla", particle_substeps_per_s=float(f"{rate:.4g}"))
+
+    mat_runner = kdiff.make_differentiable_material_runner(
+        topo, cfg, DT_SUB, GRAD_SUBSTEPS)
+    vg_m = jax.jit(jax.value_and_grad(
+        lambda mats: jnp.sum(mat_runner(st, mats).positions ** 2)))
+    mats0 = {"rest_lengths": topo.rest_lengths,
+             "compliance": topo.compliance}
+    rate = measure_scalar(vg_m, mats0, n * GRAD_SUBSTEPS)
+    emit(row="grad_materials", particle_substeps_per_s=float(f"{rate:.4g}"))
+
+
+if __name__ == "__main__":
+    main()

@@ -157,6 +157,69 @@ def make_differentiable_material_runner(topo, cfg, dt_sub: float,
     return pair_with_vjp_params(pal_p, ref)
 
 
+def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
+                                                 n_substeps: int,
+                                                 n_bodies: int,
+                                                 **pallas_kw):
+    """Differentiable heterogeneous-MATERIAL farm: ``fn(state, materials)``
+    where the SimState leaves are batched ``(B, ...)`` and ``materials``
+    carries per-body ``(B, E)`` rest_lengths / compliance.  Forward runs
+    the fused ensemble kernel with per-body material slabs (they gain the
+    sublane-row axis exactly like the lambda slabs); backward vmaps the
+    XLA engine over (state, materials).  The population-based material
+    search / per-instance fitting workload: B candidate materials advance
+    in ONE kernel call, and gradients come back per body."""
+    from ..solvers import general
+    from . import mesh_pallas
+
+    from jax import lax
+
+    pal = mesh_pallas.make_mesh_substep_runner(
+        topo, cfg, dt_sub, n_substeps, n_bodies=n_bodies, batched=True,
+        **pallas_kw)
+
+    def pal_p(state: SimState, materials) -> SimState:
+        return pal(state, materials)
+
+    def one(state: SimState, rest, comp) -> SimState:
+        t2 = topo.replace(rest_lengths=rest, compliance=comp)
+
+        def body(carry, _):
+            return general._substep(carry, t2, cfg, dt_sub,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, state, None, length=n_substeps)
+        return out
+
+    # single-body rank per leaf (to spot shared leaves in a batched state)
+    _RANK = {"positions": 2, "velocities": 2, "ext_force": 2,
+             "inv_mass": 1, "lambda_dist": 1, "lambda_bend": 1,
+             "lambda_volume": 0, "lambda_tet": 1}
+
+    @jax.jit
+    def ref(state: SimState, materials) -> SimState:
+        nb = state.positions.shape[0]
+        # the batched kernel contract lets read-only / unused leaves stay
+        # single-body (shared inv_mass, scalar lambda_volume, ...): give
+        # those a body axis for the vmap (the VJP sums their cotangents
+        # back over bodies), then restore the passthrough shape on output
+        shared = [k for k, r in _RANK.items()
+                  if getattr(state, k) is not None
+                  and getattr(state, k).ndim == r]
+        state = state.replace(**{
+            k: jnp.broadcast_to(getattr(state, k),
+                                (nb,) + getattr(state, k).shape)
+            for k in shared})
+        out = jax.vmap(one)(state,
+                            jnp.asarray(materials["rest_lengths"],
+                                        jnp.float32),
+                            jnp.asarray(materials["compliance"],
+                                        jnp.float32))
+        return out.replace(**{k: getattr(out, k)[0] for k in shared})
+
+    return pair_with_vjp_params(pal_p, ref)
+
+
 def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,
                                              n_substeps: int,
                                              n_bodies: int, **pallas_kw):

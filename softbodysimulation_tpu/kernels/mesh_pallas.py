@@ -1619,29 +1619,43 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         rest/compliance differentiable (system identification)."""
         rest_v = jnp.asarray(materials["rest_lengths"], jnp.float32)
         comp_v = jnp.asarray(materials["compliance"], jnp.float32)
+        per_body = rest_v.ndim == 2
+        if per_body and not batched:
+            raise ValueError(
+                "(B, E) per-body materials need the batched contract "
+                "(n_bodies > 1 or batched=True)")
         if slot_c is not None:
-            rest_flat = rest_v[slot_c]
-            comp_flat = comp_v[slot_c]
+            rest_flat = rest_v[..., slot_c]
+            comp_flat = comp_v[..., slot_c]
         else:
             epad = k_blocks * s_edges
-            rest_flat = jnp.concatenate(
-                [rest_v, jnp.ones(epad - e_real, jnp.float32)])
-            comp_flat = jnp.concatenate(
-                [comp_v, jnp.zeros(epad - e_real, jnp.float32)])
+            pad = ((0, 0),) * (rest_v.ndim - 1) + ((0, epad - e_real),)
+            rest_flat = jnp.pad(rest_v, pad, constant_values=1.0)
+            comp_flat = jnp.pad(comp_v, pad, constant_values=0.0)
         alpha_flat = comp_flat * inv_dt2
         if cfg.min_alpha_tilde > 0:
             alpha_flat = jnp.maximum(alpha_flat, cfg.min_alpha_tilde)
-        rest_s = rest_flat.reshape(k_blocks, 1, s_edges)
-        alpha_s = alpha_flat.reshape(k_blocks, 1, s_edges)
-        bound_s = None
+        bound_flat = None
         if bound_c is not None:
             b = jnp.full(rest_flat.shape, jnp.inf, jnp.float32)
             if cfg.max_dlambda > 0:
                 b = jnp.minimum(b, cfg.max_dlambda)
             if cfg.max_dlambda_rel > 0:
                 b = jnp.minimum(b, cfg.max_dlambda_rel * rest_flat)
-            bound_s = b.reshape(k_blocks, 1, s_edges)
-        return rest_s, alpha_s, bound_s
+            bound_flat = b
+        if per_body:
+            # heterogeneous-material farm: the material slabs gain the
+            # body (sublane-row) axis, exactly like the lambda slabs —
+            # kernel-side reads broadcast (R, S) in place of (1, S).
+            # Padded body rows (rest 0 / alpha floor) compute inert
+            # garbage that the output slice drops (row-independent ops).
+            def mslab(a):
+                return lam_to_slab(a, k_blocks, s_edges)
+        else:
+            def mslab(a):
+                return a.reshape(k_blocks, 1, s_edges)
+        return (mslab(rest_flat), mslab(alpha_flat),
+                None if bound_flat is None else mslab(bound_flat))
 
     @jax.jit
     def fn(state: SimState, materials=None) -> SimState:
