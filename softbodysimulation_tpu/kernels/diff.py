@@ -75,10 +75,66 @@ def pair_with_vjp_params(kernel_fn, xla_fn):
     return run
 
 
+def _substep_rollout(substep_fn, n_substeps: int, remat_chunk: int = 0):
+    """``state -> state`` advancing ``n_substeps`` calls of ``substep_fn``.
+
+    ``remat_chunk = K > 0`` splits the scan into N/K checkpointed segments:
+    reverse-mode then stores only the N/K chunk-boundary states plus one
+    in-flight chunk (O(N/K + K) carries instead of O(N)), recomputing each
+    chunk's forward once during the backward — the standard sqrt-memory
+    rematerialisation tradeoff that makes gradients through LONG rollouts
+    fit in HBM (a 64k-particle body at 2000 substeps would otherwise hold
+    ~9 GB of carries).  Arithmetic is unchanged (the recomputation replays
+    identical ops), so gradients match the flat scan exactly.  Only used
+    on the backward engine: the nested scan compiles slowly (CLAUDE.md's
+    one-scan-level rule is for benchmarked primal paths)."""
+    from jax import lax
+
+    def body(carry, _):
+        return substep_fn(carry), None
+
+    if remat_chunk and 0 < remat_chunk < n_substeps:
+        if n_substeps % remat_chunk:
+            raise ValueError(
+                f"remat_chunk {remat_chunk} must divide n_substeps "
+                f"{n_substeps}")
+
+        @jax.checkpoint
+        def chunk(state):
+            out, _ = lax.scan(body, state, None, length=remat_chunk)
+            return out
+
+        def roll(state):
+            def outer(carry, _):
+                return chunk(carry), None
+
+            out, _ = lax.scan(outer, state, None,
+                              length=n_substeps // remat_chunk)
+            return out
+
+        return roll
+
+    def roll(state):
+        out, _ = lax.scan(body, state, None, length=n_substeps)
+        return out
+
+    return roll
+
+
+def _check_chunk(n_substeps: int, remat_chunk: int):
+    if remat_chunk and 0 < remat_chunk < n_substeps \
+            and n_substeps % remat_chunk:
+        raise ValueError(
+            f"remat_chunk {remat_chunk} must divide n_substeps "
+            f"{n_substeps}")
+
+
 def make_differentiable_lattice_runner(spec, cfg, dt_sub: float,
-                                       n_substeps: int, **pallas_kw):
+                                       n_substeps: int,
+                                       remat_chunk: int = 0, **pallas_kw):
     """Differentiable fused lattice rollout: streamed Pallas kernel forward
-    (resident fallback), XLA stencil engine backward."""
+    (resident fallback), XLA stencil engine backward (``remat_chunk``
+    bounds the backward's memory — see ``_substep_rollout``)."""
     from ..solvers import lattice as lat_engine
     from . import lattice_pallas
 
@@ -88,36 +144,40 @@ def make_differentiable_lattice_runner(spec, cfg, dt_sub: float,
     except NotImplementedError:
         pal = lattice_pallas.make_pallas_substep_runner(
             spec, cfg, dt_sub, n_substeps)
-    ref = lat_engine.make_substep_runner(spec, cfg, dt_sub, n_substeps)
+    if remat_chunk and 0 < remat_chunk < n_substeps:
+        if n_substeps % remat_chunk:
+            raise ValueError(
+                f"remat_chunk {remat_chunk} must divide n_substeps "
+                f"{n_substeps}")
+        ref_k = lat_engine.make_substep_runner(spec, cfg, dt_sub,
+                                               remat_chunk)
+        ref = jax.jit(_substep_rollout(jax.checkpoint(ref_k),
+                                       n_substeps // remat_chunk))
+    else:
+        ref = lat_engine.make_substep_runner(spec, cfg, dt_sub, n_substeps)
     return pair_with_vjp(pal, ref)
 
 
 def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
-                                    n_substeps: int, **pallas_kw):
+                                    n_substeps: int,
+                                    remat_chunk: int = 0, **pallas_kw):
     """Differentiable fused mesh rollout: mesh Pallas kernel forward,
-    general-engine (windowed backend) backward."""
+    general-engine (windowed backend) backward (``remat_chunk`` bounds
+    the backward's memory — see ``_substep_rollout``)."""
     from ..solvers import general
     from . import mesh_pallas
 
-    from jax import lax
-
     pal = mesh_pallas.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, **pallas_kw)
-
-    @jax.jit
-    def ref(state: SimState) -> SimState:
-        def body(carry, _):
-            return general._substep(carry, topo, cfg, dt_sub,
-                                    apply_ext=False), None
-
-        out, _ = lax.scan(body, state, None, length=n_substeps)
-        return out
-
+    ref = jax.jit(_substep_rollout(
+        lambda s: general._substep(s, topo, cfg, dt_sub, apply_ext=False),
+        n_substeps, remat_chunk))
     return pair_with_vjp(pal, ref)
 
 
 def make_differentiable_material_runner(topo, cfg, dt_sub: float,
-                                        n_substeps: int, **pallas_kw):
+                                        n_substeps: int,
+                                        remat_chunk: int = 0, **pallas_kw):
     """Differentiable-in-MATERIALS mesh rollout: returns
     ``fn(state, materials) -> SimState`` with
     ``materials = {"rest_lengths": (E,), "compliance": (E,)}`` (topo edge
@@ -129,10 +189,9 @@ def make_differentiable_material_runner(topo, cfg, dt_sub: float,
     observed trajectories) with the fused kernel carrying the many
     forward evaluations; the reference has no analog (its solver is not
     differentiable at all)."""
+    _check_chunk(n_substeps, remat_chunk)
     from ..solvers import general
     from . import mesh_pallas
-
-    from jax import lax
 
     pal = mesh_pallas.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, **pallas_kw)
@@ -146,13 +205,11 @@ def make_differentiable_material_runner(topo, cfg, dt_sub: float,
             rest_lengths=jnp.asarray(materials["rest_lengths"],
                                      jnp.float32),
             compliance=jnp.asarray(materials["compliance"], jnp.float32))
-
-        def body(carry, _):
-            return general._substep(carry, t2, cfg, dt_sub,
-                                    apply_ext=False), None
-
-        out, _ = lax.scan(body, state, None, length=n_substeps)
-        return out
+        roll = _substep_rollout(
+            lambda c: general._substep(c, t2, cfg, dt_sub,
+                                       apply_ext=False),
+            n_substeps, remat_chunk)
+        return roll(state)
 
     return pair_with_vjp_params(pal_p, ref)
 
@@ -160,6 +217,7 @@ def make_differentiable_material_runner(topo, cfg, dt_sub: float,
 def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
                                                  n_substeps: int,
                                                  n_bodies: int,
+                                                 remat_chunk: int = 0,
                                                  **pallas_kw):
     """Differentiable heterogeneous-MATERIAL farm: ``fn(state, materials)``
     where the SimState leaves are batched ``(B, ...)`` and ``materials``
@@ -169,10 +227,9 @@ def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
     XLA engine over (state, materials).  The population-based material
     search / per-instance fitting workload: B candidate materials advance
     in ONE kernel call, and gradients come back per body."""
+    _check_chunk(n_substeps, remat_chunk)
     from ..solvers import general
     from . import mesh_pallas
-
-    from jax import lax
 
     pal = mesh_pallas.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, n_bodies=n_bodies, batched=True,
@@ -183,13 +240,11 @@ def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
 
     def one(state: SimState, rest, comp) -> SimState:
         t2 = topo.replace(rest_lengths=rest, compliance=comp)
-
-        def body(carry, _):
-            return general._substep(carry, t2, cfg, dt_sub,
-                                    apply_ext=False), None
-
-        out, _ = lax.scan(body, state, None, length=n_substeps)
-        return out
+        roll = _substep_rollout(
+            lambda c: general._substep(c, t2, cfg, dt_sub,
+                                       apply_ext=False),
+            n_substeps, remat_chunk)
+        return roll(state)
 
     # single-body rank per leaf (to spot shared leaves in a batched state)
     _RANK = {"positions": 2, "velocities": 2, "ext_force": 2,
@@ -222,7 +277,9 @@ def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
 
 def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,
                                              n_substeps: int,
-                                             n_bodies: int, **pallas_kw):
+                                             n_bodies: int,
+                                             remat_chunk: int = 0,
+                                             **pallas_kw):
     """Differentiable HETEROGENEOUS mesh farm: fused ensemble kernel
     forward (``per_body_mass=True`` — ``inv_mass`` is a per-body (B, n)
     leaf; replicate it for homogeneous farms), vmapped general-engine
@@ -230,22 +287,20 @@ def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,
     per-body masses — the system-identification workload: fit per-instance
     masses/pins against observations with the fused kernel carrying the
     many forward evaluations."""
+    _check_chunk(n_substeps, remat_chunk)
     from ..solvers import general
     from . import mesh_pallas
-
-    from jax import lax
 
     pal = mesh_pallas.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, n_bodies=n_bodies, batched=True,
         per_body_mass=True, **pallas_kw)
 
     def one(state: SimState) -> SimState:
-        def body(carry, _):
-            return general._substep(carry, topo, cfg, dt_sub,
-                                    apply_ext=False), None
-
-        out, _ = lax.scan(body, state, None, length=n_substeps)
-        return out
+        roll = _substep_rollout(
+            lambda c: general._substep(c, topo, cfg, dt_sub,
+                                       apply_ext=False),
+            n_substeps, remat_chunk)
+        return roll(state)
 
     ref = jax.jit(jax.vmap(one))
     return pair_with_vjp(pal, ref)

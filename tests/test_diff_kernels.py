@@ -373,3 +373,61 @@ def test_material_ensemble_grads_match_vmapped_engine():
     gr = np.asarray(grad_r["rest_lengths"])
     assert np.abs(gr).max() > 1e-3
     assert np.abs(gr[0] - gr[1]).max() > 1e-6   # heterogeneous dynamics
+
+
+def test_remat_chunk_grads_match_flat():
+    """Chunked-checkpoint backward (remat_chunk) replays identical
+    arithmetic, so gradients must match the flat-scan backward to fp
+    precision — while bounding reverse-mode memory to O(N/K + K) carries."""
+    topo, cfg, st = _mat_setup()
+    n_sub = 8
+    mats0 = {"rest_lengths": topo.rest_lengths * 1.03,
+             "compliance": topo.compliance}
+    grads = {}
+    with pltpu.force_tpu_interpret_mode():
+        for chunk in (0, 4):
+            fused = kdiff.make_differentiable_material_runner(
+                topo, cfg, DT_SUB, n_sub, remat_chunk=chunk,
+                block_edges=128)
+
+            def loss(mats):
+                return jnp.sum(fused(st, mats).positions ** 2)
+
+            _, grads[chunk] = jax.value_and_grad(loss)(mats0)
+    for k in ("rest_lengths", "compliance"):
+        np.testing.assert_allclose(np.asarray(grads[0][k]),
+                                   np.asarray(grads[4][k]),
+                                   rtol=1e-6, atol=1e-9, err_msg=k)
+    assert np.abs(np.asarray(grads[0]["rest_lengths"])).max() > 1e-3
+
+    import pytest
+    with pytest.raises(ValueError, match="divide"):
+        kdiff.make_differentiable_material_runner(
+            topo, cfg, DT_SUB, n_sub, remat_chunk=3, block_edges=128)
+
+
+def test_remat_chunk_lattice_grads_match_flat():
+    spec = lattice.lattice_spec(4, braced=True)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.01,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET,
+                       gravity_is_acceleration=True,
+                       ground_height=0.0, friction=0.3)
+    st = lat_engine.make_lattice_state(spec, center=(0, 0.7, 0))
+    n_sub = 8
+    grads = {}
+    with pltpu.force_tpu_interpret_mode():
+        for chunk in (0, 4):
+            fused = kdiff.make_differentiable_lattice_runner(
+                spec, cfg, DT_SUB, n_sub, remat_chunk=chunk)
+
+            def loss(v0):
+                s = st.replace(velocities=jnp.broadcast_to(
+                    v0, st.velocities.shape))
+                return jnp.sum(fused(s).positions[:, 0])
+
+            _, grads[chunk] = jax.value_and_grad(loss)(
+                jnp.asarray([0.3, 0.1, -0.2]))
+    np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(grads[4]),
+                               rtol=1e-6, atol=1e-9)
+    assert np.abs(np.asarray(grads[0])).max() > 1e-3
