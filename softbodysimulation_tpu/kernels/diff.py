@@ -175,6 +175,54 @@ def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
     return pair_with_vjp(pal, ref)
 
 
+def _chunked_step_ref(make_step_k, n_steps: int, remat_chunk: int):
+    """Flat or chunked-checkpoint full-step backward (chunk unit: frames)."""
+    if remat_chunk and 0 < remat_chunk < n_steps:
+        if n_steps % remat_chunk:
+            raise ValueError(
+                f"remat_chunk {remat_chunk} must divide n_steps {n_steps}")
+        step_k = make_step_k(remat_chunk)
+        return jax.jit(_substep_rollout(jax.checkpoint(step_k),
+                                        n_steps // remat_chunk))
+    return make_step_k(n_steps)
+
+
+def make_differentiable_lattice_step(spec, cfg, dt: float, n_steps: int = 1,
+                                     remat_chunk: int = 0):
+    """Differentiable FULL-STEP lattice rollout: ``n_steps`` frames with
+    the reference external-force lifecycle (``ext_force`` consumed on each
+    frame's first substep, zeroed after) — the control workload: a policy
+    writes forces into the state, the rollout runs fused, and gradients
+    flow back to the forces.  Forward is ``make_pallas_step`` (which also
+    routes contact-cadence self-collision configs to the hybrid runner),
+    backward the stencil engine's ``make_step``."""
+    from ..solvers import lattice as lat_engine
+    from . import lattice_pallas
+
+    pal = lattice_pallas.make_pallas_step(spec, cfg, dt, n_steps=n_steps)
+    ref = _chunked_step_ref(
+        lambda k: lat_engine.make_step(spec, cfg, dt, k),
+        n_steps, remat_chunk)
+    return pair_with_vjp(pal, ref)
+
+
+def make_differentiable_mesh_step(topo, cfg, dt: float, n_steps: int = 1,
+                                  remat_chunk: int = 0):
+    """Differentiable FULL-STEP mesh rollout (external-force lifecycle;
+    contact-cadence self-collision configs route to the fused hybrid
+    runner): forward ``make_mesh_pallas_step``, backward the general
+    engine's ``make_step`` — so self-colliding scenes join the
+    differentiable story end-to-end."""
+    from ..solvers import general
+    from . import mesh_pallas
+
+    pal = mesh_pallas.make_mesh_pallas_step(topo, cfg, dt, n_steps=n_steps)
+    ref = _chunked_step_ref(
+        lambda k: general.make_step(topo, cfg, dt, k),
+        n_steps, remat_chunk)
+    return pair_with_vjp(pal, ref)
+
+
 def make_differentiable_material_runner(topo, cfg, dt_sub: float,
                                         n_substeps: int,
                                         remat_chunk: int = 0, **pallas_kw):

@@ -431,3 +431,110 @@ def test_remat_chunk_lattice_grads_match_flat():
     np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(grads[4]),
                                rtol=1e-6, atol=1e-9)
     assert np.abs(np.asarray(grads[0])).max() > 1e-3
+
+
+def test_lattice_step_ext_force_grads_match_engine():
+    """Control workload: gradients w.r.t. ext_force through the FULL-STEP
+    paired runner (force lifecycle fused in-kernel) must match the stencil
+    engine's make_step — a policy's forces get exact gradients while the
+    rollout primal runs fused."""
+    spec = lattice.lattice_spec(4, braced=True)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.01,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET,
+                       gravity_is_acceleration=True,
+                       ground_height=0.0, friction=0.3)
+    st = lat_engine.make_lattice_state(spec, center=(0, 0.7, 0))
+    n_steps = 3
+    ref_fn = lat_engine.make_step(spec, cfg, 1 / 60, n_steps)
+
+    def loss_ref(f):
+        s = st.replace(ext_force=jnp.broadcast_to(f, st.ext_force.shape))
+        return jnp.sum(ref_fn(s).positions[:, 1])
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = kdiff.make_differentiable_lattice_step(
+            spec, cfg, 1 / 60, n_steps=n_steps)
+
+        def loss_pal(f):
+            s = st.replace(ext_force=jnp.broadcast_to(
+                f, st.ext_force.shape))
+            return jnp.sum(fused(s).positions[:, 1])
+
+        f0 = jnp.asarray([0.0, 2e-3, 0.0])
+        val_p, grad_p = jax.value_and_grad(loss_pal)(f0)
+    val_r, grad_r = jax.value_and_grad(loss_ref)(f0)
+    assert abs(float(val_p) - float(val_r)) < 1e-3
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_r),
+                               rtol=1e-5, atol=1e-7)
+    assert np.abs(np.asarray(grad_r)).max() > 1e-2
+
+
+def test_mesh_step_grads_match_engine():
+    """Full-step mesh runner (ext-force lifecycle) gradient parity."""
+    topo, cfg, st = _mat_setup()
+    n_steps = 2
+    ref_fn = general.make_step(topo, cfg, 1 / 120, n_steps)
+
+    def loss_ref(f):
+        s = st.replace(ext_force=jnp.broadcast_to(f, st.ext_force.shape))
+        return jnp.sum(ref_fn(s).positions[:, 1])
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = kdiff.make_differentiable_mesh_step(
+            topo, cfg, 1 / 120, n_steps=n_steps)
+
+        def loss_pal(f):
+            s = st.replace(ext_force=jnp.broadcast_to(
+                f, st.ext_force.shape))
+            return jnp.sum(fused(s).positions[:, 1])
+
+        f0 = jnp.asarray([0.0, 1e-3, 0.0])
+        val_p, grad_p = jax.value_and_grad(loss_pal)(f0)
+    val_r, grad_r = jax.value_and_grad(loss_ref)(f0)
+    assert abs(float(val_p) - float(val_r)) / max(abs(float(val_r)),
+                                                  1e-9) < 1e-3
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_r),
+                               rtol=1e-4, atol=1e-7)
+    assert np.abs(np.asarray(grad_r)).max() > 1e-3
+
+
+def test_mesh_step_self_collision_cadence_grads():
+    """Self-colliding scenes join the differentiable story: a contact-
+    cadence config routes the fused forward through the hybrid runner and
+    the backward through the general engine WITH the dense contact pass —
+    gradients must match differentiating the engine directly."""
+    m = mesh.icosphere(1)
+    pos, topo = build.build_windowed_topology(
+        m.vertices, unique_edges(m.triangles), 1e-4, triangles=m.triangles)
+    cfg = SolverConfig(substeps=4, iterations=2, damping=0.01,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       distance_backend="windowed",
+                       enable_self_collision=True,
+                       self_collision_backend="dense",
+                       self_collision_every=2,
+                       particle_radius=0.08,
+                       ground_height=-2.0)
+    st = state_from_topology(topo, pos + np.array([0, 0.5, 0], np.float32))
+    n_steps = 2
+    ref_fn = general.make_step(topo, cfg, 1 / 120, n_steps)
+
+    def loss_ref(scale):
+        s = st.replace(positions=st.positions * scale)
+        return jnp.sum(ref_fn(s).positions ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = kdiff.make_differentiable_mesh_step(
+            topo, cfg, 1 / 120, n_steps=n_steps)
+
+        def loss_pal(scale):
+            s = st.replace(positions=st.positions * scale)
+            return jnp.sum(fused(s).positions ** 2)
+
+        val_p, grad_p = jax.value_and_grad(loss_pal)(jnp.float32(0.9))
+    val_r, grad_r = jax.value_and_grad(loss_ref)(jnp.float32(0.9))
+    assert abs(float(val_p) - float(val_r)) / max(abs(float(val_r)),
+                                                  1e-9) < 1e-3
+    assert abs(float(grad_p) - float(grad_r)) / max(abs(float(grad_r)),
+                                                    1e-9) < 1e-3
+    assert abs(float(grad_r)) > 1e-2
