@@ -75,6 +75,14 @@ def pair_with_vjp_params(kernel_fn, xla_fn):
     return run
 
 
+def _check_chunk(n_substeps: int, remat_chunk: int):
+    if remat_chunk and 0 < remat_chunk < n_substeps \
+            and n_substeps % remat_chunk:
+        raise ValueError(
+            f"remat_chunk {remat_chunk} must divide n_substeps "
+            f"{n_substeps}")
+
+
 def _substep_rollout(substep_fn, n_substeps: int, remat_chunk: int = 0):
     """``state -> state`` advancing ``n_substeps`` calls of ``substep_fn``.
 
@@ -94,10 +102,7 @@ def _substep_rollout(substep_fn, n_substeps: int, remat_chunk: int = 0):
         return substep_fn(carry), None
 
     if remat_chunk and 0 < remat_chunk < n_substeps:
-        if n_substeps % remat_chunk:
-            raise ValueError(
-                f"remat_chunk {remat_chunk} must divide n_substeps "
-                f"{n_substeps}")
+        _check_chunk(n_substeps, remat_chunk)
 
         @jax.checkpoint
         def chunk(state):
@@ -121,14 +126,6 @@ def _substep_rollout(substep_fn, n_substeps: int, remat_chunk: int = 0):
     return roll
 
 
-def _check_chunk(n_substeps: int, remat_chunk: int):
-    if remat_chunk and 0 < remat_chunk < n_substeps \
-            and n_substeps % remat_chunk:
-        raise ValueError(
-            f"remat_chunk {remat_chunk} must divide n_substeps "
-            f"{n_substeps}")
-
-
 def make_differentiable_lattice_runner(spec, cfg, dt_sub: float,
                                        n_substeps: int,
                                        remat_chunk: int = 0, **pallas_kw):
@@ -144,11 +141,8 @@ def make_differentiable_lattice_runner(spec, cfg, dt_sub: float,
     except NotImplementedError:
         pal = lattice_pallas.make_pallas_substep_runner(
             spec, cfg, dt_sub, n_substeps)
+    _check_chunk(n_substeps, remat_chunk)
     if remat_chunk and 0 < remat_chunk < n_substeps:
-        if n_substeps % remat_chunk:
-            raise ValueError(
-                f"remat_chunk {remat_chunk} must divide n_substeps "
-                f"{n_substeps}")
         ref_k = lat_engine.make_substep_runner(spec, cfg, dt_sub,
                                                remat_chunk)
         ref = jax.jit(_substep_rollout(jax.checkpoint(ref_k),
@@ -177,10 +171,8 @@ def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
 
 def _chunked_step_ref(make_step_k, n_steps: int, remat_chunk: int):
     """Flat or chunked-checkpoint full-step backward (chunk unit: frames)."""
+    _check_chunk(n_steps, remat_chunk)
     if remat_chunk and 0 < remat_chunk < n_steps:
-        if n_steps % remat_chunk:
-            raise ValueError(
-                f"remat_chunk {remat_chunk} must divide n_steps {n_steps}")
         step_k = make_step_k(remat_chunk)
         return jax.jit(_substep_rollout(jax.checkpoint(step_k),
                                         n_steps // remat_chunk))
@@ -244,9 +236,6 @@ def make_differentiable_material_runner(topo, cfg, dt_sub: float,
     pal = mesh_pallas.make_mesh_substep_runner(
         topo, cfg, dt_sub, n_substeps, **pallas_kw)
 
-    def pal_p(state: SimState, materials) -> SimState:
-        return pal(state, materials)
-
     @jax.jit
     def ref(state: SimState, materials) -> SimState:
         t2 = topo.replace(
@@ -259,7 +248,33 @@ def make_differentiable_material_runner(topo, cfg, dt_sub: float,
             n_substeps, remat_chunk)
         return roll(state)
 
-    return pair_with_vjp_params(pal_p, ref)
+    return pair_with_vjp_params(pal, ref)
+
+
+# single-body rank per SimState leaf — used to spot leaves the batched
+# kernel contract lets stay shared/single-body (read-only inv_mass,
+# scalar lambda_volume when the volume constraint is off, ...)
+_LEAF_RANK = {"positions": 2, "velocities": 2, "ext_force": 2,
+              "inv_mass": 1, "lambda_dist": 1, "lambda_bend": 1,
+              "lambda_volume": 0, "lambda_tet": 1}
+
+
+def _vmap_batched(one, state: SimState, *args) -> SimState:
+    """``jax.vmap`` of a single-body rollout over a batched SimState whose
+    contract-legal shared leaves lack the body axis: broadcast those for
+    the vmap (their cotangents sum back over bodies through the VJP) and
+    restore the passthrough shape on output.  Extra ``args`` must already
+    carry the body axis."""
+    nb = state.positions.shape[0]
+    shared = [k for k, r in _LEAF_RANK.items()
+              if getattr(state, k) is not None
+              and getattr(state, k).ndim == r]
+    state = state.replace(**{
+        k: jnp.broadcast_to(getattr(state, k),
+                            (nb,) + getattr(state, k).shape)
+        for k in shared})
+    out = jax.vmap(one)(state, *args)
+    return out.replace(**{k: getattr(out, k)[0] for k in shared})
 
 
 def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
@@ -283,9 +298,6 @@ def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
         topo, cfg, dt_sub, n_substeps, n_bodies=n_bodies, batched=True,
         **pallas_kw)
 
-    def pal_p(state: SimState, materials) -> SimState:
-        return pal(state, materials)
-
     def one(state: SimState, rest, comp) -> SimState:
         t2 = topo.replace(rest_lengths=rest, compliance=comp)
         roll = _substep_rollout(
@@ -294,33 +306,15 @@ def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
             n_substeps, remat_chunk)
         return roll(state)
 
-    # single-body rank per leaf (to spot shared leaves in a batched state)
-    _RANK = {"positions": 2, "velocities": 2, "ext_force": 2,
-             "inv_mass": 1, "lambda_dist": 1, "lambda_bend": 1,
-             "lambda_volume": 0, "lambda_tet": 1}
-
     @jax.jit
     def ref(state: SimState, materials) -> SimState:
-        nb = state.positions.shape[0]
-        # the batched kernel contract lets read-only / unused leaves stay
-        # single-body (shared inv_mass, scalar lambda_volume, ...): give
-        # those a body axis for the vmap (the VJP sums their cotangents
-        # back over bodies), then restore the passthrough shape on output
-        shared = [k for k, r in _RANK.items()
-                  if getattr(state, k) is not None
-                  and getattr(state, k).ndim == r]
-        state = state.replace(**{
-            k: jnp.broadcast_to(getattr(state, k),
-                                (nb,) + getattr(state, k).shape)
-            for k in shared})
-        out = jax.vmap(one)(state,
-                            jnp.asarray(materials["rest_lengths"],
-                                        jnp.float32),
-                            jnp.asarray(materials["compliance"],
-                                        jnp.float32))
-        return out.replace(**{k: getattr(out, k)[0] for k in shared})
+        return _vmap_batched(one, state,
+                             jnp.asarray(materials["rest_lengths"],
+                                         jnp.float32),
+                             jnp.asarray(materials["compliance"],
+                                         jnp.float32))
 
-    return pair_with_vjp_params(pal_p, ref)
+    return pair_with_vjp_params(pal, ref)
 
 
 def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,
@@ -350,5 +344,8 @@ def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,
             n_substeps, remat_chunk)
         return roll(state)
 
-    ref = jax.jit(jax.vmap(one))
+    @jax.jit
+    def ref(state: SimState) -> SimState:
+        return _vmap_batched(one, state)
+
     return pair_with_vjp(pal, ref)

@@ -1647,7 +1647,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             # heterogeneous-material farm: the material slabs gain the
             # body (sublane-row) axis, exactly like the lambda slabs —
             # kernel-side reads broadcast (R, S) in place of (1, S).
-            # Padded body rows (rest 0 / alpha floor) compute inert
+            # lam_to_slab zero-pads the body rows AFTER the floor, so
+            # padded rows carry rest = alpha = 0 and compute inert
             # garbage that the output slice drops (row-independent ops).
             def mslab(a):
                 return lam_to_slab(a, k_blocks, s_edges)
@@ -1743,6 +1744,13 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                      bwa, bwb, bwc, bwd, bany]
         if vplan is not None:
             lam_v_in = state.lambda_volume.reshape(-1)   # (1,) or (B,)
+            if batched and lam_v_in.shape[0] != n_b:
+                # a shared scalar would silently mean "body 0 only" in
+                # WARM_START/DECAY modes — demand the explicit (B,) leaf
+                raise ValueError(
+                    f"volume-enabled ensembles need a (n_bodies,) "
+                    f"lambda_volume leaf; got shape "
+                    f"{state.lambda_volume.shape} for n_bodies={n_b}")
             vlam = jnp.zeros((R, 128), jnp.float32).at[
                 :lam_v_in.shape[0], :].set(lam_v_in[:, None])
             args += [vlam, vidx_c]

@@ -538,3 +538,66 @@ def test_mesh_step_self_collision_cadence_grads():
     assert abs(float(grad_p) - float(grad_r)) / max(abs(float(grad_r)),
                                                     1e-9) < 1e-3
     assert abs(float(grad_r)) > 1e-2
+
+
+def test_volume_ensemble_lambda_contract():
+    """Volume-enabled batched ensembles must carry an explicit (B,)
+    lambda_volume (a shared scalar would silently mean body-0-only in
+    carried-lambda modes — the kernel now refuses it), and with the
+    explicit leaf the differentiable ensemble matches the vmapped engine."""
+    import pytest
+    from softbodysimulation_tpu.kernels import mesh_pallas
+
+    m = mesh.icosphere(1)
+    pos, topo = build.build_windowed_topology(
+        m.vertices, unique_edges(m.triangles), 1e-4, triangles=m.triangles)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.01,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       distance_backend="windowed",
+                       enable_volume=True, pressure=1.1,
+                       ground_height=-2.0)
+    st = state_from_topology(topo, pos + np.array([0, 0.5, 0], np.float32))
+    nb, n_sub = 2, 4
+    batched = _batch_shared_mass(st, nb)   # lambda_volume stays scalar
+
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT_SUB, n_sub, n_bodies=nb, block_edges=128)
+        with pytest.raises(ValueError, match="lambda_volume"):
+            fn(batched)
+
+        ok = batched.replace(
+            lambda_volume=jnp.zeros((nb,), jnp.float32))
+        fused = kdiff.make_differentiable_mesh_ensemble_runner(
+            topo, cfg, DT_SUB, n_sub, n_bodies=nb, block_edges=128)
+        okm = ok.replace(inv_mass=jnp.broadcast_to(
+            st.inv_mass[None], (nb,) + st.inv_mass.shape))
+
+        def loss_pal(im):
+            return jnp.sum(fused(okm.replace(inv_mass=im)).positions ** 2)
+
+        im0 = jnp.stack([st.inv_mass * s for s in (1.0, 1.3)])
+        val_p, grad_p = jax.value_and_grad(loss_pal)(im0)
+
+    from jax import lax
+
+    def one(state):
+        def body(carry, _):
+            return general._substep(carry, topo, cfg, DT_SUB,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, state, None, length=n_sub)
+        return out
+
+    full = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (nb,) + x.shape), st)
+
+    def loss_ref(im):
+        out = jax.vmap(one)(full.replace(
+            inv_mass=im, lambda_volume=jnp.zeros((nb,), jnp.float32)))
+        return jnp.sum(out.positions ** 2)
+
+    val_r, grad_r = jax.value_and_grad(loss_ref)(im0)
+    assert abs(float(val_p) - float(val_r)) / abs(float(val_r)) < 1e-4
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_r),
+                               rtol=1e-4, atol=1e-6)
