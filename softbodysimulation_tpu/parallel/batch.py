@@ -193,6 +193,88 @@ def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,
     return run
 
 
+def make_differentiable_sharded_mesh_rollout(topo, cfg: SolverConfig,
+                                             dt_sub: float, n_substeps: int,
+                                             mesh: Mesh, n_bodies: int,
+                                             axis: str = "dp",
+                                             per_body_mass: bool = False,
+                                             remat_chunk: int = 0,
+                                             **kernel_kw):
+    """DISTRIBUTED differentiable farm: ``make_sharded_mesh_pallas_rollout``
+    as the primal (one fused ensemble kernel per chip, zero hot-loop
+    collectives) custom-VJP-paired with the same sharding of the vmapped
+    XLA engine — ``jax.grad`` of a loss over the whole multi-chip farm
+    returns per-body gradients with the shard_map transpose inserting
+    exactly the collectives the sharding implies (a ``psum`` over chips
+    for the replicated ``inv_mass`` leaf, none for the split body leaves).
+    Semantics match the rollout's ``with_ext=True`` contract (ext consumed
+    on the first substep, zeroed after); ``remat_chunk`` chunks the
+    ext-free tail of the backward (see ``kernels.diff._substep_rollout``).
+    Training loops over body farms too big for one chip — no reference
+    counterpart at any distance."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..kernels.diff import _check_chunk, _substep_rollout, pair_with_vjp
+
+    _check_chunk(max(n_substeps - 1, 1), remat_chunk)
+    pal = make_sharded_mesh_pallas_rollout(
+        topo, cfg, dt_sub, n_substeps, mesh, n_bodies, axis=axis,
+        per_body_mass=per_body_mass, **kernel_kw)
+    has_tets = cfg.enable_tet_volume and topo.n_tets > 0
+
+    def one(state: SimState) -> SimState:
+        s = _general._substep(state, topo, cfg, dt_sub, apply_ext=True)
+        if n_substeps > 1:
+            roll = _substep_rollout(
+                lambda c: _general._substep(c, topo, cfg, dt_sub,
+                                            apply_ext=False),
+                n_substeps - 1, remat_chunk)
+            s = roll(s)
+        return s.replace(ext_force=jnp.zeros_like(state.ext_force))
+
+    def local_arrays(pos, vel, ext, lam, lamb, w, *rest):
+        def body(p, v, f, ld, lb, *r):
+            st = SimState(
+                positions=p, velocities=v,
+                inv_mass=r[-1] if per_body_mass else w,
+                ext_force=f, lambda_dist=ld, lambda_bend=lb,
+                lambda_volume=jnp.zeros((), jnp.float32),
+                lambda_tet=r[0] if has_tets else None)
+            out = one(st)
+            return ((out.positions, out.velocities, out.ext_force,
+                     out.lambda_dist, out.lambda_bend)
+                    + ((out.lambda_tet,) if has_tets else ()))
+
+        margs = (pos, vel, ext, lam, lamb) + rest
+        if per_body_mass:
+            margs = margs + (w,)
+        return jax.vmap(body)(*margs)
+
+    n_out = 6 if has_tets else 5
+    w_spec = P(axis) if per_body_mass else P()
+    fn = shard_map(local_arrays, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                             w_spec) + ((P(axis),) if has_tets else ()),
+                   out_specs=(P(axis),) * n_out,
+                   check_rep=False)
+
+    @jax.jit
+    def ref(batched: SimState) -> SimState:
+        args = [batched.positions, batched.velocities, batched.ext_force,
+                batched.lambda_dist, batched.lambda_bend, batched.inv_mass]
+        if has_tets:
+            args.append(batched.lambda_tet)
+        res = fn(*args)
+        out = batched.replace(positions=res[0], velocities=res[1],
+                              ext_force=res[2], lambda_dist=res[3],
+                              lambda_bend=res[4])
+        if has_tets:
+            out = out.replace(lambda_tet=res[5])
+        return out
+
+    return pair_with_vjp(pal, ref)
+
+
 def make_sharded_general_step(topo, cfg: SolverConfig, dt: float, mesh: Mesh,
                               n_steps: int = 1, axis: str = "dp"):
     """Batched GENERAL-engine (arbitrary mesh) step sharded over chips: the
