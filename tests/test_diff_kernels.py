@@ -601,3 +601,49 @@ def test_volume_ensemble_lambda_contract():
     assert abs(float(val_p) - float(val_r)) / abs(float(val_r)) < 1e-4
     np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_r),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_diff_runner_colored_bending_grads():
+    """COLORED exact-GS mode with bending stays differentiable through the
+    paired runner: the in-kernel color sweeps carry the primal and the
+    engine's color-bucket scatters carry the backward."""
+    from jax import lax
+
+    m = mesh.icosphere(1)
+    mt = build.topology_from_mesh(
+        m, compliance=1e-4, bending=True, bend_compliance=1e-3,
+        windowed="colored", block_edges=128)
+    pos, topo = mt
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.01,
+                       solve_mode=SolveMode.COLORED,
+                       enable_bending=True,
+                       distance_backend="windowed",
+                       ground_height=-2.0)
+    st = state_from_topology(topo, pos + np.array([0, 0.5, 0], np.float32))
+    n_sub = 4
+
+    def loss_ref(scale):
+        s = st.replace(positions=st.positions * scale)
+
+        def body(carry, _):
+            return general._substep(carry, topo, cfg, DT_SUB,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, s, None, length=n_sub)
+        return jnp.sum(out.positions ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = kdiff.make_differentiable_mesh_runner(
+            topo, cfg, DT_SUB, n_sub, block_edges=128)
+
+        def loss_pal(scale):
+            s = st.replace(positions=st.positions * scale)
+            return jnp.sum(fused(s).positions ** 2)
+
+        val_p, grad_p = jax.value_and_grad(loss_pal)(jnp.float32(1.02))
+    val_r, grad_r = jax.value_and_grad(loss_ref)(jnp.float32(1.02))
+    assert abs(float(val_p) - float(val_r)) / max(abs(float(val_r)),
+                                                  1e-9) < 1e-4
+    assert abs(float(grad_p) - float(grad_r)) / max(abs(float(grad_r)),
+                                                    1e-9) < 1e-4
+    assert abs(float(grad_r)) > 1e-3
