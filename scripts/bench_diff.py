@@ -135,6 +135,36 @@ def main():
     rate = measure_scalar(vg_m, mats0, n * GRAD_SUBSTEPS)
     emit(row="grad_materials", particle_substeps_per_s=float(f"{rate:.4g}"))
 
+    # --- population material farm: B candidates/gradients per call ---
+    nb = int(os.environ.get("BENCH_FARM_BODIES", "16"))
+    zb = jnp.broadcast_to
+    batched = st.replace(
+        positions=zb(st.positions[None], (nb,) + st.positions.shape),
+        velocities=zb(st.velocities[None], (nb,) + st.velocities.shape),
+        ext_force=zb(st.ext_force[None], (nb,) + st.ext_force.shape),
+        lambda_dist=zb(st.lambda_dist[None], (nb,) + st.lambda_dist.shape),
+        lambda_bend=zb(st.lambda_bend[None], (nb,) + st.lambda_bend.shape))
+    scales = 1.0 + 0.02 * jnp.arange(nb, dtype=jnp.float32)[:, None]
+    mats_b = {"rest_lengths": topo.rest_lengths[None] * scales,
+              "compliance": zb(topo.compliance[None],
+                               (nb,) + topo.compliance.shape)}
+
+    # fused ensemble primal: B candidate materials advance per call
+    farm_p = mesh_pallas.make_mesh_substep_runner(
+        topo, cfg, DT_SUB, PRIMAL_SUBSTEPS, n_bodies=nb, batched=True)
+    rate = measure_scalar(lambda s: farm_p(s, mats_b).positions, batched,
+                          nb * n * PRIMAL_SUBSTEPS)
+    emit(row=f"primal_material_farm_x{nb}",
+         particle_substeps_per_s=float(f"{rate:.4g}"))
+
+    farm_g = kdiff.make_differentiable_material_ensemble_runner(
+        topo, cfg, DT_SUB, GRAD_SUBSTEPS, n_bodies=nb)
+    vg_f = jax.jit(jax.value_and_grad(
+        lambda mats: jnp.sum(farm_g(batched, mats).positions ** 2)))
+    rate = measure_scalar(vg_f, mats_b, nb * n * GRAD_SUBSTEPS)
+    emit(row=f"grad_material_farm_x{nb}",
+         particle_substeps_per_s=float(f"{rate:.4g}"))
+
 
 if __name__ == "__main__":
     main()
