@@ -339,6 +339,71 @@ def tet_ball(dt: float = 1 / 60, subdiv: int = 2):
     return state, step, {"topology": topo, "config": cfg, "dt": dt}
 
 
+def ball_on_cloth(dt: float = 1 / 60, cloth_res: int = 24,
+                  ball_subdiv: int = 1):
+    """Two soft bodies in contact: a pressurized solid ball dropped onto a
+    horizontal cloth pinned around its rim.  Multi-body interaction is a
+    COMPOSITION property here, not a feature: both bodies are merged into
+    one topology (disjoint constraint ranges, per-edge compliances), and the
+    existing self-collision backends resolve the INTER-body contact exactly
+    as they resolve intra-body contact — no body IDs, no pair tables.
+
+    Beyond the reference: each Unity ``SoftBodySimulator`` instance owns a
+    single mesh and bodies never interact (``SoftBodySimulator.cs`` has no
+    inter-object contact path; only the unused ``SphereCollision`` helper,
+    ``XPBDSimulatorCS.compute:213-217``, gestured at particle contact)."""
+    from ..interact import forces as _forces
+    from ..topology import edges as _tedges
+    from ..topology import tets as _tets
+
+    # cloth: XZ grid at y = 1, every rim vertex pinned (a trampoline)
+    cm = _mesh.grid_plane(1.2, cloth_res)
+    cverts = cm.vertices + np.array([0.0, 1.0, 0.0], np.float32)
+    cedges = _tedges.unique_edges(cm.triangles)
+    chinges = _tedges.hinges(cm.triangles)
+
+    # ball: centroid-fan solid (the tet_ball construction), centered above
+    bm = _mesh.icosphere(ball_subdiv, radius=0.18)
+    bverts, btets = _tets.tets_from_surface_centroid(bm.vertices,
+                                                     bm.triangles)
+    bverts = (bverts + np.array([0.0, 1.45, 0.0])).astype(np.float32)
+    bedges = _tets.tet_edges(btets)
+    bfaces = _tets.boundary_faces(btets)
+
+    nc = cverts.shape[0]
+    pos = np.concatenate([cverts, bverts], axis=0)
+    edges_all = np.concatenate([cedges, bedges + nc], axis=0)
+    comp = np.concatenate([
+        np.full(len(cedges), 1e-5, np.float32),   # stretchy cloth
+        np.full(len(bedges), 1e-4, np.float32),   # softer ball shell
+    ])
+    topo = _build.build_topology(
+        pos, edges_all, comp,
+        hinges=chinges, bend_compliance=1e-3,
+        triangles=np.concatenate([cm.triangles, bfaces + nc], axis=0),
+        tets=btets + nc, tet_compliance=0.0)
+    # particle_radius: 2r must stay under the cloth grid spacing
+    # (1.2/(res-1) ~ 0.052) so bonded neighbours never register contact,
+    # while r stays above the per-substep fall distance (~0.007) so the
+    # ball cannot tunnel between cloth nodes.
+    cfg = SolverConfig(substeps=6, iterations=4, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       enable_bending=True,
+                       enable_tet_volume=True, tet_pressure=1.05,
+                       enable_self_collision=True,
+                       self_collision_backend="dense",
+                       particle_radius=0.024,
+                       ground_height=0.0, friction=0.3)
+    state = state_from_topology(topo, pos)
+    ii, jj = np.divmod(np.arange(nc), cloth_res)
+    rim = np.flatnonzero((ii % (cloth_res - 1) == 0)
+                         | (jj % (cloth_res - 1) == 0))
+    state = _forces.pin_indices(state, rim, pinned=True)
+    step = _general.make_step(topo, cfg, dt)
+    return state, step, {"topology": topo, "config": cfg, "dt": dt,
+                         "n_cloth": nc}
+
+
 SCENES: Dict[str, Callable] = {
     "cpu_cube": cpu_cube,
     "cpu_mesh": cpu_mesh,
@@ -353,4 +418,5 @@ SCENES: Dict[str, Callable] = {
     "tet_cube": tet_cube,
     "tet_ball": tet_ball,
     "solid_lattice": solid_lattice,
+    "ball_on_cloth": ball_on_cloth,
 }
