@@ -371,28 +371,30 @@ def ball_on_cloth(dt: float = 1 / 60, cloth_res: int = 24,
     bfaces = _tets.boundary_faces(btets)
 
     nc = cverts.shape[0]
-    pos = np.concatenate([cverts, bverts], axis=0)
-    edges_all = np.concatenate([cedges, bedges + nc], axis=0)
-    comp = np.concatenate([
-        np.full(len(cedges), 1e-5, np.float32),   # stretchy cloth
-        np.full(len(bedges), 1e-4, np.float32),   # softer ball shell
+    pos, topo, _slices = _build.merge_topologies([
+        _build.BodySpec(cverts, cedges, 1e-5,                # stiff cloth
+                        hinges=chinges, bend_compliance=1e-3,
+                        triangles=cm.triangles),
+        _build.BodySpec(bverts, bedges, 1e-4,     # 10x softer ball shell
+                        triangles=bfaces, tets=btets, tet_compliance=0.0),
     ])
-    topo = _build.build_topology(
-        pos, edges_all, comp,
-        hinges=chinges, bend_compliance=1e-3,
-        triangles=np.concatenate([cm.triangles, bfaces + nc], axis=0),
-        tets=btets + nc, tet_compliance=0.0)
-    # particle_radius: 2r must stay under the cloth grid spacing
-    # (1.2/(res-1) ~ 0.052) so bonded neighbours never register contact,
-    # while r stays above the per-substep fall distance (~0.007) so the
-    # ball cannot tunnel between cloth nodes.
+    # particle_radius: 2r must stay under the cloth grid spacing so bonded
+    # neighbours never register contact (derived, so any cloth_res keeps
+    # the invariant), while r stays above the per-substep fall distance
+    # (~0.007) so the ball cannot tunnel between cloth nodes.
+    spacing = 1.2 / (cloth_res - 1)
+    particle_radius = round(0.45 * spacing, 4)
+    assert 2.0 * particle_radius < spacing
+    assert particle_radius > 0.008, (
+        f"cloth_res={cloth_res}: grid spacing {spacing:.4f} gives a contact "
+        "radius below the per-substep fall distance — the ball would tunnel")
     cfg = SolverConfig(substeps=6, iterations=4, damping=0.02,
                        solve_mode=SolveMode.JACOBI,
                        enable_bending=True,
                        enable_tet_volume=True, tet_pressure=1.05,
                        enable_self_collision=True,
                        self_collision_backend="dense",
-                       particle_radius=0.024,
+                       particle_radius=particle_radius,
                        ground_height=0.0, friction=0.3)
     state = state_from_topology(topo, pos)
     ii, jj = np.divmod(np.arange(nc), cloth_res)

@@ -411,3 +411,124 @@ def topology_from_mesh(
         **kw,
     )
     return verts.astype(np.float32), topo
+
+
+class BodySpec:
+    """Host-side description of ONE soft body, for ``merge_topologies``.
+
+    A thin record of the same arrays ``build_topology`` takes — positions
+    plus optional constraint families with per-body (scalar or per-element)
+    compliances.  Indices are LOCAL to the body; merging offsets them.
+    """
+
+    def __init__(self, positions, edges=None, compliance=1e-4,
+                 hinges=None, bend_compliance=0.1,
+                 triangles=None, tets=None, tet_compliance=0.0):
+        self.positions = np.asarray(positions, np.float64).reshape(-1, 3)
+        n = self.positions.shape[0]
+        self.edges = (np.zeros((0, 2), np.int32) if edges is None
+                      else np.asarray(edges, np.int32).reshape(-1, 2))
+        self.hinges = (np.zeros((0, 4), np.int32) if hinges is None
+                       else np.asarray(hinges, np.int32).reshape(-1, 4))
+        self.triangles = (np.zeros((0, 3), np.int32) if triangles is None
+                          else np.asarray(triangles, np.int32).reshape(-1, 3))
+        self.tets = (np.zeros((0, 4), np.int32) if tets is None
+                     else np.asarray(tets, np.int32).reshape(-1, 4))
+        for name, arr in (("edges", self.edges), ("hinges", self.hinges),
+                          ("triangles", self.triangles), ("tets", self.tets)):
+            if arr.size and (arr.min() < 0 or arr.max() >= n):
+                raise ValueError(f"{name} index out of range for body "
+                                 f"with {n} particles")
+        self.compliance = np.broadcast_to(
+            np.asarray(compliance, np.float32),
+            (self.edges.shape[0],)).copy()
+        self.bend_compliance = np.broadcast_to(
+            np.asarray(bend_compliance, np.float32),
+            (self.hinges.shape[0],)).copy()
+        self.tet_compliance = np.broadcast_to(
+            np.asarray(tet_compliance, np.float32),
+            (self.tets.shape[0],)).copy()
+
+
+class BodySlices:
+    """Per-body index ranges into a merged topology: ``particles``,
+    ``edges``, ``hinges``, ``triangles``, ``tets`` are ``slice`` objects
+    into the corresponding merged arrays (positions / constraint rows)."""
+
+    def __init__(self, particles, edges, hinges, triangles, tets):
+        self.particles = particles
+        self.edges = edges
+        self.hinges = hinges
+        self.triangles = triangles
+        self.tets = tets
+
+    def __repr__(self):
+        return (f"BodySlices(particles={self.particles}, "
+                f"edges={self.edges}, hinges={self.hinges}, "
+                f"triangles={self.triangles}, tets={self.tets})")
+
+
+def merge_topologies(bodies, **build_kwargs):
+    """Merge several bodies into ONE topology sharing a particle index
+    space — the first-class construction behind multi-body scenes
+    (``core/scenes.ball_on_cloth``): constraint families stay disjoint
+    per body, and the self-collision backends then resolve INTER-body
+    contact exactly as intra-body contact, with no body IDs or pair
+    tables (the capability Unity delegated to PhysX triggers,
+    ``SoftBodyController.cs:110-118`` — here it composes for free).
+
+    bodies — sequence of ``BodySpec`` (or kwargs-dicts for BodySpec).
+    build_kwargs — forwarded to ``build_topology`` (coloring runs on the
+    merged graph; bodies are disjoint so per-body colorings stay valid,
+    but merged coloring may use fewer colors).
+
+    Returns ``(positions (N,3) f32, Topology, [BodySlices])``.
+    """
+    specs = [b if isinstance(b, BodySpec) else BodySpec(**b) for b in bodies]
+    if not specs:
+        raise ValueError("merge_topologies needs at least one body")
+
+    pos_parts, slices = [], []
+    edge_parts, comp_parts = [], []
+    hinge_parts, bcomp_parts = [], []
+    tri_parts = []
+    tet_parts, tcomp_parts = [], []
+    np_off = ne_off = nh_off = nt_off = ntet_off = 0
+    for s in specs:
+        n, e = s.positions.shape[0], s.edges.shape[0]
+        h, t = s.hinges.shape[0], s.triangles.shape[0]
+        tt = s.tets.shape[0]
+        slices.append(BodySlices(
+            particles=slice(np_off, np_off + n),
+            edges=slice(ne_off, ne_off + e),
+            hinges=slice(nh_off, nh_off + h),
+            triangles=slice(nt_off, nt_off + t),
+            tets=slice(ntet_off, ntet_off + tt)))
+        pos_parts.append(s.positions)
+        edge_parts.append(s.edges + np_off)
+        comp_parts.append(s.compliance)
+        hinge_parts.append(s.hinges + np_off)
+        bcomp_parts.append(s.bend_compliance)
+        tri_parts.append(s.triangles + np_off)
+        tet_parts.append(s.tets + np_off)
+        tcomp_parts.append(s.tet_compliance)
+        np_off += n
+        ne_off += e
+        nh_off += h
+        nt_off += t
+        ntet_off += tt
+
+    pos = np.concatenate(pos_parts, axis=0)
+    tets = np.concatenate(tet_parts, axis=0)
+    topo = build_topology(
+        pos,
+        np.concatenate(edge_parts, axis=0),
+        np.concatenate(comp_parts, axis=0),
+        hinges=np.concatenate(hinge_parts, axis=0),
+        bend_compliance=np.concatenate(bcomp_parts, axis=0),
+        triangles=np.concatenate(tri_parts, axis=0),
+        tets=tets if tets.shape[0] else None,
+        tet_compliance=np.concatenate(tcomp_parts, axis=0),
+        **build_kwargs,
+    )
+    return pos.astype(np.float32), topo, slices
