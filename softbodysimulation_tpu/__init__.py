@@ -16,6 +16,11 @@ from .core.config import (
     SolveMode,
     SolverConfig,
 )
+from .core.colliders import (
+    ColliderSet,
+    colliders_from_config,
+    make_colliders,
+)
 from .core.state import (
     SimState,
     Topology,
@@ -36,6 +41,9 @@ __all__ = [
     "FloorMode",
     "SimState",
     "Topology",
+    "ColliderSet",
+    "make_colliders",
+    "colliders_from_config",
     "make_state",
     "state_from_topology",
     "is_finite",

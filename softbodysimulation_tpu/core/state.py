@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .colliders import ColliderSet
+
 
 def _register(cls, data_fields, meta_fields=()):
     jax.tree_util.register_dataclass(
@@ -61,6 +63,13 @@ class SimState:
     lambda_tet: Optional[jax.Array] = None   # (T,) f32 per-tet volume
     #   multipliers; None (an empty pytree) when the topology carries no
     #   tets, so tet-free states keep their original tree structure
+    colliders: Optional["ColliderSet"] = None  # kinematic rigid world
+    #   (core/colliders.py).  None (default) = the rigid world is the
+    #   config constants (round-3 behavior, bitwise).  Present = these
+    #   traced poses REPLACE cfg.sphere_colliders / box_colliders /
+    #   ground_height, so colliders animate per step with no recompile
+    #   (the capability PhysX gave the reference for free,
+    #   SoftBodyController.cs:110-118, SoftBodySimulator.cs:777-788).
 
     @property
     def n_particles(self) -> int:
@@ -85,6 +94,7 @@ _register(
         "lambda_bend",
         "lambda_volume",
         "lambda_tet",
+        "colliders",
     ),
 )
 

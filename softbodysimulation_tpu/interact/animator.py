@@ -121,3 +121,52 @@ def scheduled_rollout(state: SimState, step_fn, animations, dt: float,
 
     out, _ = lax.scan(body, state, jnp.arange(n_steps))
     return out
+
+
+def kinematic_rollout(state: SimState, step_fn, n_steps: int, dt: float,
+                      sphere_traj=None, box_traj=None,
+                      ground_traj=None) -> SimState:
+    """Run ``n_steps`` steps with the RIGID WORLD scripted on device: the
+    kinematic-collider analog of ``scheduled_rollout`` (and of the
+    reference's moving PhysX colliders, ``SoftBodyController.cs:110-118``).
+
+    The state must carry a ``ColliderSet`` (``core/colliders.py``); each
+    scan step installs that step's poses from the trajectory arrays before
+    stepping, so a scripted sphere sweep / paddle stroke runs as ONE
+    compiled program.  Differentiable: gradients flow from any loss on the
+    final state back to the pose trajectories (contact-rich control).
+
+    sphere_traj — (T, S, 4) per-step sphere poses; collider velocities for
+                  the friction frame are derived by forward difference of
+                  the centers (the velocity DURING step i).
+    box_traj    — (T, B, 6) per-step box poses, same treatment.
+    ground_traj — (T,) per-step ground heights.
+    """
+    from jax import lax
+
+    if state.colliders is None:
+        raise ValueError("kinematic_rollout needs state.colliders "
+                         "(make one with core.colliders.make_colliders)")
+
+    def fwd_vel(traj):
+        # velocity during step i = (pose[i+1] - pose[i]) / dt; last step
+        # holds (zero velocity), matching a trajectory that stops there
+        d = jnp.diff(traj[..., :3], axis=0) / dt
+        return jnp.concatenate([d, jnp.zeros_like(d[:1])], axis=0)
+
+    sph_v = None if sphere_traj is None else fwd_vel(sphere_traj)
+    box_v = None if box_traj is None else fwd_vel(box_traj)
+
+    def body(carry, i):
+        c = carry.colliders
+        if sphere_traj is not None:
+            c = c.replace(spheres=sphere_traj[i],
+                          sphere_velocities=sph_v[i])
+        if box_traj is not None:
+            c = c.replace(boxes=box_traj[i], box_velocities=box_v[i])
+        if ground_traj is not None:
+            c = c.replace(ground_height=ground_traj[i])
+        return step_fn(carry.replace(colliders=c)), None
+
+    out, _ = lax.scan(body, state, jnp.arange(n_steps))
+    return out

@@ -427,6 +427,10 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
 
     @jax.jit
     def fn(state: SimState) -> SimState:
+        if state.colliders is not None:
+            raise NotImplementedError(
+                "resident kernel: kinematic ColliderSets run on the "
+                "streamed kernel (kin_colliders=...) or the XLA engines")
         # (N,3) x-major -> (3, res, res^2)
         x = state.positions.T.reshape(3, res, r2)
         v = state.velocities.T.reshape(3, res, r2)
@@ -463,7 +467,8 @@ def make_pallas_substep_runner(spec: LatticeSpec, cfg: SolverConfig,
 
 
 def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
-                     n_steps: int = 1, loop_inside: bool = True):
+                     n_steps: int = 1, loop_inside: bool = True,
+                     kin_colliders=None):
     """Full step semantics fused in one kernel: ``n_steps`` frames of
     ``cfg.substeps`` substeps each, ``state.ext_force`` consumed on the
     first substep and zeroed after — drop-in for
@@ -474,15 +479,23 @@ def make_pallas_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
     with_ext path refuses (big res, joint g+ext max_force clamping).
     Self-colliding configs with a contact cadence that divides the frame
     (``self_collision_every >= 2`` and ``substeps % every == 0``) route to
-    ``make_hybrid_contact_step`` — contact-free substeps stay fused."""
+    ``make_hybrid_contact_step`` — contact-free substeps stay fused.
+    ``kin_colliders=(S, B)``: the state's ColliderSet poses enter the
+    kernel as traced data (animated rigid world, no recompiles)."""
     if (cfg.enable_self_collision and cfg.self_collision_every >= 2
             and cfg.substeps % cfg.self_collision_every == 0):
+        if kin_colliders is not None:
+            raise NotImplementedError(
+                "hybrid contact cadence with kinematic colliders is not "
+                "fused yet — use the stencil engine for this config")
         return make_hybrid_contact_step(spec, cfg, dt, n_steps=n_steps)
     try:
         return make_pallas_substep_runner_streamed(
             spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
-            with_ext=True)
+            with_ext=True, kin_colliders=kin_colliders)
     except NotImplementedError:
+        if kin_colliders is not None:
+            raise
         return make_pallas_substep_runner(
             spec, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
             loop_inside=loop_inside, with_ext=True)
@@ -497,7 +510,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         with_ext: bool = False,
                                         dc_cache=None,
                                         mask_cache=None,
-                                        static_denom: bool = False):
+                                        static_denom: bool = False,
+                                        kin_colliders=None):
     """The flagship fused kernel: per-coordinate-plane structure with a
     residency ladder.  Positions, predictions and inverse masses are
     always VMEM-resident; velocities and the per-family multipliers are
@@ -559,6 +573,22 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     inv_dt2 = 1.0 / (dt * dt)
     gx, gy, gz = cfg.gravity
     relax = 0.5 * (cfg.omega if cfg.omega > 0 else 1.0)
+
+    # Kinematic rigid world (core/colliders.ColliderSet): when
+    # ``kin_colliders=(S, B)`` the collider POSES enter the kernel as one
+    # small traced VMEM block instead of baked constants — row 0 lane 0 is
+    # the ground height, rows 1..S are sphere (cx,cy,cz,r | vx,vy,vz), rows
+    # 1+S..1+S+B are box (cx,cy,cz,hx,hy,hz | vx,vy,vz) — so collider
+    # animation never recompiles the Mosaic program and the velocities put
+    # friction in the moving collider's frame (engines' contract).  The
+    # config's sphere/box/ground constants are ignored, exactly as when a
+    # state carries a ColliderSet on the XLA engines.
+    kin = kin_colliders is not None
+    if kin:
+        kin_s, kin_b = int(kin_colliders[0]), int(kin_colliders[1])
+        kin_rows = 1 + kin_s + kin_b
+    else:
+        kin_s = kin_b = kin_rows = 0
 
     # In-kernel per-cell tet-volume sweep (solvers/lattice._tet_sweep
     # semantics): the 6 Kuhn paths as offset families, all projecting
@@ -742,6 +772,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         if has_tets:
             lamt_hbm = refs.pop(0)
             wt_ref = refs.pop(0)
+        coll_ref = refs.pop(0) if kin else None
         xo_ref, vo_hbm, lamo_hbm = refs[:3]
         del refs[:3]
         if has_tets:
@@ -1200,7 +1231,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
 
                     # ---- contacts (componentwise; mirrors resident kernel)
                     if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
-                        gh = cfg.ground_height
+                        gh = coll_ref[0, 0] if kin else cfg.ground_height
                         pen = gh - pred[1]
                         alpha_c = cfg.collision_compliance * inv_dt2
                         denom = w + alpha_c
@@ -1214,11 +1245,27 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             hit, (pred[0] - xo_ref[0]) * fr, 0.0)
                         pred[2] = pred[2] - jnp.where(
                             hit, (pred[2] - xo_ref[2]) * fr, 0.0)
-                    if cfg.box_colliders:
+                    n_box = kin_b if kin else len(cfg.box_colliders)
+                    if n_box:
                         # componentwise box SDF (same math as the resident
-                        # kernel / ops/collision.box_sdf_project)
+                        # kernel / ops/collision.box_sdf_project); kinematic
+                        # poses read from coll_ref rows 1+S..1+S+B
                         fr = min(max(cfg.friction, 0.0), 1.0)
-                        for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
+                        for bi in range(n_box):
+                            if kin:
+                                row = 1 + kin_s + bi
+                                cx, cy, cz = (coll_ref[row, 0],
+                                              coll_ref[row, 1],
+                                              coll_ref[row, 2])
+                                hx, hy, hz = (coll_ref[row, 3],
+                                              coll_ref[row, 4],
+                                              coll_ref[row, 5])
+                                bv = (coll_ref[row, 6], coll_ref[row, 7],
+                                      coll_ref[row, 8])
+                            else:
+                                cx, cy, cz, hx, hy, hz = \
+                                    cfg.box_colliders[bi]
+                                bv = None
                             loc = [pred[0] - cx, pred[1] - cy, pred[2] - cz]
                             fd = [hx - jnp.abs(loc[0]),
                                   hy - jnp.abs(loc[1]),
@@ -1237,16 +1284,33 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             vn = None
                             for c in range(3):
                                 velc = (pred[c] - xo_ref[c]) / dt
+                                if bv is not None:
+                                    velc = velc - bv[c]
                                 vn = (velc * nvec[c] if vn is None
                                       else vn + velc * nvec[c])
                             for c in range(3):
                                 velc = (pred[c] - xo_ref[c]) / dt
+                                if bv is not None:
+                                    velc = velc - bv[c]
                                 vt = velc - vn * nvec[c]
                                 pred[c] = pred[c] - jnp.where(
                                     act, vt * (dt * fr), 0.0)
-                    if cfg.sphere_colliders:
+                    n_sph = kin_s if kin else len(cfg.sphere_colliders)
+                    if n_sph:
                         fr = min(max(cfg.friction, 0.0), 1.0)
-                        for cx, cy, cz, radius in cfg.sphere_colliders:
+                        for si in range(n_sph):
+                            if kin:
+                                row = 1 + si
+                                cx, cy, cz = (coll_ref[row, 0],
+                                              coll_ref[row, 1],
+                                              coll_ref[row, 2])
+                                radius = coll_ref[row, 3]
+                                sv = (coll_ref[row, 4], coll_ref[row, 5],
+                                      coll_ref[row, 6])
+                            else:
+                                cx, cy, cz, radius = \
+                                    cfg.sphere_colliders[si]
+                                sv = None
                             dvs = [pred[0] - cx, pred[1] - cy, pred[2] - cz]
                             dist = jnp.sqrt(jnp.maximum(
                                 dvs[0] ** 2 + dvs[1] ** 2 + dvs[2] ** 2,
@@ -1262,11 +1326,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                             for c in range(3):
                                 nc = dvs[c] / dist
                                 velc = (pred[c] - xo_ref[c]) / dt
+                                if sv is not None:
+                                    # friction in the moving collider's
+                                    # frame (a sweeping sphere drags)
+                                    velc = velc - sv[c]
                                 vn = (velc * nc if vn is None
                                       else vn + velc * nc)
                             for c in range(3):
                                 nc = dvs[c] / dist
                                 velc = (pred[c] - xo_ref[c]) / dt
+                                if sv is not None:
+                                    velc = velc - sv[c]
                                 vt = velc - vn * nc
                                 pred[c] = pred[c] - jnp.where(
                                     act, vt * (dt * fr), 0.0)
@@ -1282,7 +1352,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     for c in range(3):
                         vbuf[c] = jnp.where(
                             pinned, 0.0, (pred[c] - xo_ref[c]) / dt)
-                    gh = cfg.ground_height
+                    gh = coll_ref[0, 0] if kin else cfg.ground_height
                     x1 = jnp.where(pinned, xo_ref[1], pred[1])
                     pen = gh - x1
                     hit = (pen > 0) & (w > 0)
@@ -1387,6 +1457,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         out_shape.append(
             jax.ShapeDtypeStruct((6, res, r2p), jnp.float32))  # tet lambda
         out_specs.append(aspec)
+    if kin:
+        in_specs.append(vspec)       # packed kinematic collider poses
     call = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -1457,6 +1529,31 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         if has_tets:
             # mass-splitting apply plane (pads carry w=0 -> wt=0)
             args = args + (lamt, w / _tdeg_wide)
+        if kin:
+            coll = state.colliders
+            if coll is None:
+                raise ValueError(
+                    "runner built with kin_colliders needs a state "
+                    "carrying a ColliderSet (core.colliders.make_colliders)")
+            if coll.n_spheres != kin_s or coll.n_boxes != kin_b:
+                raise ValueError(
+                    f"ColliderSet counts ({coll.n_spheres} spheres, "
+                    f"{coll.n_boxes} boxes) do not match the runner's "
+                    f"kin_colliders=({kin_s}, {kin_b})")
+            ca = jnp.zeros((kin_rows, 128), jnp.float32)
+            ca = ca.at[0, 0].set(coll.ground_height)
+            if kin_s:
+                ca = ca.at[1:1 + kin_s, :4].set(coll.spheres)
+                ca = ca.at[1:1 + kin_s, 4:7].set(coll.sphere_velocities)
+            if kin_b:
+                ca = ca.at[1 + kin_s:, :6].set(coll.boxes)
+                ca = ca.at[1 + kin_s:, 6:9].set(coll.box_velocities)
+            args = args + (ca,)
+        elif state.colliders is not None:
+            raise NotImplementedError(
+                "this runner was built without kin_colliders; rebuild with "
+                "kin_colliders=(n_spheres, n_boxes) to animate colliders")
+        if has_tets:
             xo, vo, lamo, lamto = call(*args)
         else:
             xo, vo, lamo = call(*args)

@@ -1,9 +1,22 @@
-"""Collision projections: ground plane (two semantics) + sphere SDFs (jnp).
+"""Collision projections: ground plane (two semantics) + sphere/box SDFs.
 
-Replaces the reference's PhysX-raycast floor discovery
-(``SoftBodySimulator.cs:777-788``) with a static scene description — the
-ground height and sphere colliders are solver-config constants baked into the
-compiled program, so collision handling never leaves the device.
+Two rigid-world sources, one set of formulas:
+
+* **Config constants** (round-3 behavior): ``cfg.ground_height`` /
+  ``cfg.sphere_colliders`` / ``cfg.box_colliders`` are Python constants
+  baked into the compiled program — the static replacement for the
+  reference's PhysX-raycast floor discovery (``SoftBodySimulator.cs:777-788``).
+* **Traced poses** (kinematic rigid world, ``core/colliders.ColliderSet``):
+  every function below takes optional explicit operands — a traced scalar
+  ``ground_height``, an ``(S, 4)`` ``spheres`` array, a ``(B, 6)`` ``boxes``
+  array, and per-collider velocities for the friction frame.  Same formulas,
+  traced instead of folded, so collider poses animate per step without
+  recompiles (the reference's moving PhysX colliders,
+  ``SoftBodyController.cs:110-118``).  With zero collider velocities the
+  arithmetic matches the constant path exactly.
+
+The loops over colliders unroll at trace time (collider COUNT is static);
+only the poses are data.
 """
 
 from __future__ import annotations
@@ -13,11 +26,13 @@ import jax.numpy as jnp
 from ..core.config import SolverConfig
 
 
-def floor_project_xpbd(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
+def floor_project_xpbd(pred, prev_pos, inv_mass, dt, cfg: SolverConfig,
+                       ground_height=None):
     """Position-level inequality ground constraint + positional friction
     (``SoftBodyCPU.cs:352-400``).  Applied to predicted positions during
-    solver iterations."""
-    gh = cfg.ground_height
+    solver iterations.  ``ground_height`` (traced scalar) overrides the
+    config constant when given."""
+    gh = cfg.ground_height if ground_height is None else ground_height
     pen = gh - pred[:, 1]                       # >0 when below ground
     alpha = cfg.collision_compliance / (dt * dt)
     denom = inv_mass + alpha
@@ -37,12 +52,13 @@ def floor_project_xpbd(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
     return pred
 
 
-def floor_velocity_reflect(pos, vel, inv_mass, dt, cfg: SolverConfig):
+def floor_velocity_reflect(pos, vel, inv_mass, dt, cfg: SolverConfig,
+                           ground_height=None):
     """Velocity-level floor response of the flagship kernel
     ``ApplyFloorConstraint`` (``XPBDSoftBody.compute:272-316``): project to
     floor + offset, restitution plus penetration-proportional kick, and
     velocity-level friction scaled by a pseudo normal force."""
-    gh = cfg.ground_height
+    gh = cfg.ground_height if ground_height is None else ground_height
     pen = gh - pos[:, 1]
     hit = (pen > 0) & (inv_mass > 0)
 
@@ -65,13 +81,25 @@ def floor_velocity_reflect(pos, vel, inv_mass, dt, cfg: SolverConfig):
     return pos, vel
 
 
-def box_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
-    """Project predicted positions out of static axis-aligned boxes with
+def _box_rows(cfg: SolverConfig, boxes):
+    """Static unroll list of (center(3,), half(3,)) operand pairs."""
+    if boxes is None:
+        return [(jnp.array([cx, cy, cz], jnp.float32),
+                 jnp.array([hx, hy, hz], jnp.float32))
+                for cx, cy, cz, hx, hy, hz in cfg.box_colliders]
+    return [(boxes[i, :3], boxes[i, 3:]) for i in range(boxes.shape[0])]
+
+
+def box_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig,
+                    boxes=None, box_velocities=None):
+    """Project predicted positions out of axis-aligned boxes with
     positional friction.  A point inside the box is pushed out through its
-    nearest face (the standard box-SDF interior gradient)."""
-    for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
-        center = jnp.array([cx, cy, cz], dtype=pred.dtype)
-        half = jnp.array([hx, hy, hz], dtype=pred.dtype)
+    nearest face (the standard box-SDF interior gradient).  ``boxes``
+    ((B, 6) traced) overrides ``cfg.box_colliders``; ``box_velocities``
+    ((B, 3)) puts the friction in each moving collider's frame."""
+    for k, (center, half) in enumerate(_box_rows(cfg, boxes)):
+        center = center.astype(pred.dtype)
+        half = half.astype(pred.dtype)
         local = pred - center
         # per-axis distance to the nearest face (positive when inside)
         face_dist = half - jnp.abs(local)           # (N, 3)
@@ -87,9 +115,12 @@ def box_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
         delta = (jnp.eye(3, dtype=pred.dtype)[axis]
                  * (sign * push_mag)[:, None])
         pred = pred + jnp.where(active[:, None], delta, 0.0)
-        # positional friction in the face's tangent plane
+        # positional friction in the face's tangent plane, relative to the
+        # (possibly moving) collider
         n = jnp.eye(3, dtype=pred.dtype)[axis] * sign[:, None]
         vel = (pred - prev_pos) / dt
+        if box_velocities is not None:
+            vel = vel - box_velocities[k]
         vn = jnp.sum(vel * n, axis=-1, keepdims=True) * n
         vt = vel - vn
         fr = jnp.clip(cfg.friction, 0.0, 1.0)
@@ -97,20 +128,36 @@ def box_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
     return pred
 
 
-def sphere_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig):
-    """Project predicted positions out of static sphere colliders with
-    positional friction (BASELINE config 3; the reference only sketched this
-    via the unused ``SphereCollision`` helper, ``XPBDSimulatorCS.compute:213-217``)."""
-    for cx, cy, cz, radius in cfg.sphere_colliders:
-        center = jnp.array([cx, cy, cz], dtype=pred.dtype)
+def _sphere_rows(cfg: SolverConfig, spheres):
+    if spheres is None:
+        return [(jnp.array([cx, cy, cz], jnp.float32), radius)
+                for cx, cy, cz, radius in cfg.sphere_colliders]
+    return [(spheres[i, :3], spheres[i, 3]) for i in range(spheres.shape[0])]
+
+
+def sphere_sdf_project(pred, prev_pos, inv_mass, dt, cfg: SolverConfig,
+                       spheres=None, sphere_velocities=None):
+    """Project predicted positions out of sphere colliders with positional
+    friction (BASELINE config 3; the reference only sketched this via the
+    unused ``SphereCollision`` helper, ``XPBDSimulatorCS.compute:213-217``).
+    ``spheres`` ((S, 4) traced) overrides ``cfg.sphere_colliders`` — the
+    kinematic path: a per-step-updated row sweeps the collider through the
+    scene with no recompile; ``sphere_velocities`` ((S, 3)) puts friction
+    in the moving collider's frame so a sweeping sphere drags contacting
+    particles along."""
+    for k, (center, radius) in enumerate(_sphere_rows(cfg, spheres)):
+        center = center.astype(pred.dtype)
         d = pred - center
         dist = jnp.linalg.norm(d, axis=-1)
         n = d / jnp.maximum(dist, 1e-12)[:, None]
         pen = radius - dist
         active = (pen > 0) & (inv_mass >= cfg.static_inv_mass_eps)
         pred = pred + jnp.where(active[:, None], n * pen[:, None], 0.0)
-        # positional friction in the contact tangent plane
+        # positional friction in the contact tangent plane, relative to
+        # the (possibly moving) collider
         vel = (pred - prev_pos) / dt
+        if sphere_velocities is not None:
+            vel = vel - sphere_velocities[k]
         vn = jnp.sum(vel * n, axis=-1, keepdims=True) * n
         vt = vel - vn
         fr = jnp.clip(cfg.friction, 0.0, 1.0)

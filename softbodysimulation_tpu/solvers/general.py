@@ -548,6 +548,23 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
     else:
         sc_order = None
 
+    # kinematic rigid world: when the state carries a ColliderSet its traced
+    # poses REPLACE the config constants (core/colliders.py) — same
+    # formulas, animatable per step with no recompile.  Presence and
+    # collider COUNTS are static at trace time, so the branch structure
+    # below stays compile-time either way.
+    coll = state.colliders
+    if coll is None:
+        gh_op, sph_op, sphv_op, box_op, boxv_op = None, None, None, None, None
+        has_spheres = bool(cfg.sphere_colliders)
+        has_boxes = bool(cfg.box_colliders)
+    else:
+        gh_op = coll.ground_height
+        sph_op, sphv_op = coll.spheres, coll.sphere_velocities
+        box_op, boxv_op = coll.boxes, coll.box_velocities
+        has_spheres = coll.n_spheres > 0
+        has_boxes = coll.n_boxes > 0
+
     def project_contacts(pred):
         """Unilateral contact projections (self-collision, floor, SDFs)."""
         if sc_on:
@@ -555,18 +572,21 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
                 pred, state.inv_mass, sc_order, cfg)
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
             pred = _collision.floor_project_xpbd(
-                pred, state.positions, state.inv_mass, dt, cfg)
-        if cfg.sphere_colliders:
+                pred, state.positions, state.inv_mass, dt, cfg,
+                ground_height=gh_op)
+        if has_spheres:
             pred = _collision.sphere_sdf_project(
-                pred, state.positions, state.inv_mass, dt, cfg)
-        if cfg.box_colliders:
+                pred, state.positions, state.inv_mass, dt, cfg,
+                spheres=sph_op, sphere_velocities=sphv_op)
+        if has_boxes:
             pred = _collision.box_sdf_project(
-                pred, state.positions, state.inv_mass, dt, cfg)
+                pred, state.positions, state.inv_mass, dt, cfg,
+                boxes=box_op, box_velocities=boxv_op)
         return pred
 
     has_contacts = (sc_on
                     or cfg.floor_mode == FloorMode.XPBD_INEQUALITY
-                    or bool(cfg.sphere_colliders) or bool(cfg.box_colliders))
+                    or has_spheres or has_boxes)
 
     def project_all(pred, lam_d, lam_b, lam_v, lam_t):
         """One full projection sweep over every constraint family."""
@@ -654,7 +674,8 @@ def _substep(state: SimState, topo: Topology, cfg: SolverConfig, dt,
         # flagship-style velocity-level floor response, applied post-substep
         # (XPBDSoftBody.compute:272-316; the flagship has no predict/finalize
         # split, so 'after finalize' is the faithful placement here)
-        x, v = _collision.floor_velocity_reflect(x, v, state.inv_mass, dt, cfg)
+        x, v = _collision.floor_velocity_reflect(x, v, state.inv_mass, dt, cfg,
+                                                 ground_height=gh_op)
 
     return state.replace(
         positions=x,

@@ -272,10 +272,11 @@ def _tet_sweep(pred, w, lam_t, spec: LatticeSpec, cfg: SolverConfig, dt,
     return pred, jnp.stack(lam_parts)
 
 
-def _floor_xpbd(pred, x, w, dt, cfg: SolverConfig):
+def _floor_xpbd(pred, x, w, dt, cfg: SolverConfig, ground_height=None):
     """XPBD inequality floor + positional friction, componentwise on
-    (3,res,res^2) (semantics of ops/collision.floor_project_xpbd)."""
-    gh = cfg.ground_height
+    (3,res,res^2) (semantics of ops/collision.floor_project_xpbd).
+    ``ground_height`` (traced) overrides the config constant."""
+    gh = cfg.ground_height if ground_height is None else ground_height
     pen = gh - pred[1]
     alpha_c = cfg.collision_compliance / (dt * dt)
     denom = w + alpha_c
@@ -290,12 +291,24 @@ def _floor_xpbd(pred, x, w, dt, cfg: SolverConfig):
 
 
 def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
-             apply_ext: bool, masks_dev, contact_on: bool = True):
+             apply_ext: bool, masks_dev, contact_on: bool = True,
+             coll=None):
     """One substep in (3,res,res^2) layout.  x,v,f: (3,res,r2); w: (res,r2);
     lam: (nfam,res,r2) — or a ``(lam_dist, lam_tet)`` tuple when the state
     carries the per-cell tet family (lam_tet: (6,res,r2)); the same pytree
-    shape is returned."""
+    shape is returned.  ``coll`` — optional ColliderSet whose traced poses
+    replace the config's rigid world (kinematic colliders; same contract
+    as the general engine)."""
     res = spec.res
+
+    if coll is None:
+        gh_op = None
+        has_spheres = bool(cfg.sphere_colliders)
+        has_boxes = bool(cfg.box_colliders)
+    else:
+        gh_op = coll.ground_height
+        has_spheres = coll.n_spheres > 0
+        has_boxes = coll.n_boxes > 0
 
     lam_t = None
     if isinstance(lam, tuple):
@@ -411,19 +424,30 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
                 pred.reshape(3, -1).T, w.reshape(-1), sc_order, cfg)
             pred = flat.T.reshape(3, res, res * res)
         if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
-            pred = _floor_xpbd(pred, x, w, dt, cfg)
-        if cfg.box_colliders:
+            pred = _floor_xpbd(pred, x, w, dt, cfg, ground_height=gh_op)
+        if has_boxes:
             from ..ops import collision as _collision
 
             flat = pred.reshape(3, -1).T
             prev = x.reshape(3, -1).T
             flat = _collision.box_sdf_project(
-                flat, prev, w.reshape(-1), dt, cfg)
+                flat, prev, w.reshape(-1), dt, cfg,
+                boxes=None if coll is None else coll.boxes,
+                box_velocities=None if coll is None
+                else coll.box_velocities)
             pred = flat.T.reshape(3, res, res * res)
-        if cfg.sphere_colliders:
-            for cx, cy, cz, radius in cfg.sphere_colliders:
-                center = jnp.asarray([cx, cy, cz],
-                                     x.dtype).reshape(3, 1, 1)
+        if has_spheres:
+            if coll is None:
+                rows = [(jnp.asarray([cx, cy, cz], x.dtype).reshape(3, 1, 1),
+                         radius, None)
+                        for cx, cy, cz, radius in cfg.sphere_colliders]
+            else:
+                rows = [(coll.spheres[i, :3].astype(x.dtype)
+                         .reshape(3, 1, 1),
+                         coll.spheres[i, 3],
+                         coll.sphere_velocities[i])
+                        for i in range(coll.n_spheres)]
+            for center, radius, svel in rows:
                 dvec = pred - center
                 dist = jnp.sqrt(jnp.maximum(
                     dvec[0] ** 2 + dvec[1] ** 2 + dvec[2] ** 2, 1e-24))
@@ -433,6 +457,10 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
                 pred = pred + jnp.where(act[None],
                                         nrm * penet[None], 0.0)
                 vel = (pred - x) / dt
+                if svel is not None:
+                    # friction in the moving collider's frame: a sweeping
+                    # sphere drags contacting particles along
+                    vel = vel - svel.astype(x.dtype).reshape(3, 1, 1)
                 vn = (vel[0] * nrm[0] + vel[1] * nrm[1]
                       + vel[2] * nrm[2])[None] * nrm
                 vt = vel - vn
@@ -450,7 +478,7 @@ def _substep(x, v, w, f, lam, spec: LatticeSpec, cfg: SolverConfig, dt,
 
     if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
         # flagship-style velocity-level floor (ops/collision semantics)
-        gh = cfg.ground_height
+        gh = cfg.ground_height if gh_op is None else gh_op
         pen = gh - x[1]
         hit = (pen > 0) & (w > 0)
         x1 = jnp.where(hit, gh + cfg.floor_offset, x[1])
@@ -509,14 +537,16 @@ def step_fn(state: SimState, spec: LatticeSpec, cfg: SolverConfig,
     dt_sub = dt / cfg.substeps
     every = cfg.self_collision_every if cfg.enable_self_collision else 1
     masks = _masks_dev(spec)
+    coll = state.colliders    # kinematic rigid world (traced; may be None)
     x, v, w, f, lam = _to_grid(state, spec)
-    x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub, True, masks)
+    x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub, True, masks,
+                         coll=coll)
     if cfg.substeps > 1:
         if every == 1:
             def body(carry, _):
                 x, v, lam = carry
                 return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
-                                masks), None
+                                masks, coll=coll), None
 
             (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
                                       length=cfg.substeps - 1)
@@ -532,17 +562,18 @@ def step_fn(state: SimState, spec: LatticeSpec, cfg: SolverConfig,
                     for _i in range(every - 1):
                         x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
                                              dt_sub, False, masks,
-                                             contact_on=False)
+                                             contact_on=False, coll=coll)
                     x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
                                          dt_sub, False, masks,
-                                         contact_on=True)
+                                         contact_on=True, coll=coll)
                     return (x, v, lam), None
 
                 (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
                                           length=n_full)
             for _i in range(tail):
                 x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub,
-                                     False, masks, contact_on=False)
+                                     False, masks, contact_on=False,
+                                     coll=coll)
     return _from_grid(state, x, v, lam)
 
 
@@ -600,6 +631,11 @@ def make_batched_step(spec: LatticeSpec, cfg: SolverConfig, dt: float,
 
     @jax.jit
     def fn(batched: SimState) -> SimState:
+        if batched.colliders is not None:
+            raise NotImplementedError(
+                "lane-folded ensemble stepping does not take per-body "
+                "ColliderSets; animate colliders on the general engine "
+                "(vmap make_step) or the fused mesh-ensemble runners")
         b = batched.positions.shape[0]
         x = to_wide(batched.positions)
         v = to_wide(batched.velocities)
@@ -652,13 +688,14 @@ def make_substep_runner(spec: LatticeSpec, cfg: SolverConfig, dt_sub: float,
 
     @jax.jit
     def fn(state: SimState) -> SimState:
+        coll = state.colliders   # kinematic rigid world (may be None)
         x, v, w, f, lam = _to_grid(state, spec)
 
         if every == 1:
             def body(carry, _):
                 x, v, lam = carry
                 return _substep(x, v, w, f, lam, spec, cfg, dt_sub, False,
-                                masks), None
+                                masks, coll=coll), None
 
             (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
                                       length=n_substeps)
@@ -671,18 +708,19 @@ def make_substep_runner(spec: LatticeSpec, cfg: SolverConfig, dt_sub: float,
                     x, v, lam = carry
                     x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
                                          dt_sub, False, masks,
-                                         contact_on=True)
+                                         contact_on=True, coll=coll)
                     for _i in range(every - 1):
                         x, v, lam = _substep(x, v, w, f, lam, spec, cfg,
                                              dt_sub, False, masks,
-                                             contact_on=False)
+                                             contact_on=False, coll=coll)
                     return (x, v, lam), None
 
                 (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
                                           length=n_full)
             for _i in range(tail):
                 x, v, lam = _substep(x, v, w, f, lam, spec, cfg, dt_sub,
-                                     False, masks, contact_on=(_i == 0))
+                                     False, masks, contact_on=(_i == 0),
+                                     coll=coll)
         return _from_grid(state, x, v, lam)
 
     return fn
