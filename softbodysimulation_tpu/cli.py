@@ -173,7 +173,8 @@ def main(argv=None):
             from .kernels.lattice_pallas import make_pallas_step
 
             step = make_pallas_step(info["spec"], info["config"],
-                                    info["dt"])
+                                    info["dt"],
+                                    kin_colliders=info.get("kin_colliders"))
         else:
             # mesh scene: the fused mesh-substep kernel (JACOBI +
             # window-sorted topology; large meshes auto-use the
@@ -243,8 +244,15 @@ def main(argv=None):
     t0 = time.perf_counter()
     first_frame = True
     last_action = ""
+    # scene-scripted rigid-world animation (kinematic colliders): the scene
+    # updates the traced collider poses per frame; the compiled step program
+    # is reused for every pose (core/colliders.py)
+    animate = info.get("animate")
+
     with _keyboard.raw_stdin() as poll_keys:
         for i in range(args.steps):
+            if animate is not None:
+                sess.state = animate(i, sess.state)
             for force, pos_p, rad in pokes.get(i, ()):
                 sess.poke(force, pos_p, rad)
             if args.watch:

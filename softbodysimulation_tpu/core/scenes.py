@@ -234,6 +234,42 @@ def solid_lattice(dt: float = 1 / 60, res: int = 40):
     return state, step, {"spec": spec, "config": cfg, "dt": dt}
 
 
+def sphere_sweep(dt: float = 1 / 60, res: int = 8, speed: float = 2.0):
+    """Kinematic rigid-collider demo: a scripted rigid sphere sweeps
+    horizontally through a soft lattice slab resting on the floor — the
+    capability the reference inherits from PhysX's moving colliders
+    (``SoftBodyController.cs:110-118``) and its per-substep floor raycast
+    (``SoftBodySimulator.cs:777-788``).  The collider pose is a traced
+    ``SimState`` leaf (``core/colliders.py``): ``info["animate"]`` updates
+    it per frame and the SAME compiled step program serves every pose, on
+    the stencil engine and — via ``--engine pallas`` +
+    ``info["kin_colliders"]`` — the fused streamed kernel."""
+    from .colliders import make_colliders
+
+    spec = _lattice.lattice_spec(res, braced=True)
+    cfg = SolverConfig(substeps=4, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       lambda_mode=LambdaMode.RESET,
+                       gravity_is_acceleration=True,
+                       ground_height=0.0, friction=0.3)
+    state = _lat_engine.make_lattice_state(spec, center=(0.0, 0.55, 0.0),
+                                           mass=0.001)
+    radius, sy, x0 = 0.35, 0.5, -1.6
+    state = state.replace(colliders=make_colliders(
+        spheres=[(x0, sy, 0.0, radius)], ground_height=0.0))
+
+    def animate(i, st):
+        """Per-frame collider schedule (host side; the on-device spelling
+        is ``interact.animator.kinematic_rollout``)."""
+        x = x0 + speed * i * dt
+        return st.replace(colliders=st.colliders.with_sphere(
+            0, center=(x, sy, 0.0), velocity=(speed, 0.0, 0.0)))
+
+    step = _lat_engine.make_step(spec, cfg, dt)
+    return state, step, {"spec": spec, "config": cfg, "dt": dt,
+                         "animate": animate, "kin_colliders": (1, 0)}
+
+
 def basic_micro(dt: float = 0.02, mode: str = "butterfly"):
     """Micro test-scenario scene (Scenes/Basic.unity: SoftBodyCPU driven by
     an InitializationMode).  ``mode`` picks one of core/fixtures.FIXTURES."""
@@ -421,4 +457,5 @@ SCENES: Dict[str, Callable] = {
     "tet_ball": tet_ball,
     "solid_lattice": solid_lattice,
     "ball_on_cloth": ball_on_cloth,
+    "sphere_sweep": sphere_sweep,
 }

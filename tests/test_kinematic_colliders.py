@@ -333,3 +333,19 @@ def test_streamed_kernel_without_kin_rejects_collider_state():
         fn = lp.make_pallas_substep_runner_streamed(spec, cfg, 1 / 480, 2)
         with pytest.raises(NotImplementedError):
             fn(state)
+
+
+def test_sphere_sweep_scene_pushes_slab():
+    """The catalogued animated-collider scene: the scripted sphere plows
+    through the slab and shoves it along +x."""
+    from softbodysimulation_tpu.core.scenes import sphere_sweep
+
+    state, step, info = sphere_sweep()
+    x0 = np.asarray(state.positions)[:, 0].mean()
+    anim = info["animate"]
+    for i in range(60):
+        state = anim(i, state)
+        state = step(state)
+    p = np.asarray(state.positions)
+    assert np.isfinite(p).all()
+    assert p[:, 0].mean() > x0 + 0.05, (x0, p[:, 0].mean())
