@@ -182,8 +182,9 @@ def main(argv=None):
             from .kernels.mesh_pallas import make_mesh_pallas_step
 
             try:
-                step = make_mesh_pallas_step(info["topology"],
-                                             info["config"], info["dt"])
+                step = make_mesh_pallas_step(
+                    info["topology"], info["config"], info["dt"],
+                    kin_colliders=info.get("kin_colliders"))
             except NotImplementedError as e:
                 print(f"--engine pallas: this mesh scene is outside the "
                       f"fused kernel's envelope ({e}); run without "

@@ -788,7 +788,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                              synth_gd: Optional[bool] = None,
                              n_bodies: int = 1,
                              batched: Optional[bool] = None,
-                             per_body_mass: bool = False):
+                             per_body_mass: bool = False,
+                             kin_colliders=None):
     """Compile a jitted ``SimState -> SimState`` advancing ``n_substeps``
     raw substeps of the general-mesh XPBD loop in ONE fused kernel
     (``with_ext=True`` adds the reference force lifecycle: ``ext_force``
@@ -870,9 +871,24 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                   and cfg.iterations > cfg.jacobi_cheby_delay)
     rho2 = cfg.jacobi_rho ** 2
     gamma = cfg.jacobi_gamma
-    has_contacts = (cfg.floor_mode == FloorMode.XPBD_INEQUALITY
-                    or bool(cfg.sphere_colliders)
-                    or bool(cfg.box_colliders))
+    # Kinematic rigid world (core/colliders.ColliderSet): kin_colliders=
+    # (S, B) makes the collider POSES one traced (1+S+B, 128) input — row 0
+    # lane 0 ground height, rows 1..S spheres (cx,cy,cz,r | vx,vy,vz), then
+    # boxes (cx,cy,cz,hx,hy,hz | vx,vy,vz) — so pose animation never
+    # recompiles the Mosaic program; the config's rigid-world constants are
+    # ignored, exactly as on the XLA engines.  One shared rigid world per
+    # call (ensembles share it).
+    kin = kin_colliders is not None
+    if kin:
+        kin_s, kin_b = int(kin_colliders[0]), int(kin_colliders[1])
+        kin_rows = 1 + kin_s + kin_b
+        has_contacts = (cfg.floor_mode == FloorMode.XPBD_INEQUALITY
+                        or kin_s > 0 or kin_b > 0)
+    else:
+        kin_s = kin_b = kin_rows = 0
+        has_contacts = (cfg.floor_mode == FloorMode.XPBD_INEQUALITY
+                        or bool(cfg.sphere_colliders)
+                        or bool(cfg.box_colliders))
 
     if plan.synth:
         didx_c = jnp.asarray(plan.didx)
@@ -911,6 +927,8 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
     if tplan is not None:
         in_names += ["tlam", "tidx", "trest", "talpha", "trelax",
                      "tw0", "tw1", "tw2", "tw3", "wtd"]
+    if kin:
+        in_names.append("coll")   # packed kinematic collider poses
 
     def kernel(*refs):
         m = dict(zip(in_names, refs))
@@ -922,6 +940,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         relax_ref, warm_ref = m["relax"], m["warm"]
         bnd_ref = m.get("bound")
         f_ref = m.get("f")
+        coll_ref = m.get("coll")
         outs = list(refs[len(in_names):])
         xo_ref, vo_ref, lamo_ref = outs[:3]
         outs = outs[3:]
@@ -1313,7 +1332,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
 
             def contacts():
                 if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
-                    gh = cfg.ground_height
+                    gh = coll_ref[0, 0] if kin else cfg.ground_height
                     pen = gh - pred[rows(1)]
                     alpha_col = cfg.collision_compliance * inv_dt2
                     denom = w + alpha_col
@@ -1327,9 +1346,64 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         hit, (pred[rows(0)] - xo_ref[rows(0)]) * fr, 0.0)
                     pred[rows(2)] -= jnp.where(
                         hit, (pred[rows(2)] - xo_ref[rows(2)]) * fr, 0.0)
-                if cfg.box_colliders:
+                # spheres BEFORE boxes — same order as the general engine's
+                # project_contacts (solvers/general.py) so particles touching
+                # both resolve identically
+                n_sph = kin_s if kin else len(cfg.sphere_colliders)
+                if n_sph:
                     fr = min(max(cfg.friction, 0.0), 1.0)
-                    for cx, cy, cz, hx, hy, hz in cfg.box_colliders:
+                    for si in range(n_sph):
+                        if kin:
+                            r0 = 1 + si
+                            cx, cy, cz = (coll_ref[r0, 0], coll_ref[r0, 1],
+                                          coll_ref[r0, 2])
+                            radius = coll_ref[r0, 3]
+                            sv = (coll_ref[r0, 4], coll_ref[r0, 5],
+                                  coll_ref[r0, 6])
+                        else:
+                            cx, cy, cz, radius = cfg.sphere_colliders[si]
+                            sv = None
+                        dvs = [pred[rows(0)] - cx, pred[rows(1)] - cy,
+                               pred[rows(2)] - cz]
+                        dist = jnp.sqrt(jnp.maximum(
+                            dvs[0] ** 2 + dvs[1] ** 2 + dvs[2] ** 2, 1e-24))
+                        penet = radius - dist
+                        act = (penet > 0) & (w >= cfg.static_inv_mass_eps)
+                        for c in range(3):
+                            nc = dvs[c] / dist
+                            pred[rows(c)] += jnp.where(act, nc * penet, 0.0)
+                        vn = None
+                        for c in range(3):
+                            nc = dvs[c] / dist
+                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
+                            if sv is not None:
+                                # friction in the moving collider's frame
+                                velc = velc - sv[c]
+                            vn = (velc * nc if vn is None
+                                  else vn + velc * nc)
+                        for c in range(3):
+                            nc = dvs[c] / dist
+                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
+                            if sv is not None:
+                                velc = velc - sv[c]
+                            vt = velc - vn * nc
+                            pred[rows(c)] -= jnp.where(act, vt * (dt * fr),
+                                                       0.0)
+                n_box = kin_b if kin else len(cfg.box_colliders)
+                if n_box:
+                    fr = min(max(cfg.friction, 0.0), 1.0)
+                    for bi in range(n_box):
+                        if kin:
+                            r0 = 1 + kin_s + bi
+                            cx, cy, cz = (coll_ref[r0, 0], coll_ref[r0, 1],
+                                          coll_ref[r0, 2])
+                            hx, hy, hz = (coll_ref[r0, 3], coll_ref[r0, 4],
+                                          coll_ref[r0, 5])
+                            bv = (coll_ref[r0, 6], coll_ref[r0, 7],
+                                  coll_ref[r0, 8])
+                        else:
+                            cx, cy, cz, hx, hy, hz = cfg.box_colliders[bi]
+                            bv = None
                         loc = [pred[rows(0)] - cx, pred[rows(1)] - cy,
                                pred[rows(2)] - cz]
                         fd = [hx - jnp.abs(loc[0]), hy - jnp.abs(loc[1]),
@@ -1348,35 +1422,15 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         vn = None
                         for c in range(3):
                             velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
+                            if bv is not None:
+                                velc = velc - bv[c]
                             vn = (velc * nvec[c] if vn is None
                                   else vn + velc * nvec[c])
                         for c in range(3):
                             velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
+                            if bv is not None:
+                                velc = velc - bv[c]
                             vt = velc - vn * nvec[c]
-                            pred[rows(c)] -= jnp.where(act, vt * (dt * fr),
-                                                       0.0)
-                if cfg.sphere_colliders:
-                    fr = min(max(cfg.friction, 0.0), 1.0)
-                    for cx, cy, cz, radius in cfg.sphere_colliders:
-                        dvs = [pred[rows(0)] - cx, pred[rows(1)] - cy,
-                               pred[rows(2)] - cz]
-                        dist = jnp.sqrt(jnp.maximum(
-                            dvs[0] ** 2 + dvs[1] ** 2 + dvs[2] ** 2, 1e-24))
-                        penet = radius - dist
-                        act = (penet > 0) & (w >= cfg.static_inv_mass_eps)
-                        for c in range(3):
-                            nc = dvs[c] / dist
-                            pred[rows(c)] += jnp.where(act, nc * penet, 0.0)
-                        vn = None
-                        for c in range(3):
-                            nc = dvs[c] / dist
-                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
-                            vn = (velc * nc if vn is None
-                                  else vn + velc * nc)
-                        for c in range(3):
-                            nc = dvs[c] / dist
-                            velc = (pred[rows(c)] - xo_ref[rows(c)]) / dt
-                            vt = velc - vn * nc
                             pred[rows(c)] -= jnp.where(act, vt * (dt * fr),
                                                        0.0)
 
@@ -1500,7 +1554,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         vo_ref[rows(c)] = jnp.where(
                             pinned, 0.0,
                             (pred[rows(c)] - xo_ref[rows(c)]) / dt)
-                    gh = cfg.ground_height
+                    gh = coll_ref[0, 0] if kin else cfg.ground_height
                     x1 = jnp.where(pinned, xo_ref[rows(1)], pred[rows(1)])
                     pen = gh - x1
                     hit = (pen > 0) & (w > 0)
@@ -1776,6 +1830,31 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                               ((0, 0), (0, n_pad - n)))
             args += [tlam, tidx_c, trest_c, talpha_c, trelax_c,
                      tw0, tw1, tw2, tw3, wtd]
+        if kin:
+            coll = state.colliders
+            if coll is None:
+                raise ValueError(
+                    "runner built with kin_colliders needs a state "
+                    "carrying a ColliderSet (core.colliders.make_colliders)")
+            if coll.n_spheres != kin_s or coll.n_boxes != kin_b:
+                raise ValueError(
+                    f"ColliderSet counts ({coll.n_spheres} spheres, "
+                    f"{coll.n_boxes} boxes) do not match the runner's "
+                    f"kin_colliders=({kin_s}, {kin_b})")
+            ca = jnp.zeros((kin_rows, 128), jnp.float32)
+            ca = ca.at[0, 0].set(coll.ground_height)
+            if kin_s:
+                ca = ca.at[1:1 + kin_s, :4].set(coll.spheres)
+                ca = ca.at[1:1 + kin_s, 4:7].set(coll.sphere_velocities)
+            if kin_b:
+                ca = ca.at[1 + kin_s:, :6].set(coll.boxes)
+                ca = ca.at[1 + kin_s:, 6:9].set(coll.box_velocities)
+            args.append(ca)
+        elif state.colliders is not None:
+            raise NotImplementedError(
+                "this mesh runner was built without kin_colliders; rebuild "
+                "with kin_colliders=(n_spheres, n_boxes) to animate "
+                "colliders")
         res = list(call(*args))
         xo, vo, lamo = res[:3]
         res = res[3:]
@@ -1824,21 +1903,28 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
 
 
 def make_mesh_pallas_step(topo: Topology, cfg: SolverConfig, dt: float,
-                          n_steps: int = 1, approx_math: bool = False):
+                          n_steps: int = 1, approx_math: bool = False,
+                          kin_colliders=None):
     """Full step semantics fused in one kernel: ``n_steps`` frames of
     ``cfg.substeps`` substeps, ``ext_force`` consumed on the first substep
     and zeroed — drop-in for ``solvers.general.make_step`` on supported
     configs (JACOBI + windowed-buildable topology).  Self-colliding
     configs with a contact cadence that divides the frame route to
     ``make_mesh_hybrid_contact_step`` — contact-free substeps stay
-    fused."""
+    fused.  ``kin_colliders=(S, B)``: the state's ColliderSet poses enter
+    the kernel as traced data (animated rigid world, no recompiles)."""
     if (cfg.enable_self_collision and cfg.self_collision_every >= 2
             and cfg.substeps % cfg.self_collision_every == 0):
+        if kin_colliders is not None:
+            raise NotImplementedError(
+                "mesh hybrid contact cadence with kinematic colliders is "
+                "not fused yet — use the general engine for this config")
         return make_mesh_hybrid_contact_step(topo, cfg, dt,
                                              n_steps=n_steps)
     return make_mesh_substep_runner(
         topo, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
-        with_ext=True, approx_math=approx_math)
+        with_ext=True, approx_math=approx_math,
+        kin_colliders=kin_colliders)
 
 
 def make_mesh_hybrid_contact_step(topo: Topology, cfg: SolverConfig,
