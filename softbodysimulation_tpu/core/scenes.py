@@ -407,13 +407,17 @@ def ball_on_cloth(dt: float = 1 / 60, cloth_res: int = 24,
     bfaces = _tets.boundary_faces(btets)
 
     nc = cverts.shape[0]
+    # windowed merge: bodies keep their particle index ranges (identity
+    # order) while the merged topology carries the MXU window structure,
+    # so the scene runs FUSED end-to-end on --engine pallas (in-kernel
+    # dense contact) and on the general engine's windowed backend alike
     pos, topo, _slices = _build.merge_topologies([
         _build.BodySpec(cverts, cedges, 1e-5,                # stiff cloth
                         hinges=chinges, bend_compliance=1e-3,
                         triangles=cm.triangles),
         _build.BodySpec(bverts, bedges, 1e-4,     # 10x softer ball shell
                         triangles=bfaces, tets=btets, tet_compliance=0.0),
-    ])
+    ], windowed=True)
     # particle_radius: 2r must stay under the cloth grid spacing so bonded
     # neighbours never register contact (derived, so any cloth_res keeps
     # the invariant), while r stays above the per-substep fall distance

@@ -50,8 +50,13 @@ both floor modes, sphere/box SDF colliders, clamps, external-force
 lifecycle, BENDING (dihedral) constraints, and the global VOLUME/pressure
 constraint (``ops/volume.py``: synthesized triangle one-hots gather the
 three corners, gradients scatter into the correction plane, V and the
-w-weighted gradient norm reduce to per-body scalars).  Self-collision
-falls back to the general engine (``_check_supported``).
+w-weighted gradient norm reduce to per-body scalars).  DENSE
+self-collision runs IN-KERNEL: the all-pairs separation pass
+(``ops/spatial_hash.self_collision_project_dense``) as row-blocked
+K=5/K=2 Gram contractions on the MXU against the resident position
+plane — multi-body contact scenes (``ball_on_cloth``) fuse end-to-end;
+the sorted/hash/blocked backends still route to the general engine
+(``_check_supported``).
 
 Bending rides a different mechanism than distance: the hinge one-hot
 matrices are too large to keep VMEM-resident (~16 MB bf16 at bunny scale,
@@ -98,10 +103,12 @@ def _check_supported(cfg: SolverConfig, topo: Topology):
         raise NotImplementedError(
             f"mesh pallas kernel: solve mode {cfg.solve_mode} — use the "
             "general engine")
-    if cfg.enable_self_collision:
+    if (cfg.enable_self_collision
+            and cfg.self_collision_backend != "dense"):
         raise NotImplementedError(
-            "mesh pallas kernel: self-collision requires the general "
-            "engine's contact backends")
+            "mesh pallas kernel: only the dense self-collision backend is "
+            "fused in-kernel — use the general engine (or the hybrid "
+            "cadence step) for the sorted/hash/blocked backends")
 
 
 def _acos(x):
@@ -890,6 +897,41 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         or bool(cfg.sphere_colliders)
                         or bool(cfg.box_colliders))
 
+    # In-kernel dense self-collision (ops/spatial_hash.self_collision_
+    # project_dense fused): the all-pairs Jacobi separation pass runs as
+    # row-blocked K=5/K=2 Gram contractions on the MXU against the
+    # VMEM-resident position plane — no host round-trip, no general-engine
+    # fallback for self-colliding mesh scenes (ball_on_cloth fused
+    # end-to-end).  Exact same guards/omega as the XLA dense backend; the
+    # Gram-trick accumulation order differs from the engine's separate
+    # adds at ~1-ulp (the dense backend's own documented boundary caveat).
+    sc_on = bool(cfg.enable_self_collision)
+    sc_every = cfg.self_collision_every if sc_on else 1
+    if sc_on:
+        if cfg.self_collision_backend != "dense":
+            raise NotImplementedError(
+                "mesh kernel self-collision: only the dense backend is "
+                "fused — route other backends through the general engine "
+                "or the hybrid cadence step")
+        if R > 1:
+            raise NotImplementedError(
+                "mesh kernel self-collision does not support n_bodies "
+                "ensembles (contact would pair across stacked bodies)")
+        # live per-block temps are ~8 (CB, n_pad) f32 planes; shrink the
+        # row block until they fit beside the solver structure
+        sc_cb = 128
+        while sc_cb > 8 and (plan.vmem_bytes + 8 * sc_cb * n_pad * 4
+                             > VMEM_BUDGET):
+            sc_cb //= 2
+        if plan.vmem_bytes + 8 * sc_cb * n_pad * 4 > VMEM_BUDGET:
+            raise NotImplementedError(
+                "mesh kernel dense self-collision at this scale exceeds "
+                "the VMEM budget — use the general engine's blocked "
+                "backend")
+        assert n_pad % sc_cb == 0
+        sc_nb = n_pad // sc_cb
+        has_contacts = True
+
     if plan.synth:
         didx_c = jnp.asarray(plan.didx)
     else:
@@ -1330,7 +1372,86 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                     for c in range(3):
                         pred[rows(c)] += wtd * delta[rows(c)]
 
-            def contacts():
+            def dense_self_collision():
+                """All-pairs separation pass (ops/spatial_hash.self_
+                collision_project_dense fused).  Corrections for ALL rows
+                are computed from the entry ``pred`` (Jacobi), staged in
+                ``delta`` (free between sweeps), then applied at once."""
+                lane = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+                validf = jnp.where(lane < n, 1.0, 0.0)
+                inv_n = jnp.float32(1.0 / n)
+                xs = []
+                for c in range(3):
+                    xc = pred[rows(c)]
+                    mc = jnp.sum(xc * validf) * inv_n
+                    xs.append((xc - mc) * validf)
+                x3 = jnp.concatenate(xs, axis=0)            # (3, n_pad)
+                sq = xs[0] * xs[0] + xs[1] * xs[1] + xs[2] * xs[2]
+                one = jnp.full((1, n_pad), 1.0)
+                # Gram trick, both norm terms folded into the contraction:
+                # d2 = [x,y,z,sq,1]_i . [-2x,-2y,-2z,1,sq]_j
+                lhs5 = jnp.concatenate([x3, sq, one], axis=0)
+                rhs5 = jnp.concatenate([-2.0 * x3, one, sq], axis=0)
+                lhs2 = jnp.concatenate([w, one], axis=0)
+                rhs2 = jnp.concatenate([one, w], axis=0)
+                radius = cfg.particle_radius
+                col_id = lax.broadcasted_iota(jnp.int32, (sc_cb, n_pad), 1)
+
+                def blk(i, carry):
+                    li = lax.dynamic_slice_in_dim(lhs5, i * sc_cb, sc_cb, 1)
+                    d2 = lax.dot_general(
+                        li, rhs5, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)    # (CB, n_pad)
+                    l2 = lax.dynamic_slice_in_dim(lhs2, i * sc_cb, sc_cb, 1)
+                    wsum = lax.dot_general(
+                        l2, rhs2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+                    dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                    overlap = 2.0 * radius - dist
+                    row_id = i * sc_cb + lax.broadcasted_iota(
+                        jnp.int32, (sc_cb, n_pad), 0)
+                    touch = ((row_id != col_id) & (overlap > 0)
+                             & (dist > 1e-9) & (wsum > 1e-12)
+                             & (row_id < n) & (col_id < n))
+                    mm = jnp.where(
+                        touch,
+                        overlap / (jnp.maximum(dist, 1e-12)
+                                   * jnp.maximum(wsum, 1e-12)), 0.0)
+                    # corr_i = w_i * (x_i * sum_j m - m @ x), both
+                    # contractions landing in the (3, CB) plane orientation
+                    mx = lax.dot_general(
+                        x3, mm, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)    # (3, CB)
+                    msum = lax.dot_general(
+                        one, mm, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)    # (1, CB)
+                    wi = lax.dynamic_slice_in_dim(w, i * sc_cb, sc_cb, 1)
+                    xi = lax.dynamic_slice_in_dim(x3, i * sc_cb, sc_cb, 1)
+                    delta[:, pl.dslice(i * sc_cb, sc_cb)] = (
+                        wi * (xi * msum - mx))
+                    return carry
+
+                lax.fori_loop(0, sc_nb, blk, 0)
+                for c in range(3):
+                    pred[rows(c)] += (cfg.self_collision_omega
+                                      * delta[rows(c)])
+
+            def contacts(step_i):
+                # self-collision FIRST — general.project_contacts order;
+                # cadence configs gate it on the substep index (substep i
+                # contacts iff i %% every == 0; make_mesh_pallas_step
+                # enforces substeps %% every == 0 so the raw index matches
+                # the engine's per-frame pattern)
+                if sc_on:
+                    if sc_every > 1:
+                        lax.cond(step_i % sc_every == 0,
+                                 dense_self_collision, lambda: None)
+                    else:
+                        dense_self_collision()
                 if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
                     gh = coll_ref[0, 0] if kin else cfg.ground_height
                     pen = gh - pred[rows(1)]
@@ -1513,7 +1634,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         if vplan is not None:
                             volume_sweep()
                         if has_contacts:
-                            contacts()
+                            contacts(step_i)
                         om_next = jnp.where(
                             it < cfg.jacobi_cheby_delay, 1.0,
                             jnp.where(it == cfg.jacobi_cheby_delay,
@@ -1528,7 +1649,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                             prev[rows(c)] = curc
                             pred[rows(c)] = acc
                         if has_contacts:
-                            contacts()
+                            contacts(step_i)
                         return om_next
 
                     lax.fori_loop(0, cfg.iterations, iteration,
@@ -1543,7 +1664,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                         if vplan is not None:
                             volume_sweep()
                         if has_contacts:
-                            contacts()
+                            contacts(step_i)
                         return carry2
 
                     lax.fori_loop(0, cfg.iterations, iteration, 0)
@@ -1913,14 +2034,25 @@ def make_mesh_pallas_step(topo: Topology, cfg: SolverConfig, dt: float,
     ``make_mesh_hybrid_contact_step`` — contact-free substeps stay
     fused.  ``kin_colliders=(S, B)``: the state's ColliderSet poses enter
     the kernel as traced data (animated rigid world, no recompiles)."""
-    if (cfg.enable_self_collision and cfg.self_collision_every >= 2
-            and cfg.substeps % cfg.self_collision_every == 0):
-        if kin_colliders is not None:
-            raise NotImplementedError(
-                "mesh hybrid contact cadence with kinematic colliders is "
-                "not fused yet — use the general engine for this config")
-        return make_mesh_hybrid_contact_step(topo, cfg, dt,
-                                             n_steps=n_steps)
+    if cfg.enable_self_collision:
+        if cfg.self_collision_backend == "dense":
+            # dense contact is fused IN-KERNEL (cadence included via the
+            # step-index gate) — fall through to the fused runner
+            if (cfg.self_collision_every >= 2
+                    and cfg.substeps % cfg.self_collision_every != 0):
+                raise NotImplementedError(
+                    "fused dense contact cadence needs substeps % "
+                    "self_collision_every == 0 (the engine's per-frame "
+                    "pattern must equal the kernel's raw-substep gate)")
+        elif (cfg.self_collision_every >= 2
+                and cfg.substeps % cfg.self_collision_every == 0):
+            if kin_colliders is not None:
+                raise NotImplementedError(
+                    "mesh hybrid contact cadence with kinematic colliders "
+                    "is not fused yet — use the general engine for this "
+                    "config")
+            return make_mesh_hybrid_contact_step(topo, cfg, dt,
+                                                 n_steps=n_steps)
     return make_mesh_substep_runner(
         topo, cfg, dt / cfg.substeps, n_steps * cfg.substeps,
         with_ext=True, approx_math=approx_math,

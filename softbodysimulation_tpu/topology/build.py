@@ -206,6 +206,7 @@ def build_windowed_topology(
     seg_align: int = 128,
     window_dtype="float32",
     colored: bool = False,
+    order: Optional[np.ndarray] = None,
     **kw,
 ):
     """Build a Topology carrying the MXU one-hot window structure
@@ -235,7 +236,13 @@ def build_windowed_topology(
     e = edges.shape[0]
     comp = np.broadcast_to(np.asarray(compliance, np.float32), (e,)).copy()
 
-    order = _windows.rcm_order(edges, n)
+    # order: caller-supplied particle permutation (new -> old), e.g.
+    # identity from merge_topologies(windowed=True) where bodies must keep
+    # their index ranges; default reverse Cuthill-McKee
+    if order is None:
+        order = _windows.rcm_order(edges, n)
+    else:
+        order = np.asarray(order, np.int64)
     rank = np.empty(n, np.int64)
     rank[order] = np.arange(n)
     pos2 = positions[order]
@@ -468,7 +475,7 @@ class BodySlices:
                 f"triangles={self.triangles}, tets={self.tets})")
 
 
-def merge_topologies(bodies, **build_kwargs):
+def merge_topologies(bodies, windowed=False, **build_kwargs):
     """Merge several bodies into ONE topology sharing a particle index
     space — the first-class construction behind multi-body scenes
     (``core/scenes.ball_on_cloth``): constraint families stay disjoint
@@ -481,9 +488,21 @@ def merge_topologies(bodies, **build_kwargs):
     build_kwargs — forwarded to ``build_topology`` (coloring runs on the
     merged graph; bodies are disjoint so per-body colorings stay valid,
     but merged coloring may use fewer colors).
+    windowed — route the merged arrays through ``build_windowed_topology``
+    with the IDENTITY particle order, so the merged topology carries the
+    MXU window structure (fused mesh kernel / windowed engine backend)
+    while every body keeps its particle index range.  Bodies are already
+    index-contiguous, so windows stay body-local without an RCM pass, and
+    the stable min-endpoint constraint sorts keep every ``BodySlices``
+    range valid.  (``colored=True`` would re-sort edges color-major across
+    bodies and break the edge slices — not supported here.)
 
     Returns ``(positions (N,3) f32, Topology, [BodySlices])``.
     """
+    if windowed and build_kwargs.get("colored"):
+        raise NotImplementedError(
+            "merge_topologies(windowed=True) cannot also sort color-major "
+            "(per-body edge slices would interleave)")
     specs = [b if isinstance(b, BodySpec) else BodySpec(**b) for b in bodies]
     if not specs:
         raise ValueError("merge_topologies needs at least one body")
@@ -520,10 +539,7 @@ def merge_topologies(bodies, **build_kwargs):
 
     pos = np.concatenate(pos_parts, axis=0)
     tets = np.concatenate(tet_parts, axis=0)
-    topo = build_topology(
-        pos,
-        np.concatenate(edge_parts, axis=0),
-        np.concatenate(comp_parts, axis=0),
+    kwargs = dict(
         hinges=np.concatenate(hinge_parts, axis=0),
         bend_compliance=np.concatenate(bcomp_parts, axis=0),
         triangles=np.concatenate(tri_parts, axis=0),
@@ -531,4 +547,12 @@ def merge_topologies(bodies, **build_kwargs):
         tet_compliance=np.concatenate(tcomp_parts, axis=0),
         **build_kwargs,
     )
+    edges_cat = np.concatenate(edge_parts, axis=0)
+    comp_cat = np.concatenate(comp_parts, axis=0)
+    if windowed:
+        pos2, topo = build_windowed_topology(
+            pos, edges_cat, comp_cat,
+            order=np.arange(pos.shape[0]), **kwargs)
+        return pos2.astype(np.float32), topo, slices
+    topo = build_topology(pos, edges_cat, comp_cat, **kwargs)
     return pos.astype(np.float32), topo, slices

@@ -823,3 +823,108 @@ def test_mesh_ensemble_volume():
         dlv = abs(float(out.lambda_volume[b]) - float(ref.lambda_volume))
         assert dlv < 1e-4, f"body {b} volume lambda mismatch {dlv}"
     assert float(np.abs(np.asarray(out.lambda_volume)).min()) > 0.0
+
+
+# ---- in-kernel dense self-collision (multi-body contact, fused) --------
+
+def _contact_scene(cloth_res=14, drop=1.17, **cfg_kw):
+    """Small ball_on_cloth-shaped two-body merged WINDOWED topology with
+    the ball placed already in contact (lower pole at the cloth plane), so
+    the dense pass fires from substep 0 — 2 frames of free fall would not
+    reach contact and would only exercise the solver."""
+    from softbodysimulation_tpu.interact import forces as F
+    from softbodysimulation_tpu.topology import edges as TE
+    from softbodysimulation_tpu.topology import tets as TT
+
+    cm = mesh.grid_plane(1.2, cloth_res)
+    cverts = cm.vertices + np.array([0.0, 1.0, 0.0], np.float32)
+    bm = mesh.icosphere(1, radius=0.18)
+    bverts, btets = TT.tets_from_surface_centroid(bm.vertices, bm.triangles)
+    bverts = (bverts + np.array([0.0, drop, 0.0])).astype(np.float32)
+    pos, topo, sl = build.merge_topologies([
+        build.BodySpec(cverts, TE.unique_edges(cm.triangles), 1e-5,
+                       hinges=TE.hinges(cm.triangles),
+                       bend_compliance=1e-3, triangles=cm.triangles),
+        build.BodySpec(bverts, TT.tet_edges(btets), 1e-4,
+                       triangles=TT.boundary_faces(btets), tets=btets,
+                       tet_compliance=0.0),
+    ], windowed=True)
+    spacing = 1.2 / (cloth_res - 1)
+    cfg = SolverConfig(substeps=4, iterations=3, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       enable_bending=True,
+                       enable_tet_volume=True, tet_pressure=1.05,
+                       enable_self_collision=True,
+                       self_collision_backend="dense",
+                       particle_radius=round(0.45 * spacing, 4),
+                       ground_height=0.0, friction=0.3, **cfg_kw)
+    st = state_from_topology(topo, pos)
+    nc = cverts.shape[0]
+    ii, jj = np.divmod(np.arange(nc), cloth_res)
+    rim = np.flatnonzero((ii % (cloth_res - 1) == 0)
+                         | (jj % (cloth_res - 1) == 0))
+    st = F.pin_indices(st, rim, pinned=True)
+    return st, topo, cfg, nc
+
+
+def test_mesh_kernel_dense_contact_matches_engine():
+    """The fused in-kernel dense separation pass must track the general
+    engine's dense backend through contact-rich frames — and provably
+    FIRE: the same rollout without contact must land elsewhere."""
+    import dataclasses
+
+    st, topo, cfg, nc = _contact_scene()
+    n_steps = 3
+    ref = general.make_step(topo, cfg, DT, n_steps=n_steps)(st)
+    off = general.make_step(
+        topo, dataclasses.replace(cfg, enable_self_collision=False),
+        DT, n_steps=n_steps)(st)
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_pallas_step(topo, cfg, DT,
+                                               n_steps=n_steps)
+        out = fn(st)
+    p, r = np.asarray(out.positions), np.asarray(ref.positions)
+    assert np.isfinite(p).all()
+    dpos = np.abs(p - r).max()
+    # contact-rich Jacobi frames amplify the dense backend's documented
+    # ~1e-7 Gram-boundary noise; 2e-4 is well under any physical scale here
+    assert dpos < 2e-4, f"fused dense contact diverged from engine: {dpos}"
+    # the contact pass did real work (no-contact rollout differs 10x more)
+    dcontact = np.abs(r - np.asarray(off.positions)).max()
+    assert dcontact > 10 * max(dpos, 1e-6), (dpos, dcontact)
+
+
+def test_mesh_kernel_dense_contact_cadence():
+    """self_collision_every=K gates the in-kernel pass on the raw substep
+    index; with substeps % K == 0 that reproduces the engine's per-frame
+    cadence pattern exactly."""
+    st, topo, cfg, nc = _contact_scene(self_collision_every=2)
+    n_steps = 2
+    ref = general.make_step(topo, cfg, DT, n_steps=n_steps)(st)
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_pallas_step(topo, cfg, DT,
+                                               n_steps=n_steps)
+        out = fn(st)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert dpos < 2e-4, f"cadence mismatch vs engine: {dpos}"
+
+
+def test_mesh_kernel_dense_contact_guards():
+    """Non-dense backends and ensembles stay routed to the general engine
+    with actionable errors; misaligned cadence is rejected."""
+    import dataclasses
+
+    st, topo, cfg, nc = _contact_scene()
+    with pytest.raises(NotImplementedError, match="dense"):
+        mesh_pallas.make_mesh_substep_runner(
+            topo, dataclasses.replace(cfg, self_collision_backend="hash"),
+            DT / cfg.substeps, cfg.substeps)
+    with pytest.raises(NotImplementedError, match="ensemble"):
+        mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, cfg.substeps, n_bodies=2)
+    with pytest.raises(NotImplementedError, match="cadence"):
+        mesh_pallas.make_mesh_pallas_step(
+            topo, dataclasses.replace(cfg, self_collision_every=3),
+            DT, n_steps=1)

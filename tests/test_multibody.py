@@ -182,3 +182,69 @@ def test_three_bodies_stack_and_interact():
     assert hi > lo + 0.1, (lo, hi)
     # cloth deflected under the stack
     assert p[sl[0].particles, 1].min() < 0.99
+
+
+def test_merge_topologies_windowed_keeps_slices():
+    """windowed=True routes the merge through build_windowed_topology with
+    the IDENTITY particle order: every BodySlices range stays valid, the
+    positions come back unpermuted, and the merged topology carries the
+    MXU window structure (fused mesh kernel / windowed engine backend)."""
+    m = TM.grid_plane(1.0, 4)
+    ed = TE.unique_edges(m.triangles)
+    b1 = B.BodySpec(m.vertices, ed, 1e-5, triangles=m.triangles)
+    b2 = B.BodySpec(m.vertices + np.array([0, 1, 0]), ed, 1e-4,
+                    triangles=m.triangles)
+    pos_p, topo_p, sl_p = B.merge_topologies([b1, b2])
+    pos_w, topo_w, sl_w = B.merge_topologies([b1, b2], windowed=True)
+    assert topo_w.windows is not None and topo_p.windows is None
+    assert np.allclose(pos_w, pos_p, atol=0)          # identity order
+    assert [s.particles for s in sl_w] == [s.particles for s in sl_p]
+    # constraint ROWS may be window-sorted, but each body's edge slice
+    # still contains exactly that body's edges
+    n1 = m.vertices.shape[0]
+    ew = np.asarray(topo_w.edges)
+    assert (ew[sl_w[0].edges] < n1).all()
+    assert (ew[sl_w[1].edges] >= n1).all()
+    cw = np.asarray(topo_w.compliance)
+    assert np.allclose(cw[sl_w[0].edges], 1e-5)
+    assert np.allclose(cw[sl_w[1].edges], 1e-4)
+
+
+def test_merge_topologies_windowed_rejects_colored():
+    m = TM.grid_plane(1.0, 3)
+    b = B.BodySpec(m.vertices, TE.unique_edges(m.triangles), 1e-5)
+    with pytest.raises(NotImplementedError):
+        B.merge_topologies([b, b], windowed=True, colored=True)
+
+
+def test_merge_topologies_windowed_solver_agreement():
+    """The windowed merged topology must solve to the same trajectory as
+    the plain merge (same constraint set, different backend layout)."""
+    import dataclasses as _dc
+
+    from softbodysimulation_tpu import (SolveMode, SolverConfig,
+                                        state_from_topology)
+
+    m = TM.grid_plane(0.6, 5)
+    ed = TE.unique_edges(m.triangles)
+    b1 = B.BodySpec(m.vertices + np.array([0, 0.5, 0]), ed, 1e-5,
+                    triangles=m.triangles)
+    b2 = B.BodySpec(m.vertices + np.array([0, 0.62, 0]), ed, 1e-4,
+                    triangles=m.triangles)
+    pos_p, topo_p, _ = B.merge_topologies([b1, b2])
+    pos_w, topo_w, _ = B.merge_topologies([b1, b2], windowed=True)
+    cfg = SolverConfig(substeps=4, iterations=4, damping=0.02,
+                       solve_mode=SolveMode.JACOBI,
+                       enable_self_collision=True,
+                       self_collision_backend="dense",
+                       particle_radius=0.05,
+                       ground_height=0.0, friction=0.3)
+    sp = _run(state_from_topology(topo_p, pos_p),
+              G.make_step(topo_p, cfg, 1 / 60), 8)
+    sw = _run(state_from_topology(topo_w, pos_w),
+              G.make_step(topo_w, dataclasses.replace(
+                  cfg, distance_backend="windowed"), 1 / 60), 8)
+    _ = _dc
+    d = np.abs(sp - sw).max()
+    assert np.isfinite(sw).all()
+    assert d < 5e-5, f"windowed merge diverged from plain merge: {d}"
