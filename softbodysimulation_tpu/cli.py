@@ -250,6 +250,12 @@ def main(argv=None):
     # is reused for every pose (core/colliders.py)
     animate = info.get("animate")
 
+    # movable 3D cursor: the aimed-interaction replacement for the mouse
+    # ray (SoftBodyInteractor.cs:69-80) — hjkl/arrows steer it, every verb
+    # lands at it, and the render shows it as a crosshair
+    cursor = (_keyboard.Cursor(np.asarray(state.positions))
+              if args.watch else None)
+
     with _keyboard.raw_stdin() as poll_keys:
         for i in range(args.steps):
             if animate is not None:
@@ -257,7 +263,7 @@ def main(argv=None):
             for force, pos_p, rad in pokes.get(i, ()):
                 sess.poke(force, pos_p, rad)
             if args.watch:
-                rep = _keyboard.apply_keys(sess, poll_keys())
+                rep = _keyboard.apply_keys(sess, poll_keys(), cursor=cursor)
                 if rep["acted"]:
                     last_action = "+".join(rep["acted"])
                 if rep["quit"]:
@@ -268,15 +274,17 @@ def main(argv=None):
                 from .io import terminal as _terminal
 
                 cfgw = info.get("config")
+                cx, cy, cz = cursor.tuple()
                 status = (f"step {i + 1}/{args.steps}  scene={args.scene}  "
-                          f"poked={sum(1 for s in pokes if s <= i)}"
+                          f"poked={sum(1 for s in pokes if s <= i)}  "
+                          f"cursor=({cx:+.2f},{cy:+.2f},{cz:+.2f})"
                           + (f"  [{last_action}]" if last_action else "")
                           + "\n" + _keyboard.legend())
                 _terminal.show(
                     _terminal.frame(
                         state, watch_topo, cols=args.watch_cols,
                         ground_height=getattr(cfgw, "ground_height", None),
-                        status=status),
+                        status=status, markers=[cursor.tuple()]),
                     first=first_frame)
                 first_frame = False
                 if args.watch_fps > 0:

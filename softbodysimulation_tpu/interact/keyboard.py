@@ -71,22 +71,78 @@ def raw_stdin() -> Iterator[Callable[[], List[str]]]:
 
 
 def legend() -> str:
-    return ("keys: space=impulse  wasd/jk=poke  p=pin  u=unpin  "
+    return ("keys: hjkl/arrows+,.=move cursor  space=impulse@cursor  "
+            "wasd=poke@cursor  p=pin  u=unpin  c=recenter  "
             "r=restart  q=quit")
 
 
-def apply_keys(session, keys, center=None,
+class Cursor:
+    """Movable 3D world-space cursor — the headless replacement for the
+    reference's mouse-ray world-position picking
+    (``SoftBodyInteractor.GetMouseWorldPosition``,
+    ``SoftBodyInteractor.cs:69-80``): instead of casting a camera ray, the
+    user steers an explicit world point with vi keys / arrows and every
+    interaction verb (poke, impulse, pin) lands AT that point.  The step
+    size is a fraction of the body's bounding span so one keypress is a
+    visible move at any scene scale."""
+
+    def __init__(self, positions, step_frac: float = 0.06):
+        import numpy as np
+
+        p = np.asarray(positions)
+        self.pos = p.mean(axis=0).astype(float)
+        span = float((p.max(axis=0) - p.min(axis=0)).max())
+        self.step = max(step_frac * span, 1e-3)
+
+    def move(self, axis: int, sign: float) -> None:
+        self.pos = self.pos.copy()
+        self.pos[axis] += sign * self.step
+
+    def recenter(self, positions) -> None:
+        import numpy as np
+
+        self.pos = np.asarray(positions).mean(axis=0).astype(float)
+
+    def tuple(self):
+        return (float(self.pos[0]), float(self.pos[1]), float(self.pos[2]))
+
+
+def tokenize(chars: List[str]) -> List[str]:
+    """Collapse raw stdin chars into key tokens: ANSI arrow escape
+    sequences (ESC [ A..D) become 'up'/'down'/'right'/'left'; everything
+    else passes through as single characters."""
+    arrows = {"A": "up", "B": "down", "C": "right", "D": "left"}
+    out: List[str] = []
+    i = 0
+    while i < len(chars):
+        if (chars[i] == "\x1b" and i + 2 < len(chars)
+                and chars[i + 1] == "[" and chars[i + 2] in arrows):
+            out.append(arrows[chars[i + 2]])
+            i += 3
+        else:
+            out.append(chars[i])
+            i += 1
+    return out
+
+
+def apply_keys(session, keys, center=None, cursor: "Cursor" = None,
                impulse: float = 50.0, poke: float = 20.0,
                radius: float = 2.0, pin_radius: float = 0.5) -> dict:
-    """Apply a batch of pressed keys to a ``Session``.  ``center`` defaults
-    to the body's current centre of mass.  Returns a report dict with
-    ``quit``/``acted`` flags and the actions taken (for the status line)."""
+    """Apply a batch of pressed keys to a ``Session``.  With a ``cursor``
+    every verb targets the cursor's world position (and hjkl / arrow keys
+    / ',' '.' steer it); otherwise ``center`` (default: the body's current
+    centre of mass) is the target — the pre-cursor behaviour.  Returns a
+    report dict with ``quit``/``acted`` flags and the actions taken (for
+    the status line)."""
     import numpy as np
 
     report = {"quit": False, "acted": [], "restarted": False}
+    keys = tokenize(list(keys))
     if not keys:
         return report
-    if center is None:
+    if cursor is not None:
+        center = cursor.tuple()
+    elif center is None:
         center = tuple(np.asarray(session.state.positions).mean(axis=0))
     dirs = {
         " ": ("impulse", (0.0, impulse, 0.0)),
@@ -94,17 +150,36 @@ def apply_keys(session, keys, center=None,
         "s": ("poke +z", (0.0, 0.0, poke)),
         "a": ("poke -x", (-poke, 0.0, 0.0)),
         "d": ("poke +x", (poke, 0.0, 0.0)),
-        "j": ("poke -y", (0.0, -poke, 0.0)),
-        "k": ("poke +y", (0.0, poke, 0.0)),
+    }
+    if cursor is None:
+        # pre-cursor vertical pokes (j/k steer the cursor when one exists)
+        dirs["j"] = ("poke -y", (0.0, -poke, 0.0))
+        dirs["k"] = ("poke +y", (0.0, poke, 0.0))
+    moves = {
+        "h": (0, -1.0), "left": (0, -1.0),
+        "l": (0, +1.0), "right": (0, +1.0),
+        "j": (1, -1.0), "down": (1, -1.0),
+        "k": (1, +1.0), "up": (1, +1.0),
+        ",": (2, -1.0), ".": (2, +1.0),
     }
     for ch in keys:
-        c = ch.lower()
+        c = ch.lower() if len(ch) == 1 else ch
         if c == "q":
             report["quit"] = True
         elif c in dirs:
             name, force = dirs[c]
             session.poke(force, center, radius)
             report["acted"].append(name)
+        elif cursor is not None and c in moves:
+            ax, sgn = moves[c]
+            cursor.move(ax, sgn)
+            center = cursor.tuple()
+            report["acted"].append(f"cursor {'xyz'[ax]}"
+                                   f"{'+' if sgn > 0 else '-'}")
+        elif cursor is not None and c == "c":
+            cursor.recenter(session.state.positions)
+            center = cursor.tuple()
+            report["acted"].append("recenter")
         elif c == "p":
             session.pin(center, pin_radius)
             report["acted"].append("pin")

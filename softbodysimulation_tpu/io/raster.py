@@ -25,9 +25,15 @@ def rasterize(positions: np.ndarray, triangles: np.ndarray,
               size: int = 512, plane: str = "xy",
               light=(0.4, 0.8, 0.45), base_color=(90, 170, 220),
               background=(17, 20, 24),
-              ground_height: Optional[float] = None) -> np.ndarray:
+              ground_height: Optional[float] = None,
+              markers=()) -> np.ndarray:
     """Render (H, W, 3) uint8.  Orthographic along the plane's normal axis;
-    depth = the third coordinate (towards the viewer)."""
+    depth = the third coordinate (towards the viewer).
+
+    ``markers``: [(x, y, z), ...] world points drawn as always-on-top
+    crosshairs (the watch-mode 3D cursor, ``interact/keyboard.Cursor``) —
+    brightness encodes depth so the cursor's third coordinate stays
+    readable in a 2D projection."""
     ax, ay, az = _AXES[plane]
     pos = np.asarray(positions, np.float64)
     tri = np.asarray(triangles, np.int64)
@@ -97,6 +103,21 @@ def rasterize(positions: np.ndarray, triangles: np.ndarray,
         write = inside & (z > zb)
         zb[write] = z[write]
         img[miny:maxy + 1, minx:maxx + 1][write] = color[t]
+
+    if len(markers):
+        zlo, zhi = float(depth.min()), float(depth.max())
+        zspan = max(zhi - zlo, 1e-6)
+        arm = max(2, size // 28)
+        for mpos in markers:
+            mp = np.asarray(mpos, np.float64)
+            mx = int(round((mp[ax] - lo[0]) * scale))
+            my = int(round((size - 1) - (mp[ay] - lo[1]) * scale))
+            if not (0 <= mx < size and 0 <= my < size):
+                continue
+            t01 = np.clip((mp[az] - zlo) / zspan, 0.0, 1.0)
+            col = np.array([255, 120 + 135 * t01, 60], np.uint8)
+            img[my, max(mx - arm, 0):min(mx + arm + 1, size)] = col
+            img[max(my - arm, 0):min(my + arm + 1, size), mx] = col
     return img
 
 

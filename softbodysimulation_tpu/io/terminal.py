@@ -47,12 +47,14 @@ def ansi_frame(image: np.ndarray) -> str:
 def frame(state: SimState, topo: Topology, cols: int = 72,
           plane: str = "xy",
           ground_height: Optional[float] = None,
-          status: str = "") -> str:
+          status: str = "", markers=()) -> str:
     """One renderable frame (positions fetched to host here — the only
-    device crossing of the preview path)."""
+    device crossing of the preview path).  ``markers``: world points drawn
+    as crosshairs (the watch-mode cursor)."""
     img = _raster.rasterize(
         np.asarray(state.positions), np.asarray(topo.triangles),
-        size=cols, plane=plane, ground_height=ground_height)
+        size=cols, plane=plane, ground_height=ground_height,
+        markers=markers)
     body = ansi_frame(img)
     return body + ("\n" + status if status else "")
 

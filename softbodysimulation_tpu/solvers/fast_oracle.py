@@ -70,7 +70,7 @@ class FastReferenceSolver(ReferenceSolver):
 
     def __init__(self, positions, edges, rest_lengths, compliance, inv_mass,
                  config, hinges=None, rest_angles=None, bend_compliance=None,
-                 colors=None, bend_colors=None):
+                 colors=None, bend_colors=None, warm_start=False):
         n = len(np.asarray(positions))
         edges_arr = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
         if colors is None and len(edges_arr):
@@ -82,7 +82,7 @@ class FastReferenceSolver(ReferenceSolver):
         super().__init__(positions, edges, rest_lengths, compliance, inv_mass,
                          config, hinges=hinges, rest_angles=rest_angles,
                          bend_compliance=bend_compliance, colors=colors,
-                         bend_colors=bend_colors)
+                         bend_colors=bend_colors, warm_start=warm_start)
         ecolors = (np.sort(np.asarray(colors)) if colors is not None
                    else np.zeros(len(self.edges), np.int32))
         bcolors = (np.sort(np.asarray(bend_colors)) if bend_colors is not None
@@ -98,6 +98,44 @@ class FastReferenceSolver(ReferenceSolver):
         self._hblocks = _blocks(bcolors)
 
     # ---------------------------------------------------------- vectorized
+    def _warm_apply(self, pred):
+        """Vectorized WARM_START pre-application, bit-exact to the scalar
+        ``ReferenceSolver._warm_apply``: the application is SIMULTANEOUS
+        (directions from the entry pred, corrections staged then applied
+        once), so the only order-sensitive operation is the per-particle
+        accumulation of the staged corrections — reproduced exactly by one
+        unbuffered ``np.add.at`` over indices interleaved [a0, b0, a1, b1,
+        ...], which applies additions in element order, i.e. the scalar
+        loop's edge order with a-before-b within each edge."""
+        cfg = self.cfg
+        e = self.edges
+        if not len(e):
+            return
+        a, b = e[:, 0], e[:, 1]
+        wa, wb = self.w[a], self.w[b]
+        scale = F(1.0) / np.maximum(np.maximum(self.deg[a], self.deg[b]),
+                                    F(1.0))
+        if cfg.warm_start_fraction != 1.0:
+            scale = scale * F(cfg.warm_start_fraction)
+        li = self.lam * scale
+        if cfg.warm_start_clamp > 0:
+            wmax = np.maximum(np.maximum(wa, wb), F(1e-12))
+            lim = F(cfg.warm_start_clamp) * self.rest / wmax
+            li = np.clip(li, -lim, lim)
+        self.lam[:] = li
+        d = pred[b] - pred[a]
+        length = np.sqrt(np.maximum(_dot3(d, d), F(1e-24)))
+        dp = li[:, None] * (d / length[:, None])
+        idx = np.empty(2 * len(e), np.int64)
+        idx[0::2] = a
+        idx[1::2] = b
+        vals = np.empty((2 * len(e), 3), F)
+        vals[0::2] = -wa[:, None] * dp
+        vals[1::2] = wb[:, None] * dp
+        delta = np.zeros_like(pred)
+        np.add.at(delta, idx, vals)
+        pred += delta
+
     def _solve_distance(self, pred, dt):
         cfg = self.cfg
         inv_dt2 = F(1.0 / (dt * dt))

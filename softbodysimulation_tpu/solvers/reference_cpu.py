@@ -30,12 +30,18 @@ class ReferenceSolver:
 
     def __init__(self, positions, edges, rest_lengths, compliance, inv_mass,
                  config: SolverConfig, hinges=None, rest_angles=None,
-                 bend_compliance=None, colors=None, bend_colors=None):
+                 bend_compliance=None, colors=None, bend_colors=None,
+                 warm_start: bool = False):
         self.cfg = config
         self.x = np.array(positions, dtype=F)
         self.v = np.zeros_like(self.x)
         self.w = np.array(inv_mass, dtype=F)
         self.f = np.zeros_like(self.x)
+        # warm_start=True opts into the WARM_START lambda-mode extension
+        # (scalar transcription of general._warm_apply_distance) — an
+        # explicit flag so the frozen RESET/DECAY reference semantics stay
+        # untouched by default and existing oracle tests are unaffected.
+        self.warm_start = bool(warm_start)
 
         edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
         rest = np.asarray(rest_lengths, dtype=F)
@@ -48,6 +54,10 @@ class ReferenceSolver:
         self.rest = rest[order]
         self.comp = np.ascontiguousarray(comp[order])
         self.lam = np.zeros(len(edges), dtype=F)
+        # per-particle edge degree (warm-start relaxation scale; matches
+        # build_topology's float32 bincount degree)
+        self.deg = np.bincount(
+            edges.reshape(-1), minlength=len(self.x)).astype(F)
 
         if hinges is None:
             hinges = np.zeros((0, 4), np.int64)
@@ -92,11 +102,19 @@ class ReferenceSolver:
         cfg = self.cfg
         if cfg.lambda_mode == LambdaMode.WARM_START:
             # WARM_START is a device-engine scheme (pre-applied carried
-            # impulses); the oracle defines only the reference's RESET/DECAY
-            # sweeps — refusing beats silently running DECAY semantics.
-            raise NotImplementedError(
-                "ReferenceSolver supports RESET/DECAY lambda modes only")
-        if cfg.lambda_mode == LambdaMode.RESET:
+            # impulses) with no reference-C# ancestor; the frozen oracle
+            # refuses it unless the instance explicitly opted in
+            # (warm_start=True) — refusing beats silently running DECAY
+            # semantics, and the opt-in keeps the frozen RESET/DECAY
+            # truth untouched.
+            if not self.warm_start:
+                raise NotImplementedError(
+                    "ReferenceSolver supports RESET/DECAY lambda modes "
+                    "only; construct with warm_start=True for the "
+                    "engine-matched WARM_START extension")
+            self.lam *= F(cfg.lambda_decay)
+            self.blam[:] = 0
+        elif cfg.lambda_mode == LambdaMode.RESET:
             self.lam[:] = 0
             self.blam[:] = 0
         else:
@@ -121,6 +139,9 @@ class ReferenceSolver:
             np.clip(self.v, -cfg.max_velocity, cfg.max_velocity, out=self.v)
         pred = self.x + dt * self.v
 
+        if cfg.lambda_mode == LambdaMode.WARM_START:
+            self._warm_apply(pred)
+
         # solver iterations (SoftBodyCPU.cs:307-312): distance, bending, collisions
         for _ in range(cfg.iterations):
             self._solve_distance(pred, dt)
@@ -133,6 +154,37 @@ class ReferenceSolver:
         self.v[pinned] = 0
         pred[pinned] = self.x[pinned]
         self.x = pred
+
+    def _warm_apply(self, pred):
+        """Pre-apply carried distance impulses — the scalar transcription
+        of ``general._warm_apply_distance``: SIMULTANEOUS application along
+        the entry ``pred``'s edge directions (corrections staged in a delta
+        array, applied once), with the per-edge ``1/max(deg_a, deg_b)``
+        relaxation times ``warm_start_fraction``, and the carried
+        multiplier clamped to ``warm_start_clamp * rest / max(w)`` AFTER
+        scaling so the XPBD feedback term matches what was applied."""
+        cfg = self.cfg
+        lam = self.lam
+        delta = np.zeros_like(pred)
+        frac = F(cfg.warm_start_fraction)
+        for i in range(len(self.edges)):
+            a, b = self.edges[i]
+            wa, wb = self.w[a], self.w[b]
+            scale = F(1.0) / max(self.deg[a], self.deg[b], F(1.0))
+            if cfg.warm_start_fraction != 1.0:
+                scale = scale * frac
+            li = lam[i] * scale
+            if cfg.warm_start_clamp > 0:
+                wmax = max(wa, wb, F(1e-12))
+                lim = F(cfg.warm_start_clamp) * self.rest[i] / wmax
+                li = np.clip(li, -lim, lim)
+            lam[i] = li
+            d = pred[b] - pred[a]
+            length = F(np.sqrt(max(np.dot(d, d), F(1e-24))))
+            dp = li * (d / length)
+            delta[a] -= wa * dp
+            delta[b] += wb * dp
+        pred += delta
 
     def _solve_distance(self, pred, dt):
         cfg = self.cfg

@@ -121,3 +121,32 @@ def test_drift_10k_steps_fast_oracle_matches_frozen_metric():
     assert_identical(frozen, fast, "[10k final]")
     drift = np.abs(np.asarray(state.positions) - fast.x).max()
     assert drift <= 1e-3, f"10k-step drift vs fast oracle {drift}"
+
+
+def test_bitwise_equal_warm_start_mode():
+    """The WARM_START extension (opt-in on both oracles) must stay bitwise
+    identical: the vectorized pre-application accumulates staged
+    corrections via one unbuffered np.add.at over interleaved [a0, b0, a1,
+    b1, ...] indices — the scalar loop's exact per-particle add order."""
+    from softbodysimulation_tpu import LambdaMode
+    from softbodysimulation_tpu.solvers import reference_cpu
+
+    pos, topo, base = make_scene("lattice3")
+    import dataclasses
+    cfg = dataclasses.replace(base, lambda_mode=LambdaMode.WARM_START,
+                              lambda_decay=1.0)
+    inv_mass = np.asarray(state_from_topology(topo, pos).inv_mass)
+    kw = dict(colors=np.asarray(topo.colors), warm_start=True)
+    frozen = reference_cpu.ReferenceSolver(
+        pos, np.asarray(topo.edges), np.asarray(topo.rest_lengths),
+        np.asarray(topo.compliance), inv_mass, cfg, **kw)
+    fast = fast_oracle.FastReferenceSolver(
+        pos, np.asarray(topo.edges), np.asarray(topo.rest_lengths),
+        np.asarray(topo.compliance), inv_mass, cfg, **kw)
+    for i in range(120):
+        if i == 30:
+            for o in (frozen, fast):
+                o.add_force((4.0, 20.0, -1.0), (0.2, 0.8, 0.1), radius=1.5)
+        frozen.step(DT)
+        fast.step(DT)
+        assert_identical(frozen, fast, f"[warm_start step {i}]")

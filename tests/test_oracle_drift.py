@@ -235,3 +235,53 @@ def test_drift_welded_bunny_bending_contact():
             worst = max(worst, d)
     assert np.isfinite(orc.x).all()
     assert worst < 1e-3, f"welded-bunny drift {worst}"
+
+
+# ---- WARM_START oracle extension (opt-in; frozen modes untouched) ------
+
+def _warm_cfg():
+    from softbodysimulation_tpu import LambdaMode
+
+    return SolverConfig(substeps=2, iterations=8, damping=0.02,
+                        solve_mode=SolveMode.COLORED,
+                        lambda_mode=LambdaMode.WARM_START,
+                        lambda_decay=1.0,
+                        ground_height=0.0, friction=0.3)
+
+
+def test_warm_start_refused_by_default():
+    """The FROZEN oracle must keep refusing WARM_START unless the instance
+    explicitly opted in — silent DECAY semantics would poison drift runs."""
+    pos, topo, _ = make_scene("cube8")
+    cfg = _warm_cfg()
+    state = state_from_topology(topo, pos)
+    oracle = make_oracle(pos, topo, cfg, np.asarray(state.inv_mass))
+    with pytest.raises(NotImplementedError, match="warm_start=True"):
+        oracle.step(DT)
+
+
+def test_colored_engine_matches_warm_start_oracle():
+    """COLORED + WARM_START engine vs the opted-in scalar oracle: the
+    pre-application is simultaneous in both (directions from the entry
+    pred), so the only fp-order difference is the per-particle accumulation
+    of staged corrections (incidence-slot vs edge order).  The lattice
+    bounces chaotically at contact (amplifying that ulp noise to ~2e-3
+    around step 150, same as the RESET lattice3 row) before both settle to
+    the same rest state — measure at the settling horizon."""
+    pos = lattice.lattice_points(3, center=(0, 1.5, 0))
+    edges, comp = lattice.lattice_edges(3)
+    topo = build.build_topology(pos, edges, comp)
+    cfg = _warm_cfg()
+    state = state_from_topology(topo, pos)
+    oracle = reference_cpu.ReferenceSolver(
+        pos, np.asarray(topo.edges), np.asarray(topo.rest_lengths),
+        np.asarray(topo.compliance), np.asarray(state.inv_mass), cfg,
+        colors=np.asarray(topo.colors), warm_start=True)
+    step = general.make_step(topo, cfg, DT)
+    for _ in range(300):
+        state = step(state)
+        oracle.step(DT)
+    drift = np.abs(np.asarray(state.positions) - oracle.x).max()
+    assert np.isfinite(oracle.x).all()
+    # measured: ~4e-5 at step 300 (peaked ~2e-3 mid-bounce, contracting)
+    assert drift < 1e-3, f"WARM_START engine-vs-oracle drift {drift}"

@@ -144,3 +144,66 @@ def test_keyboard_raw_stdin_degrades_without_tty():
 
     with keyboard.raw_stdin() as poll:
         assert poll() == []          # pytest stdin is a pseudofile: no-op
+
+
+# ------------------------------- cursor-targeted interaction (round 4)
+def test_keyboard_tokenize_arrows():
+    from softbodysimulation_tpu.interact import keyboard
+
+    toks = keyboard.tokenize(list("\x1b[A") + ["h"] + list("\x1b[D"))
+    assert toks == ["up", "h", "left"]
+    # lone ESC / incomplete sequences pass through unharmed
+    assert keyboard.tokenize(["\x1b", "["]) == ["\x1b", "["]
+
+
+def test_cursor_moves_and_aims_pokes():
+    """The 3D cursor replaces the reference's mouse-ray world-position
+    picking (SoftBodyInteractor.cs:69-80): steering keys move it, and the
+    poke lands AT it — the particle nearest the cursor receives the
+    largest force, not the COM."""
+    from softbodysimulation_tpu.interact import keyboard
+
+    s = make_session(gravity=(0.0, 0.0, 0.0), floor_mode=FloorMode.NONE)
+    pos = np.asarray(s.state.positions)
+    cur = keyboard.Cursor(pos)
+    assert np.allclose(cur.pos, pos.mean(axis=0), atol=1e-6)
+    step0 = cur.step
+    assert step0 > 0
+
+    # steer: two right (+x), one up (+y) via arrow escape, one deeper (-z)
+    rep = keyboard.apply_keys(
+        s, ["l", "l"] + list("\x1b[A") + [","], cursor=cur)
+    assert any(a.startswith("cursor") for a in rep["acted"])
+    expect = pos.mean(axis=0) + np.array([2 * step0, step0, -step0])
+    assert np.allclose(cur.pos, expect, atol=1e-6)
+
+    # aimed poke: force falloff centers on the cursor
+    rep = keyboard.apply_keys(s, [" "], cursor=cur, radius=1.0)
+    assert "impulse" in rep["acted"]
+    f = np.asarray(s.state.ext_force)
+    hit = np.linalg.norm(f, axis=1).argmax()
+    d_cur = np.linalg.norm(pos - cur.pos, axis=1)
+    assert d_cur[hit] <= d_cur.min() + 1e-6
+
+    # recenter snaps back to the COM
+    keyboard.apply_keys(s, ["c"], cursor=cur)
+    assert np.allclose(cur.pos,
+                       np.asarray(s.state.positions).mean(axis=0),
+                       atol=1e-6)
+
+
+def test_cursor_marker_rendered():
+    """The cursor crosshair is stamped into the raster at its projected
+    position, on top of geometry."""
+    from softbodysimulation_tpu.io import raster
+    from softbodysimulation_tpu.topology import mesh
+
+    m = mesh.grid_plane(1.0, 4)
+    img0 = raster.rasterize(m.vertices, m.triangles, size=64, plane="xz")
+    img1 = raster.rasterize(m.vertices, m.triangles, size=64, plane="xz",
+                            markers=[(0.0, 0.0, 0.0)])
+    assert (img0 != img1).any()
+    # the changed pixels form the crosshair: centered row+column band
+    changed = np.argwhere((img0 != img1).any(axis=2))
+    cy, cx = changed.mean(axis=0)
+    assert abs(cy - 31.5) < 6 and abs(cx - 31.5) < 6
