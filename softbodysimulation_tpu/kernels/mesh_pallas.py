@@ -917,19 +917,34 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
             raise NotImplementedError(
                 "mesh kernel self-collision does not support n_bodies "
                 "ensembles (contact would pair across stacked bodies)")
-        # live per-block temps are ~8 (CB, n_pad) f32 planes; shrink the
-        # row block until they fit beside the solver structure
+        # Row blocks are FIXED at 128 (Mosaic must statically prove every
+        # dynamic lane offset is a multiple of 128 — i*128 qualifies,
+        # i*64 does not).  VMEM pressure is relieved by chunking the
+        # COLUMN axis instead: live temps are ~8 (128, CK) f32 planes
+        # plus the 5-row staging scratch, with the two output
+        # contractions (mx, msum) accumulated across chunks.  CK must be
+        # a 128-multiple divisor of n_pad so chunk offsets stay provable.
         sc_cb = 128
-        while sc_cb > 8 and (plan.vmem_bytes + 8 * sc_cb * n_pad * 4
-                             > VMEM_BUDGET):
-            sc_cb //= 2
-        if plan.vmem_bytes + 8 * sc_cb * n_pad * 4 > VMEM_BUDGET:
+        if n_pad % 128:
+            raise NotImplementedError(
+                "mesh kernel dense self-collision needs lane-padded "
+                "topologies (n_pad % 128 == 0)")
+        sc_ck = 0
+        m128 = n_pad // 128
+        for k in range(m128, 0, -1):
+            if m128 % k:
+                continue
+            if (plan.vmem_bytes + (8 * 128 * k * 128 + 5 * n_pad) * 4
+                    <= VMEM_BUDGET):
+                sc_ck = k * 128
+                break
+        if not sc_ck:
             raise NotImplementedError(
                 "mesh kernel dense self-collision at this scale exceeds "
                 "the VMEM budget — use the general engine's blocked "
                 "backend")
-        assert n_pad % sc_cb == 0
         sc_nb = n_pad // sc_cb
+        sc_nk = n_pad // sc_ck
         has_contacts = True
 
     if plan.synth:
@@ -990,7 +1005,7 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
         vlamo_ref = outs.pop(0) if vplan is not None else None
         tlamo_ref = outs.pop(0) if tplan is not None else None
 
-        def scoped(pred, delta, prev, tmp):
+        def scoped(pred, delta, prev, tmp, scs=None):
             xo_ref[:] = x_in[:]
             vo_ref[:] = v_in[:]
             lamo_ref[:] = lam_in[:]
@@ -1376,61 +1391,84 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 """All-pairs separation pass (ops/spatial_hash.self_
                 collision_project_dense fused).  Corrections for ALL rows
                 are computed from the entry ``pred`` (Jacobi), staged in
-                ``delta`` (free between sweeps), then applied at once."""
+                ``delta`` (free between sweeps), then applied at once.
+                Row-block operands are STAGED in the ``scs`` scratch and
+                read back through dynamic lane REF slices — Mosaic has no
+                lowering for ``dynamic_slice`` on values inside the loop
+                (the contact_pallas kernel established the ref-slice
+                pattern on hardware)."""
                 lane = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
                 validf = jnp.where(lane < n, 1.0, 0.0)
                 inv_n = jnp.float32(1.0 / n)
-                xs = []
                 for c in range(3):
                     xc = pred[rows(c)]
                     mc = jnp.sum(xc * validf) * inv_n
-                    xs.append((xc - mc) * validf)
-                x3 = jnp.concatenate(xs, axis=0)            # (3, n_pad)
-                sq = xs[0] * xs[0] + xs[1] * xs[1] + xs[2] * xs[2]
-                one = jnp.full((1, n_pad), 1.0)
-                # Gram trick, both norm terms folded into the contraction:
-                # d2 = [x,y,z,sq,1]_i . [-2x,-2y,-2z,1,sq]_j
-                lhs5 = jnp.concatenate([x3, sq, one], axis=0)
-                rhs5 = jnp.concatenate([-2.0 * x3, one, sq], axis=0)
-                lhs2 = jnp.concatenate([w, one], axis=0)
-                rhs2 = jnp.concatenate([one, w], axis=0)
+                    scs[c:c + 1, :] = (xc - mc) * validf
+                scs[3:4, :] = (scs[0:1, :] * scs[0:1, :]
+                               + scs[1:2, :] * scs[1:2, :]
+                               + scs[2:3, :] * scs[2:3, :])
+                scs[4:5, :] = w
                 radius = cfg.particle_radius
-                col_id = lax.broadcasted_iota(jnp.int32, (sc_cb, n_pad), 1)
+                col_id0 = lax.broadcasted_iota(jnp.int32, (sc_cb, sc_ck), 1)
+                one_cb = jnp.full((1, sc_cb), 1.0)
+                one_ck = jnp.full((1, sc_ck), 1.0)
 
                 def blk(i, carry):
-                    li = lax.dynamic_slice_in_dim(lhs5, i * sc_cb, sc_cb, 1)
-                    d2 = lax.dot_general(
-                        li, rhs5, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)    # (CB, n_pad)
-                    l2 = lax.dynamic_slice_in_dim(lhs2, i * sc_cb, sc_cb, 1)
-                    wsum = lax.dot_general(
-                        l2, rhs2, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)
-                    dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                    overlap = 2.0 * radius - dist
+                    xi = scs[0:3, pl.dslice(i * sc_cb, sc_cb)]   # (3, CB)
+                    sqi = scs[3:4, pl.dslice(i * sc_cb, sc_cb)]
+                    wi = scs[4:5, pl.dslice(i * sc_cb, sc_cb)]
+                    li = jnp.concatenate([xi, sqi, one_cb], axis=0)
+                    l2 = jnp.concatenate([wi, one_cb], axis=0)
                     row_id = i * sc_cb + lax.broadcasted_iota(
-                        jnp.int32, (sc_cb, n_pad), 0)
-                    touch = ((row_id != col_id) & (overlap > 0)
-                             & (dist > 1e-9) & (wsum > 1e-12)
-                             & (row_id < n) & (col_id < n))
-                    mm = jnp.where(
-                        touch,
-                        overlap / (jnp.maximum(dist, 1e-12)
-                                   * jnp.maximum(wsum, 1e-12)), 0.0)
-                    # corr_i = w_i * (x_i * sum_j m - m @ x), both
-                    # contractions landing in the (3, CB) plane orientation
-                    mx = lax.dot_general(
-                        x3, mm, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)    # (3, CB)
-                    msum = lax.dot_general(
-                        one, mm, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)    # (1, CB)
-                    wi = lax.dynamic_slice_in_dim(w, i * sc_cb, sc_cb, 1)
-                    xi = lax.dynamic_slice_in_dim(x3, i * sc_cb, sc_cb, 1)
+                        jnp.int32, (sc_cb, sc_ck), 0)
+
+                    def chunk(j, acc):
+                        mx, msum = acc
+                        xj = scs[0:3, pl.dslice(j * sc_ck, sc_ck)]
+                        sqj = scs[3:4, pl.dslice(j * sc_ck, sc_ck)]
+                        wj = scs[4:5, pl.dslice(j * sc_ck, sc_ck)]
+                        # Gram trick, both norm terms folded in:
+                        # d2 = [x,y,z,sq,1]_i . [-2x,-2y,-2z,1,sq]_j
+                        rhs5 = jnp.concatenate([-2.0 * xj, one_ck, sqj],
+                                               axis=0)
+                        d2 = lax.dot_general(
+                            li, rhs5, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)  # (CB, CK)
+                        rhs2 = jnp.concatenate([one_ck, wj], axis=0)
+                        wsum = lax.dot_general(
+                            l2, rhs2, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+                        dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                        overlap = 2.0 * radius - dist
+                        col_id = j * sc_ck + col_id0
+                        touch = ((row_id != col_id) & (overlap > 0)
+                                 & (dist > 1e-9) & (wsum > 1e-12)
+                                 & (row_id < n) & (col_id < n))
+                        mm = jnp.where(
+                            touch,
+                            overlap / (jnp.maximum(dist, 1e-12)
+                                       * jnp.maximum(wsum, 1e-12)), 0.0)
+                        # corr_i = w_i * (x_i * sum_j m - m @ x), both
+                        # contractions landing in the (3, CB) orientation
+                        # and ACCUMULATED over column chunks
+                        mx = mx + lax.dot_general(
+                            xj, mm, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)  # (3, CB)
+                        msum = msum + lax.dot_general(
+                            one_ck, mm, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)  # (1, CB)
+                        return mx, msum
+
+                    mx, msum = lax.fori_loop(
+                        0, sc_nk, chunk,
+                        (jnp.zeros((3, sc_cb), jnp.float32),
+                         jnp.zeros((1, sc_cb), jnp.float32)))
+                    xi = scs[0:3, pl.dslice(i * sc_cb, sc_cb)]
+                    wi = scs[4:5, pl.dslice(i * sc_cb, sc_cb)]
                     delta[:, pl.dslice(i * sc_cb, sc_cb)] = (
                         wi * (xi * msum - mx))
                     return carry
@@ -1712,13 +1750,17 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
 
             lax.fori_loop(0, n_substeps, substep, 0)
 
-        pl.run_scoped(
-            scoped,
+        scoped_shapes = dict(
             pred=pltpu.VMEM((3 * R, n_pad), jnp.float32),
             delta=pltpu.VMEM((3 * R, n_pad), jnp.float32),
             prev=pltpu.VMEM((3 * R, n_pad), jnp.float32),
             tmp=pltpu.VMEM((3 * R, n_pad), jnp.float32),
         )
+        if sc_on:
+            # dense-contact staging: centered x/y/z + |x|^2 + w rows, read
+            # back block-wise through dynamic lane ref slices
+            scoped_shapes["scs"] = pltpu.VMEM((5, n_pad), jnp.float32)
+        pl.run_scoped(scoped, **scoped_shapes)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shapes = [
