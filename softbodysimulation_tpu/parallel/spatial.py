@@ -225,9 +225,31 @@ def _sharded_tet_sweep(pred, w, lam_t, paths, valid, tdeg, rest6,
 
 def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                               dt: float, mesh: Mesh, n_steps: int = 1,
-                              axis: str = "x"):
+                              axis: str = "x", backend: str = "xla",
+                              interpret: bool = True):
     """Compile a sharded ``SimState -> SimState`` step for one large lattice
-    split over ``mesh``'s devices along the lattice x-axis."""
+    split over ``mesh``'s devices along the lattice x-axis.
+
+    backend="xla" (default) — per-family XLA passes with ``lax.ppermute``
+    halo exchange.  backend="pallas" — the FUSED per-device kernel
+    (``kernels.spatial_pallas``): each device runs its whole slab substep
+    loop as one Mosaic program with in-kernel remote-DMA halo exchange
+    (arithmetic mirrored 1:1; equivalence in tests/test_spatial_pallas.py).
+    The pallas backend currently runs in INTERPRET mode (``interpret=``):
+    no multi-chip hardware exists in this environment to execute or
+    measure real ICI remote DMA, and the exchange still needs
+    flow-control credits before hardware deployment (module docstring of
+    ``kernels/spatial_pallas.py``) — the real-ICI measurement is
+    blocked-on-hardware, not on code."""
+    if backend == "pallas":
+        from ..kernels import spatial_pallas
+
+        return spatial_pallas.make_spatial_pallas_substep(
+            spec, cfg, dt, mesh, n_steps=n_steps, axis=axis,
+            interpret=interpret)
+    if backend != "xla":
+        raise ValueError(f"backend must be 'xla' or 'pallas', got "
+                         f"{backend!r}")
     res = spec.res
     n_shards = mesh.devices.size
     if res % n_shards != 0:
