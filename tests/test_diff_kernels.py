@@ -647,3 +647,29 @@ def test_mesh_diff_runner_colored_bending_grads():
     assert abs(float(grad_p) - float(grad_r)) / max(abs(float(grad_r)),
                                                     1e-9) < 1e-4
     assert abs(float(grad_r)) > 1e-3
+
+
+def test_paired_runners_reject_approx_math():
+    """The pairing contract is straight-through-at-EQUAL-semantics: an
+    approx_math forward would be linearized by an exact-math backward at a
+    drifted trajectory, so the factories must refuse it explicitly
+    (round-3 verdict: guard, don't just document)."""
+    import pytest
+
+    m = mesh.icosphere(1)
+    pos, topo = build.build_windowed_topology(
+        m.vertices, unique_edges(m.triangles), 1e-4,
+        triangles=m.triangles)
+    cfg = SolverConfig(substeps=2, iterations=2,
+                       solve_mode=SolveMode.JACOBI,
+                       distance_backend="windowed")
+    spec = lattice.lattice_spec(4, braced=True)
+    with pytest.raises(NotImplementedError, match="approx_math"):
+        kdiff.make_differentiable_mesh_runner(
+            topo, cfg, DT_SUB, 4, approx_math=True)
+    with pytest.raises(NotImplementedError, match="approx_math"):
+        kdiff.make_differentiable_lattice_runner(
+            spec, cfg, DT_SUB, 4, approx_math=True)
+    with pytest.raises(NotImplementedError, match="approx_math"):
+        kdiff.make_differentiable_material_runner(
+            topo, cfg, DT_SUB, 4, approx_math=True)
