@@ -176,11 +176,40 @@ def make_differentiable_lattice_runner(spec, cfg, dt_sub: float,
 
 def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
                                     n_substeps: int,
-                                    remat_chunk: int = 0, **pallas_kw):
-    """Differentiable fused mesh rollout: mesh Pallas kernel forward,
-    general-engine (windowed backend) backward (``remat_chunk`` bounds
-    the backward's memory — see ``_substep_rollout``)."""
+                                    remat_chunk: int = 0,
+                                    backward: str = "xla", **pallas_kw):
+    """Differentiable fused mesh rollout.
+
+    ``backward`` selects the reverse-mode construction:
+
+    * ``"xla"`` (default) — mesh Pallas kernel forward, general-engine
+      (windowed backend) VJP backward; covers the full kernel envelope
+      and every cotangent (incl. inv_mass); ``remat_chunk`` bounds the
+      backward's memory (see ``_substep_rollout``).
+    * ``"fused"`` — the hand-written Mosaic backward
+      (``kernels.mesh_diff_pallas``): replay + cotangent sweeps run as
+      fused chunk kernels, ~4x the XLA backward's device throughput on
+      the bunny (BENCHMARKS.md "Differentiable performance").  Restricted
+      envelope (JACOBI, RESET/DECAY, distance + floor only) and zero
+      inv_mass/ext_force cotangents; raises NotImplementedError outside
+      it.  ``remat_chunk`` maps to the backward's chunk size.
+    * ``"auto"`` — ``"fused"`` when the envelope fits, else ``"xla"``."""
+    if backward not in ("xla", "fused", "auto"):
+        raise ValueError(f"backward must be xla|fused|auto, got {backward}")
     _guard_exact_forward(pallas_kw)
+    if backward != "xla":
+        from . import mesh_diff_pallas as mdp
+
+        try:
+            return mdp.make_fused_differentiable_mesh_runner(
+                topo, cfg, dt_sub, n_substeps,
+                chunk_substeps=(remat_chunk if remat_chunk
+                                and 0 < remat_chunk < n_substeps else None),
+                **{k: v for k, v in pallas_kw.items()
+                   if k in ("block_edges", "synth_gd")})
+        except NotImplementedError:
+            if backward == "fused":
+                raise
     from ..solvers import general
     from . import mesh_pallas
 
