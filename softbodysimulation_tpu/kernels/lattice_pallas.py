@@ -511,7 +511,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                         dc_cache=None,
                                         mask_cache=None,
                                         static_denom: bool = False,
-                                        kin_colliders=None):
+                                        kin_colliders=None,
+                                        tet_stream_lambda=None):
     """The flagship fused kernel: per-coordinate-plane structure with a
     residency ladder.  Positions, predictions and inverse masses are
     always VMEM-resident; velocities and the per-family multipliers are
@@ -599,27 +600,59 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # budgets below all reserve ``tet_pad`` extra planes when enabled.
     has_tets = cfg.enable_tet_volume
     tet_pad = 0
+    tet_lean = False
     if has_tets:
         from ..solvers.lattice import _tet_fields
 
         tet_paths, _tet_cells_np, tet_tdeg_np, tet_rest6 = _tet_fields(spec)
         tet_omega = cfg.omega if cfg.omega > 0 else 1.0
-        # 22 resident tet planes (6 lambda slabs + the 16-plane tg staging
-        # scratch) + extra stack headroom.  26 (not 22) deliberately tips
-        # the lam_resident budget negative at res 40 (braced): with the
-        # tet scratch on board the unrolled 13-family solve loop's
-        # cumulative Mosaic stack no longer fits NEXT TO the 13 lambda
-        # slabs (measured 17.3M/16M scoped) — and for RESET x1 configs
-        # dropping lam_resident is free anyway (the no-lambda-IO streaming
-        # path only engages when lambda slabs are NOT resident).
-        tet_pad = 26
-        # floor: pred/xo/w/wt/tres + ~24 live sweep planes must fit even
-        # before any ladder rung engages (res <= ~40; res 64 planes are
-        # 1 MB each and the stencil engine covers that scale)
-        if (17 + 24) * res * r2p * 4 > 15_500_000:
+        # Fat spelling: 22 resident tet planes (6 lambda slabs + the
+        # 16-plane tg staging scratch) + extra stack headroom.  26 (not 22)
+        # deliberately tips the lam_resident budget negative at res 40
+        # (braced): with the tet scratch on board the unrolled 13-family
+        # solve loop's cumulative Mosaic stack no longer fits NEXT TO the
+        # 13 lambda slabs (measured 17.3M/16M scoped) — and for RESET x1
+        # configs dropping lam_resident is free anyway (the no-lambda-IO
+        # streaming path only engages when lambda slabs are NOT resident).
+        # Fat floor: pred/xo/w/wt/tres + ~24 live sweep planes must fit
+        # even before any ladder rung engages (res <= ~40).
+        tet_fat_ok = (17 + 24) * res * r2p * 4 <= 15_500_000
+        # LEAN spelling (tet_stream_lambda; round 4): when the tet lambda
+        # lifecycle is fresh-per-substep (RESET/WARM_START at
+        # iterations=1 — the bench regime), the 6 resident tres slabs are
+        # dead weight: every sweep starts from lambda=0 and only the LAST
+        # substep's dl matters for the state output.  Dropping tres (the
+        # slab loads and the whole-call residency) frees 6 planes, which
+        # is exactly what lets res 41-48 solids run in-kernel; the dl
+        # slabs are written straight to the lambda_tet output via a
+        # one-plane staging DMA predicated on the last substep (same
+        # trick as stream_families_no_lambda_io).  DECAY and multi-
+        # iteration configs read carried multipliers and keep the fat
+        # spelling (res <= ~40; the stencil engine covers larger).
+        lean_allowed = (cfg.iterations == 1
+                        and cfg.lambda_mode != LambdaMode.DECAY)
+        if tet_stream_lambda is None:
+            tet_lean = (not tet_fat_ok) and lean_allowed
+        elif tet_stream_lambda:
+            if not lean_allowed:
+                raise NotImplementedError(
+                    "tet_stream_lambda needs a fresh-per-substep tet "
+                    "lambda lifecycle (RESET/WARM_START, iterations=1)")
+            tet_lean = True
+        tet_pad = 20 if tet_lean else 26
+        if not tet_fat_ok and not tet_lean:
             raise NotImplementedError(
                 "streamed tets exceed the VMEM budget at this res — "
-                "use the stencil engine (solvers/lattice)")
+                "use the stencil engine (solvers/lattice), or RESET/"
+                "WARM_START x iterations=1 for the lean tet spelling")
+        if tet_lean and (11 + 24) * res * r2p * 4 > 15_500_000:
+            # lean floor: pred/xo/w/wt/slots + tg + stack (res <= ~48;
+            # res 64 planes are 1 MB each and the stencil engine covers
+            # that scale)
+            raise NotImplementedError(
+                "streamed tets exceed the VMEM budget at this res even "
+                "with streamed tet lambdas — use the stencil engine "
+                "(solvers/lattice)")
 
     def roll2(a, shift, axis):
         size = a.shape[axis]
@@ -794,11 +827,14 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             cp_v.wait()
             cp_l.wait()
             if has_tets:
-                # carried tet multipliers (only DECAY actually reads them;
-                # the other modes refresh per substep)
-                cp_t = pltpu.make_async_copy(lamt_hbm, tres, sem.at[0])
-                cp_t.start()
-                cp_t.wait()
+                if not tet_lean:
+                    # carried tet multipliers (only DECAY actually reads
+                    # them; the other modes refresh per substep).  The
+                    # lean spelling never reads them: every sweep starts
+                    # from lambda=0.
+                    cp_t = pltpu.make_async_copy(lamt_hbm, tres, sem.at[0])
+                    cp_t.start()
+                    cp_t.wait()
                 # interior-cell mask is static geometry — materialize it
                 # ONCE as an f32 plane (tg[15]) so the per-iteration sweep
                 # doesn't keep 6 iota/mask planes live across its loop
@@ -1185,14 +1221,19 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                            + tg[3 + k * 3 + 2] ** 2)
                                     denom = denom + wk * gsq
                                 denom = denom + alpha_t
-                                lam_f = tres[pi]
-                                if cfg.lambda_mode == LambdaMode.DECAY:
+                                if tet_lean:
+                                    # fresh per substep at iterations=1:
+                                    # the carried multiplier is never read
+                                    lam_f = jnp.float32(0.0)
+                                elif cfg.lambda_mode == LambdaMode.DECAY:
+                                    lam_f = tres[pi]
                                     lam_f = jnp.where(
                                         it == 0, lam_f * cfg.lambda_decay,
                                         lam_f)
                                 else:
                                     # fresh per substep (general-engine
                                     # lifecycle for RESET/WARM_START)
+                                    lam_f = tres[pi]
                                     lam_f = jnp.where(it == 0, 0.0, lam_f)
                                 if approx_math:
                                     dl = ((-cerr - alpha_t * lam_f)
@@ -1207,7 +1248,24 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                              > cfg.eps_denominator))
                                 dl = (jnp.where(active, dl, 0.0)
                                       * tet_omega)
-                                tres[pi] = lam_f + dl
+                                if tet_lean:
+                                    # no resident slab: the state's tet
+                                    # multiplier output is the LAST
+                                    # substep's dl, written through the
+                                    # (otherwise idle here) slots staging
+                                    lam_out = lam_f + dl
+
+                                    @pl.when(step_i == n_substeps - 1)
+                                    def _store_tet_lam(lam_out=lam_out,
+                                                       pi=pi):
+                                        slots[0] = lam_out
+                                        st = pltpu.make_async_copy(
+                                            slots.at[0], lamto_hbm.at[pi],
+                                            sem.at[0])
+                                        st.start()
+                                        st.wait()
+                                else:
+                                    tres[pi] = lam_f + dl
                                 for c in range(3):
                                     acc = tg[12 + c] + dl * tg[c]
                                     for k in range(3):
@@ -1407,7 +1465,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 cp_lout = pltpu.make_async_copy(lres, lamo_hbm, sem.at[1])
                 cp_lout.start()
                 cp_lout.wait()
-            if has_tets:
+            if has_tets and not tet_lean:
                 cp_tout = pltpu.make_async_copy(tres, lamto_hbm, sem.at[2])
                 cp_tout.start()
                 cp_tout.wait()
@@ -1418,9 +1476,12 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             pred=pltpu.VMEM((3, res, r2p), jnp.float32),
             sem=pltpu.SemaphoreType.DMA((3,)),
         )
-        if not (v_resident and lam_resident):
+        if not (v_resident and lam_resident) or tet_lean:
             # lambda-slab / velocity-plane staging; dead weight when both
-            # are resident, so only allocated for the streaming paths
+            # are resident, so only allocated for the streaming paths —
+            # and for the lean tet spelling, whose last-substep dl store
+            # stages through slots[0] (idle during the tet sweep: the
+            # distance passes' predicated stores are waited inline)
             scratch["slots"] = pltpu.VMEM((3, res, r2p), jnp.float32)
         if v_resident:
             scratch["vres"] = pltpu.VMEM((3, res, r2p), jnp.float32)
@@ -1433,7 +1494,8 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         if denom_cached:
             scratch["dres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         if has_tets:
-            scratch["tres"] = pltpu.VMEM((6, res, r2p), jnp.float32)
+            if not tet_lean:
+                scratch["tres"] = pltpu.VMEM((6, res, r2p), jnp.float32)
             # tet sweep staging: g0..g3 (12 planes) + delta (3) + the
             # static interior-cell mask (1) — see the stack-vs-scratch
             # note at the sweep

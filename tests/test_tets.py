@@ -842,3 +842,67 @@ def test_windowed_tets_guard_without_windows():
         general.make_step(topo, cfg.replace(tet_backend="windowed",
                                             solve_mode=SolveMode.JACOBI),
                           1 / 60.)(state)
+
+# ------------------------------------- lean tet spelling (round 4, #6)
+@pytest.mark.parametrize("mode", [LambdaMode.RESET, LambdaMode.WARM_START])
+def test_streamed_tets_lean_matches_fat_bitwise(mode):
+    """The lean (tres-free) tet spelling must be BITWISE equal to the fat
+    spelling: identical arithmetic, only the multiplier residency/IO
+    differs (the last substep's dl is DMA'd straight to the output)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+
+    spec, cfg, st = _streamed_tet_setup(
+        iterations=1, lambda_mode=mode, warm_start_fraction=0.5)
+    with pltpu.force_tpu_interpret_mode():
+        fat = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 10, tet_stream_lambda=False)(st)
+        lean = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 10, tet_stream_lambda=True)(st)
+    np.testing.assert_array_equal(np.asarray(lean.positions),
+                                  np.asarray(fat.positions))
+    np.testing.assert_array_equal(np.asarray(lean.velocities),
+                                  np.asarray(fat.velocities))
+    np.testing.assert_array_equal(np.asarray(lean.lambda_tet),
+                                  np.asarray(fat.lambda_tet))
+
+
+def test_streamed_tets_lean_matches_stencil_engine():
+    """Forced-lean kernel tracks solvers/lattice through the full substep
+    loop at the bench regime (fast_math RESET x1), positions + tet
+    multipliers."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    spec, cfg, st = _streamed_tet_setup(
+        iterations=1, fast_math=True, lambda_mode=LambdaMode.RESET)
+    ref = lat.make_substep_runner(spec, cfg, 1 / 480., 10)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 10, tet_stream_lambda=True)(st)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_tet)
+                  - np.asarray(ref.lambda_tet)).max()
+    assert dpos < 1e-5, f"lean tets position mismatch {dpos}"
+    assert dlam < 1e-5, f"lean tets lambda_tet mismatch {dlam}"
+
+
+def test_streamed_tets_lean_gates():
+    """Lean refuses carried-lambda lifecycles (DECAY, iterations>1); the
+    auto gate keeps the fat spelling at small res."""
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+
+    spec, cfg, _ = _streamed_tet_setup(
+        iterations=1, lambda_mode=LambdaMode.DECAY)
+    with pytest.raises(NotImplementedError, match="tet_stream_lambda"):
+        lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 4, tet_stream_lambda=True)
+    spec, cfg, _ = _streamed_tet_setup(iterations=2,
+                                       lambda_mode=LambdaMode.RESET)
+    with pytest.raises(NotImplementedError, match="tet_stream_lambda"):
+        lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 4, tet_stream_lambda=True)
