@@ -114,3 +114,15 @@ def test_config10_material_fit():
     assert np.isfinite(l1)
     assert l1 < 0.5 * l0          # trajectory loss shrinks
     assert err1 < err0            # materials move toward truth
+
+
+def test_config11_collider_control():
+    """Contact-rich control: gradient descent on a kinematic sphere's
+    sweep parameters shoves the soft cube's COM toward the target."""
+    from softbodysimulation_tpu.examples import config11_collider_control
+
+    params, hist = config11_collider_control.run(
+        res=4, steps=40, opt_iters=6, verbose=False)
+    assert np.isfinite(params).all()
+    assert np.isfinite(hist).all()
+    assert hist[-1] < 0.6 * hist[0]   # loss shrinks through contact
