@@ -43,10 +43,20 @@ factory); the runner is built ``with_ext=False`` so ext_force never
 enters the forward either.
 
 Envelope (checked; the error names the fallback): JACOBI solve mode
-(Chebyshev-accelerated or plain), RESET/DECAY lambda modes, distance
-constraints only, floor NONE or XPBD_INEQUALITY, no rigid colliders, no
-self-collision, exact math, single body.  Everything else keeps the
-paired XLA backward.
+(Chebyshev-accelerated or plain), RESET/DECAY/WARM_START lambda modes,
+distance constraints only, floor NONE or XPBD_INEQUALITY, no rigid
+colliders, no self-collision, exact math, single body.  Everything else
+keeps the paired XLA backward.
+
+WARM_START (the shipped ``__graft_entry__.entry()`` config) adds one
+extra sweep per substep — the carried-impulse pre-application
+(``general._warm_apply_distance``) — whose VJP is the SAME self-
+transposing one-hot algebra with the multiplier held fixed: the carried
+lambda cotangent chains through clip -> static per-edge scale -> decay
+across substeps, and the pre-apply's position cotangent rides the usual
+gather/scatter pair.  Only the substep-entry multipliers need stashing
+(one slab per substep); the pre-apply's entry positions are recomputed
+from the predict chain.
 
 Reference intent: the reference solver is not differentiable at all; this
 is TPU-native capability beyond ``SoftBodyCPU.cs`` (cited for the substep
@@ -76,8 +86,9 @@ def check_fused_backward_envelope(cfg: SolverConfig, topo: Topology):
     why = None
     if cfg.solve_mode != SolveMode.JACOBI:
         why = f"solve mode {cfg.solve_mode} (JACOBI only)"
-    elif cfg.lambda_mode not in (LambdaMode.RESET, LambdaMode.DECAY):
-        why = f"lambda mode {cfg.lambda_mode} (RESET/DECAY only)"
+    elif cfg.lambda_mode not in (LambdaMode.RESET, LambdaMode.DECAY,
+                                 LambdaMode.WARM_START):
+        why = f"lambda mode {cfg.lambda_mode}"
     elif cfg.enable_bending and topo.n_hinges > 0:
         why = "bending constraints"
     elif cfg.enable_volume and topo.triangles.shape[0] > 0:
@@ -135,6 +146,9 @@ def _backward_vmem_bytes(plan, cfg: SolverConfig, C: int) -> int:
               + C * (1 + int(need_v))          # st_x (+st_v)
               + C * K * n_stash)
     slabs = 10 + C * K                         # io slabs + lamw + st_lam
+    if cfg.lambda_mode == LambdaMode.WARM_START:
+        slabs += C + 2                         # st_wlam + warm (+wlim)
+        planes += C                            # st_wx (pre-warm positions)
     return planes * plane_b + slabs * slab_b + struct_b
 
 
@@ -185,9 +199,15 @@ def _make_backward_chunk(topo: Topology, cfg: SolverConfig, dt: float,
     ea_c = jnp.asarray(plan.ea)
     eb_c = jnp.asarray(plan.eb)
     om_c = jnp.asarray(_om_schedule(cfg))
+    warm = cfg.lambda_mode == LambdaMode.WARM_START
+    warm_c = jnp.asarray(plan.warm_scale) if warm else None
+    warm_clamped = warm and cfg.warm_start_clamp > 0
+    wsf = cfg.warm_start_fraction
 
     in_names = (["x", "v", "w", "lam", "di", "act",
                  "rest", "alpha", "relax"]
+                + (["warm"] if warm else [])
+                + (["wlim"] if warm_clamped else [])
                 + (["bound"] if bound_c is not None else [])
                 + (["didx"] if plan.synth else ["gd", "gs"])
                 + ["gx", "gv", "glam"]
@@ -204,9 +224,12 @@ def _make_backward_chunk(topo: Topology, cfg: SolverConfig, dt: float,
         gxo, gvo, glamo = refs[len(in_names):]
 
         def scoped(xw, vw, pred, delta, gp, gprev, gxc, gvc, lamw,
-                   st_x, st_pred, st_new, st_lam, st_v=None, st_prev=None):
+                   st_x, st_pred, st_new, st_lam, st_v=None, st_prev=None,
+                   st_wlam=None, st_wx=None):
             w = w_in[:]                          # (1, n_pad)
             pinned = w == 0.0
+            warm_r = m.get("warm")
+            wlim_r = m.get("wlim")
 
             def gdk_of(kb):
                 wk = plan.widths[kb]
@@ -314,6 +337,86 @@ def _make_backward_chunk(topo: Topology, cfg: SolverConfig, dt: float,
                     g_cerr = -di[kb] * g_u
                     glamo[kb] = g_lam_o - alpha_r[kb] * di[kb] * g_u
                     g_length = g_cerr + g_len_sc
+                    g_lsq = jnp.where(len_sq >= 1e-24,
+                                      g_length * 0.5 / length, 0.0)
+                    g_d = g_d + d * (2.0 * g_lsq)
+                    delta[:, b0:b0 + wk] += scat(g_d, kb, gdk)
+                return g_after + delta[:]
+
+            def warm_block_fwd(kb, gdk, win, lam_e):
+                """Replay one block of the warm pre-apply from its entry
+                window and DECAYED entry multipliers (identical arithmetic
+                to mesh_pallas's sweep('warm'), exact math)."""
+                d = gath(win, gdk)                        # (3, S)
+                len_sq = (d[0:1] * d[0:1] + d[1:2] * d[1:2]
+                          + d[2:3] * d[2:3])
+                length = jnp.sqrt(jnp.maximum(len_sq, 1e-24))
+                lam_pre = lam_e * warm_r[kb]
+                if wsf != 1.0:
+                    lam_pre = lam_pre * wsf
+                if wlim_r is not None:
+                    lim = wlim_r[kb]
+                    lam_f = jnp.clip(lam_pre, -lim, lim)
+                else:
+                    lam_f = lam_pre
+                dl = jnp.where(relax_r[kb] > 0.0, lam_f, 0.0)
+                scale = dl / length
+                return d, len_sq, length, lam_pre, lam_f, scale
+
+            def warm_fwd():
+                """Forward warm pre-apply on pred/lamw (replay phase) —
+                carried multipliers applied along current directions, the
+                scaled multiplier stored back as iteration-0's entry."""
+                delta[:] = jnp.zeros_like(delta)
+                for kb in range(k_blocks):
+                    b0, wk = plan.bases[kb], plan.widths[kb]
+                    gdk = gdk_of(kb)
+                    win = pred[:, b0:b0 + wk]
+                    d, _, _, _, lam_f, scale = warm_block_fwd(
+                        kb, gdk, win, lamw[kb])
+                    lamw[kb] = lam_f
+                    delta[:, b0:b0 + wk] += scat(d * scale, kb, gdk)
+                for c in range(3):
+                    pred[c:c + 1] += w * delta[c:c + 1]
+
+            def warm_bwd(sub, g_after):
+                """VJP of the warm pre-apply, linearized at substep
+                ``sub``'s entry: ``pred`` must already hold the
+                recomputed post-predict positions.  Transforms ``glamo``
+                from the pre-apply's OUTPUT-multiplier cotangent to its
+                (decayed) entry-multiplier cotangent; returns the
+                post-predict position cotangent."""
+                lamw[:] = st_wlam[sub]
+                delta[:] = jnp.zeros_like(delta)
+                for kb in range(k_blocks):
+                    b0, wk = plan.bases[kb], plan.widths[kb]
+                    gdk = gdk_of(kb)
+                    win = pred[:, b0:b0 + wk]
+                    (d, len_sq, length, lam_pre, lam_f,
+                     scale) = warm_block_fwd(kb, gdk, win, lamw[kb])
+                    wwin = w[:, b0:b0 + wk]
+                    g_wd = jnp.concatenate(
+                        [wwin * g_after[c:c + 1, b0:b0 + wk]
+                         for c in range(3)], axis=0)
+                    g_dp = gath(g_wd, gdk)                # (3, S)
+                    g_d = g_dp * scale
+                    g_scale = (g_dp[0:1] * d[0:1] + g_dp[1:2] * d[1:2]
+                               + g_dp[2:3] * d[2:3])      # (1, S)
+                    g_dl = g_scale / length
+                    g_len_sc = -g_scale * scale / length
+                    # lam_f feeds BOTH the applied impulse (dl) and the
+                    # iteration-0 entry multiplier (glamo)
+                    g_lam_f = glamo[kb] + jnp.where(relax_r[kb] > 0.0,
+                                                    g_dl, 0.0)
+                    if wlim_r is not None:
+                        lim = wlim_r[kb]
+                        inl = (lam_pre > -lim) & (lam_pre < lim)
+                        g_lam_pre = jnp.where(inl, g_lam_f, 0.0)
+                    else:
+                        g_lam_pre = g_lam_f
+                    gl = g_lam_pre * warm_r[kb]
+                    glamo[kb] = gl * wsf if wsf != 1.0 else gl
+                    g_length = g_len_sc
                     g_lsq = jnp.where(len_sq >= 1e-24,
                                       g_length * 0.5 / length, 0.0)
                     g_d = g_d + d * (2.0 * g_lsq)
@@ -429,6 +532,14 @@ def _make_backward_chunk(topo: Topology, cfg: SolverConfig, dt: float,
                         pc = jnp.clip(pc, -cfg.world_bounds,
                                       cfg.world_bounds)
                     pred[c:c + 1] = pc
+                if warm:
+                    # stash the pre-apply's linearization point (decayed
+                    # entry multipliers + post-predict positions), then
+                    # pre-apply (updates pred AND lamw — iteration 0
+                    # starts from the scaled lam)
+                    st_wlam[sub] = lamw[:]
+                    st_wx[sub] = pred[:]
+                    warm_fwd()
                 if accelerate:
                     gprev[:] = pred[:]      # doubles as the replay prev
                 replay_it(sub * K)
@@ -501,8 +612,15 @@ def _make_backward_chunk(topo: Topology, cfg: SolverConfig, dt: float,
                     gprev[:] = jnp.zeros_like(gprev)
                 back_it(sub * K, anchor)
                 if accelerate:
-                    # prev was initialized from the predicted positions
+                    # prev was initialized from the (post-warm) predicted
+                    # positions
                     gp[:] = gp[:] + gprev[:]
+                if warm:
+                    # warm pre-apply VJP at its stashed linearization
+                    # point; gp becomes the post-predict cotangent and
+                    # glamo the decayed-entry-multiplier cotangent
+                    pred[:] = st_wx[sub]
+                    gp[:] = warm_bwd(sub, gp[:])
                 # predict VJP
                 for c, gc in ((0, gx_), (1, gy_), (2, gz_)):
                     gpred0 = gp[c:c + 1]
@@ -551,6 +669,10 @@ def _make_backward_chunk(topo: Topology, cfg: SolverConfig, dt: float,
         if accelerate:
             scoped_shapes["st_prev"] = pltpu.VMEM((C * K, 3, n_pad),
                                                   jnp.float32)
+        if warm:
+            scoped_shapes["st_wlam"] = pltpu.VMEM(
+                (C, k_blocks, 1, s_edges), jnp.float32)
+            scoped_shapes["st_wx"] = pltpu.VMEM((C, 3, n_pad), jnp.float32)
         pl.run_scoped(scoped, **scoped_shapes)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -591,12 +713,17 @@ def _make_backward_chunk(topo: Topology, cfg: SolverConfig, dt: float,
                   & ((wa >= cfg.static_inv_mass_eps)
                      | (wb >= cfg.static_inv_mass_eps))
                   ).astype(jnp.float32))
-        args = ([to_plane(ex), to_plane(ev), w, to_slab(elam), di, act,
-                 rest_c, alpha_c, relax_c]
-                + ([bound_c] if bound_c is not None else [])
-                + ([didx_c] if plan.synth else [gd_c, gs_c])
-                + [to_plane(gx), to_plane(gv), to_slab(glam)]
-                + ([om_c] if accelerate else []))
+        args = [to_plane(ex), to_plane(ev), w, to_slab(elam), di, act,
+                rest_c, alpha_c, relax_c]
+        if warm:
+            args.append(warm_c)
+        if warm_clamped:
+            wmax = jnp.maximum(jnp.maximum(wa, wb), 1e-12)
+            args.append(cfg.warm_start_clamp * rest_c / wmax)
+        args += (([bound_c] if bound_c is not None else [])
+                 + ([didx_c] if plan.synth else [gd_c, gs_c])
+                 + [to_plane(gx), to_plane(gv), to_slab(glam)]
+                 + ([om_c] if accelerate else []))
         gxo, gvo, glamo = call(*args)
         return (gxo[:, :n].T, gvo[:, :n].T,
                 glamo.reshape(epad)[:e_real])

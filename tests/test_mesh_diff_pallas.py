@@ -92,6 +92,8 @@ def _compare(topo, cfg, st, n_sub, rtol=1e-4, **kw):
     (4, LambdaMode.RESET, FloorMode.XPBD_INEQUALITY),   # Chebyshev active
     (4, LambdaMode.DECAY, FloorMode.XPBD_INEQUALITY),
     (3, LambdaMode.RESET, FloorMode.NONE),
+    (4, LambdaMode.WARM_START, FloorMode.XPBD_INEQUALITY),  # r4: entry()
+    (2, LambdaMode.WARM_START, FloorMode.NONE),
 ])
 def test_fused_backward_grads_match_engine(iters, lam_mode, floor):
     pos, topo = _scene()
@@ -189,7 +191,7 @@ def test_fused_backward_envelope_guards():
     pos, topo = _scene()
     st_cfgs = [
         _cfg(solve_mode=SolveMode.COLORED),
-        _cfg(lambda_mode=LambdaMode.WARM_START),
+        _cfg(enable_volume=True),
         _cfg(enable_self_collision=True, self_collision_backend="dense"),
         _cfg(floor_mode=FloorMode.VELOCITY_REFLECT),
         _cfg(sphere_colliders=((0.0, 0.2, 0.0, 0.1),)),
@@ -215,7 +217,8 @@ def test_diff_factory_routes_fused_backward():
         out = fused(st)
         assert np.isfinite(np.asarray(out.positions)).all()
         # outside the envelope, auto silently uses the XLA pairing
-        cfg_col = _cfg(lambda_mode=LambdaMode.WARM_START)
+        # (WARM_START joined the envelope in round 4 — volume is outside)
+        cfg_col = _cfg(enable_volume=True)
         paired = kdiff.make_differentiable_mesh_runner(topo, cfg_col, DT, 4,
                                                        backward="auto")
         out2 = paired(st)
@@ -224,3 +227,48 @@ def test_diff_factory_routes_fused_backward():
         with pytest.raises(NotImplementedError):
             kdiff.make_differentiable_mesh_runner(topo, cfg_col, DT, 4,
                                                   backward="fused")
+
+
+@pytest.mark.parametrize("clamp,fraction", [(0.0, 1.0), (0.5, 0.5)])
+def test_fused_backward_warm_start_lambda_chain(clamp, fraction):
+    """WARM_START (round 4): the carried-multiplier cotangent must chain
+    through the pre-apply (clip -> static scale -> decay) across substeps
+    — loss reads the OUTPUT multipliers so glam enters nonzero, and the
+    clamped variant exercises the clip VJP with the mass-derived limit."""
+    pos, topo = _scene()
+    cfg = _cfg(lambda_mode=LambdaMode.WARM_START, iterations=3,
+               warm_start_clamp=clamp, warm_start_fraction=fraction)
+    st = state_from_topology(topo, pos)
+    n_sub = 4
+
+    def mixed(out):
+        return (jnp.sum(out.positions[:, 0] * out.positions[:, 1])
+                + 0.1 * jnp.sum(out.lambda_dist ** 2))
+
+    def loss_ref(dx):
+        s = st.replace(positions=st.positions + dx)
+
+        def body(c, _):
+            return general._substep(c, topo, cfg, DT,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, s, None, length=n_sub)
+        return mixed(out)
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = mdp.make_fused_differentiable_mesh_runner(topo, cfg, DT,
+                                                          n_sub)
+        gp = jax.grad(lambda dx: mixed(fused(
+            st.replace(positions=st.positions + dx))))(
+                jnp.zeros_like(st.positions))
+    gr = jax.grad(loss_ref)(jnp.zeros_like(st.positions))
+    sc = max(np.abs(np.asarray(gr)).max(), 1e-12)
+    # Per-element tolerance: the ENGINE's autodiff rounds gather
+    # cotangents to bf16 (see the pinned-particles test), and WARM_START
+    # runs one EXTRA gather/scatter VJP per substep (the pre-apply), so
+    # its accumulated engine-side noise is larger still — measured 6.6e-3
+    # worst here, with central finite differences of the FUSED primal
+    # siding with the fused gradient at every worst coordinate.
+    np.testing.assert_allclose(np.asarray(gp) / sc, np.asarray(gr) / sc,
+                               atol=1.2e-2)
+    assert np.abs(np.asarray(gr)).max() > 1e-6
