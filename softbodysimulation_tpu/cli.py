@@ -226,7 +226,35 @@ def main(argv=None):
     # the same verbs the library exposes (interact/session.py)
     from .interact.session import Session
 
-    sess = Session(state, step, dt=info.get("dt", args.dt or 1 / 60))
+    def _rebuild(cfg, _info=info, _engine=getattr(args, "engine", "auto")):
+        # preset hot-swap (watch keys 1/2/3 -> Session.apply_preset):
+        # rebuild the step on the same engine the run selected.  Raises
+        # NotImplementedError when the new config falls outside a fused
+        # kernel's envelope; apply_keys reports that in the status line.
+        _dt = _info["dt"]
+        if _engine == "pallas":
+            if "spec" in _info:
+                from .kernels.lattice_pallas import make_pallas_step
+
+                return make_pallas_step(
+                    _info["spec"], cfg, _dt,
+                    kin_colliders=_info.get("kin_colliders"))
+            from .kernels.mesh_pallas import make_mesh_pallas_step
+
+            return make_mesh_pallas_step(
+                _info["topology"], cfg, _dt,
+                kin_colliders=_info.get("kin_colliders"))
+        if "spec" in _info:
+            from .solvers import lattice as _lat
+
+            return _lat.make_step(_info["spec"], cfg, _dt)
+        from .solvers import general as _gen
+
+        return _gen.make_step(_info["topology"], cfg, _dt)
+
+    sess = Session(state, step, dt=info.get("dt", args.dt or 1 / 60),
+                   rebuild=(_rebuild if "dt" in info else None),
+                   config=info.get("config"))
 
     exporter = None
     if args.export_every:

@@ -16,6 +16,14 @@ Keys (see ``legend()``):
   w/s     poke -z / +z                   a/d   poke -x / +x
   j/k     poke down / up
   p       pin around the COM             u     unpin around the COM
+  1/2/3   hot-swap jelly/firm/bouncy preset
+          (``SoftBodyController.cs:56-62``; needs a session rebuild hook)
+  enter   play the curve-shaped ForceAnimation at the cursor
+          (``SoftBodyController.cs:64-66`` -> PlayForceAnimation)
+  Q       squeeze (``SoftBodyController.cs:67-68`` -> animator.Squeeze;
+          capital — lowercase q stays quit)
+  g       drag toward the cursor; hold for a continuous pull via key
+          autorepeat (the LMB-hold drag, ``SoftBodyInteractor.cs:61-66``)
   r       restart from the initial snapshot
   q       quit the watch loop
 """
@@ -72,8 +80,29 @@ def raw_stdin() -> Iterator[Callable[[], List[str]]]:
 
 def legend() -> str:
     return ("keys: hjkl/arrows+,.=move cursor  space=impulse@cursor  "
-            "wasd=poke@cursor  p=pin  u=unpin  c=recenter  "
-            "r=restart  q=quit")
+            "wasd=poke@cursor  g=drag  p=pin  u=unpin  1/2/3=preset  "
+            "enter=play  Q=squeeze  c=recenter  r=restart  q=quit")
+
+
+# live preset hot-swap trio (SoftBodyController.cs:19-23 + :56-62).  Only
+# the FEEL fields are merged onto the scene's active config — structural
+# fields (topology flags, self-collision backend/knobs, ground height,
+# engine-shape choices) stay the scene's, so the rebuilt step keeps working
+# on the same state/topology.
+PRESET_KEYS = {"1": "jelly", "2": "firm", "3": "bouncy"}
+_FEEL_FIELDS = ("substeps", "iterations", "damping", "damping_mode",
+                "friction", "floor_mode", "restitution", "penetration_kick",
+                "lambda_mode", "lambda_decay")
+
+
+def preset_feel(base_cfg, name: str):
+    """Merge preset ``name``'s feel fields onto ``base_cfg`` (the live
+    hot-swap semantics: the reference preset overwrites the simulator's
+    settings in place, ``SoftBodyPreset.ApplyToSoftBody``)."""
+    from ..core.presets import get_preset
+
+    p = get_preset(name)
+    return base_cfg.replace(**{f: getattr(p, f) for f in _FEEL_FIELDS})
 
 
 class Cursor:
@@ -163,9 +192,38 @@ def apply_keys(session, keys, center=None, cursor: "Cursor" = None,
         ",": (2, -1.0), ".": (2, +1.0),
     }
     for ch in keys:
+        if ch == "Q":
+            # capital Q = squeeze (SoftBodyController.cs:67-68); lowercase
+            # q below stays quit
+            session.squeeze()
+            report["acted"].append("squeeze")
+            continue
         c = ch.lower() if len(ch) == 1 else ch
         if c == "q":
             report["quit"] = True
+        elif c in ("\r", "\n"):
+            # Enter = PlayForceAnimation (SoftBodyController.cs:64-66):
+            # schedule the curve-shaped upward force at the aim point
+            from .animator import ForceAnimation
+
+            session.play(ForceAnimation(radius=radius), center=center)
+            report["acted"].append("play")
+        elif c == "g":
+            # held-key drag toward the cursor (the LMB-hold drag,
+            # SoftBodyInteractor.cs:61-66; holding g autorepeats)
+            session.drag_toward(center, radius=radius)
+            report["acted"].append("drag")
+        elif c in PRESET_KEYS:
+            name = PRESET_KEYS[c]
+            if session.config is None or getattr(session, "_rebuild",
+                                                 None) is None:
+                report["acted"].append(f"preset:{name}?no-rebuild-hook")
+            else:
+                try:
+                    session.apply_preset(preset_feel(session.config, name))
+                    report["acted"].append(f"preset:{name}")
+                except Exception as e:  # noqa: BLE001 — engine envelope
+                    report["acted"].append(f"preset:{name}!{e}")
         elif c in dirs:
             name, force = dirs[c]
             session.poke(force, center, radius)

@@ -39,15 +39,19 @@ class ScheduledAnimation:
 class Session:
     def __init__(self, state: SimState, step_fn: Callable[[SimState], SimState],
                  dt: float, rebuild: Optional[Callable[[SolverConfig],
-                                                       Callable]] = None):
+                                                       Callable]] = None,
+                 config: Optional[SolverConfig] = None):
         """``rebuild(cfg) -> step_fn`` enables preset hot-swapping (the
-        analog of ApplyPreset recompiling the pipeline)."""
+        analog of ApplyPreset recompiling the pipeline); ``config`` is the
+        currently-active SolverConfig (kept in sync by ``apply_preset`` so
+        live preset keys can merge feel fields onto the scene's config)."""
         self.state = state
         self._step = step_fn
         self.dt = dt
         self.time = 0.0
         self.step_count = 0
         self._rebuild = rebuild
+        self.config = config
         self._initial = snapshot(state)
         self._initial_com = np.asarray(state.positions).mean(axis=0)
         self._animations: List[ScheduledAnimation] = []
@@ -151,6 +155,7 @@ class Session:
             raise RuntimeError("session built without a rebuild hook; "
                                "cannot hot-swap presets")
         self._step = self._rebuild(cfg)
+        self.config = cfg
 
     # ------------------------------------------------------------ callbacks
     def on_deformation(self, threshold: float,

@@ -734,9 +734,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # otherwise).  Auto budget: (21 + nfam) res-planes under 15 MB.
     # budget 15.5 MB: res-48 braced (34 planes = 15.04 MB) compiles and
     # runs 6% faster than v-res-only on hardware; res 64 stays excluded
+    # lam_resident budgets always use the FAT tet pad (26): a forced-lean
+    # call at res <= 40 keeps the 16-plane tg scratch AND force-allocates
+    # the 3-plane slots scratch, so its true footprint is a superset of
+    # the fat configuration the 26-pad was inflated to exclude (measured
+    # 17.3M/16M scoped-stack overflow); auto-lean only engages at res>=41
+    # where lam_resident drops on size anyway, so this only de-risks the
+    # explicit tet_stream_lambda=True opt-in at small res.
+    tet_pad_lam = 26 if has_tets else 0
     if lam_resident is None:
         lam_resident = (v_resident
-                        and (21 + nfam + tet_pad) * res * r2p * 4
+                        and (21 + nfam + tet_pad_lam) * res * r2p * 4
                         <= 15_500_000)
     elif lam_resident and not v_resident:
         raise ValueError("lam_resident requires v_resident")
@@ -755,7 +763,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     # compiles and wins +9%; res 64 EXACT + dc crashes the Mosaic compile)
     # so the big-res auto-enable is approx-only (dc_cache overrides).
     cache_budget_ok = (lam_resident
-                       and (24 + 2 * nfam + tet_pad) * res * r2p * 4
+                       and (24 + 2 * nfam + tet_pad_lam) * res * r2p * 4
                        <= 15_000_000)
     # The guarded (fast_math=False) mres initialization runs each
     # family's roll+denominator+compare chain in its own lax.switch

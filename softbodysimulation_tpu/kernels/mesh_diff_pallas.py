@@ -54,9 +54,10 @@ extra sweep per substep — the carried-impulse pre-application
 transposing one-hot algebra with the multiplier held fixed: the carried
 lambda cotangent chains through clip -> static per-edge scale -> decay
 across substeps, and the pre-apply's position cotangent rides the usual
-gather/scatter pair.  Only the substep-entry multipliers need stashing
-(one slab per substep); the pre-apply's entry positions are recomputed
-from the predict chain.
+gather/scatter pair.  The substep-entry multipliers are stashed one slab
+per substep (``st_wlam``) and the POST-PREDICT positions one plane set
+per substep (``st_wx`` — restored via ``pred[:] = st_wx[sub]`` in the
+cotangent phase; both are counted in ``_backward_vmem_bytes``).
 
 Reference intent: the reference solver is not differentiable at all; this
 is TPU-native capability beyond ``SoftBodyCPU.cs`` (cited for the substep
@@ -147,8 +148,10 @@ def _backward_vmem_bytes(plan, cfg: SolverConfig, C: int) -> int:
               + C * K * n_stash)
     slabs = 10 + C * K                         # io slabs + lamw + st_lam
     if cfg.lambda_mode == LambdaMode.WARM_START:
-        slabs += C + 2                         # st_wlam + warm (+wlim)
-        planes += C                            # st_wx (pre-warm positions)
+        # st_wlam stash + carried-warm slab; the wlim input slab exists
+        # only when the clamp is active (mirrors the arg construction)
+        slabs += C + 1 + int(cfg.warm_start_clamp > 0)
+        planes += C                            # st_wx (post-predict stash)
     return planes * plane_b + slabs * slab_b + struct_b
 
 

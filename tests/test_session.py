@@ -23,7 +23,7 @@ def make_session(**cfg_kw):
     def rebuild(new_cfg):
         return lat_engine.make_step(spec, new_cfg, DT)
 
-    return Session(state, rebuild(cfg), DT, rebuild=rebuild)
+    return Session(state, rebuild(cfg), DT, rebuild=rebuild, config=cfg)
 
 
 def test_step_and_time_advance():
@@ -190,6 +190,93 @@ def test_cursor_moves_and_aims_pokes():
     assert np.allclose(cur.pos,
                        np.asarray(s.state.positions).mean(axis=0),
                        atol=1e-6)
+
+
+# ----------------------- live controller/animator verbs (round 5)
+def test_keyboard_preset_hotkeys_swap_feel():
+    """Keys 1/2/3 hot-swap the jelly/firm/bouncy presets live
+    (SoftBodyController.cs:56-62): the session's active config picks up the
+    preset's feel fields while the scene's structural fields survive."""
+    from softbodysimulation_tpu.interact import keyboard
+
+    s = make_session(ground_height=-3.0)   # structural field to preserve
+    rep = keyboard.apply_keys(s, ["2"])
+    assert rep["acted"] == ["preset:firm"]
+    firm = get_preset("firm")
+    assert s.config.iterations == firm.iterations
+    assert s.config.damping == firm.damping
+    assert s.config.ground_height == -3.0          # scene's floor kept
+    s.step(3)
+    assert np.isfinite(np.asarray(s.state.positions)).all()
+
+    rep = keyboard.apply_keys(s, ["3"])
+    assert rep["acted"] == ["preset:bouncy"]
+    assert s.config.floor_mode == get_preset("bouncy").floor_mode
+    s.step(3)
+    assert np.isfinite(np.asarray(s.state.positions)).all()
+
+
+def test_keyboard_preset_without_rebuild_hook_reports():
+    from softbodysimulation_tpu.interact import keyboard
+
+    spec = lattice.lattice_spec(3, braced=True)
+    cfg = SolverConfig(substeps=2, iterations=4,
+                       solve_mode=SolveMode.JACOBI, ground_height=0.0)
+    state = lat_engine.make_lattice_state(spec, center=(0, 1.0, 0))
+    s = Session(state, lat_engine.make_step(spec, cfg, DT), DT, config=cfg)
+    rep = keyboard.apply_keys(s, ["1"])
+    assert rep["acted"] and "no-rebuild-hook" in rep["acted"][0]
+    assert not rep["quit"]
+
+
+def test_keyboard_enter_plays_force_animation():
+    """Enter fires the curve-shaped ForceAnimation at the aim point
+    (SoftBodyController.cs:64-66)."""
+    from softbodysimulation_tpu.interact import keyboard
+
+    s = make_session(gravity=(0.0, 0.0, 0.0), floor_mode=FloorMode.NONE)
+    com0 = np.asarray(s.state.positions).mean(axis=0)
+    rep = keyboard.apply_keys(s, ["\r"])
+    assert rep["acted"] == ["play"]
+    assert len(s._animations) == 1
+    s.step(15)
+    assert np.asarray(s.state.positions).mean(axis=0)[1] > com0[1] + 1e-4
+
+
+def test_keyboard_capital_q_squeezes_lowercase_quits():
+    """Q = squeeze (SoftBodyController.cs:67-68); q stays quit."""
+    from softbodysimulation_tpu.interact import keyboard
+
+    s = make_session(gravity=(0.0, 0.0, 0.0), floor_mode=FloorMode.NONE)
+    pos0 = np.asarray(s.state.positions)
+    spread0 = np.linalg.norm(pos0 - pos0.mean(axis=0), axis=1).mean()
+    rep = keyboard.apply_keys(s, ["Q"])
+    assert rep["acted"] == ["squeeze"] and not rep["quit"]
+    s.step(10)
+    pos1 = np.asarray(s.state.positions)
+    spread1 = np.linalg.norm(pos1 - pos1.mean(axis=0), axis=1).mean()
+    assert spread1 < spread0 - 1e-5
+
+    rep = keyboard.apply_keys(s, ["q"])
+    assert rep["quit"] and not rep["acted"]
+
+
+def test_keyboard_hold_g_drags_toward_cursor():
+    """Held g pulls the body toward the cursor — the LMB-hold drag
+    (SoftBodyInteractor.cs:61-66); autorepeat delivers repeated g chars."""
+    from softbodysimulation_tpu.interact import keyboard
+
+    s = make_session(gravity=(0.0, 0.0, 0.0), floor_mode=FloorMode.NONE)
+    cur = keyboard.Cursor(np.asarray(s.state.positions))
+    for _ in range(6):
+        cur.move(0, +1.0)           # cursor well off to +x
+    com0 = np.asarray(s.state.positions).mean(axis=0)
+    for _ in range(5):              # hold: one g per frame
+        rep = keyboard.apply_keys(s, ["g"], cursor=cur)
+        assert rep["acted"] == ["drag"]
+        s.step(1)
+    com1 = np.asarray(s.state.positions).mean(axis=0)
+    assert com1[0] > com0[0] + 1e-5
 
 
 def test_cursor_marker_rendered():
