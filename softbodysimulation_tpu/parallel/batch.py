@@ -29,6 +29,24 @@ def stack_states(states) -> SimState:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+_BODY_LEAVES = ("positions", "velocities", "inv_mass", "ext_force",
+                "lambda_dist", "lambda_bend", "lambda_volume", "lambda_tet")
+
+
+def _drop_body_axis(st: SimState) -> SimState:
+    """(1, ...) batched slab -> single-body SimState (colliders untouched:
+    a shared rigid world is unbatched by contract)."""
+    return st.replace(**{
+        k: getattr(st, k)[0] for k in _BODY_LEAVES
+        if getattr(st, k) is not None and getattr(st, k).ndim > 0})
+
+
+def _add_body_axis(st: SimState) -> SimState:
+    return st.replace(**{
+        k: getattr(st, k)[None] for k in _BODY_LEAVES
+        if getattr(st, k) is not None})
+
+
 def replicate_state(state: SimState, n_bodies: int) -> SimState:
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (n_bodies,) + x.shape), state)
@@ -76,53 +94,135 @@ def shard_batched_state(batched: SimState, mesh: Mesh,
 
 
 def make_sharded_lattice_step(spec, cfg: SolverConfig, dt: float, mesh: Mesh,
-                              n_steps: int = 1, axis: str = "dp"):
+                              n_steps: int = 1, axis: str = "dp",
+                              kin_colliders: bool = False):
     """Batched lattice step sharded over chips.
 
     Bodies are independent, so the compiled program is pure per-chip compute;
     XLA inserts zero collectives in the hot loop.  Combine with
     ``ensemble_diagnostics`` for the cross-chip reduction path.
-    """
+
+    ``kin_colliders=True``: the returned step takes ``(batched, colliders)``
+    — ONE shared ``ColliderSet`` whose traced poses are replicated to every
+    chip and act on every body (a rigid paddle sweeping through the whole
+    farm animates with zero recompiles)."""
     from jax.experimental.shard_map import shard_map
 
-    vstep = jax.vmap(
-        lambda s: _lattice.multi_step_fn(s, spec, cfg, dt, n_steps))
     spec_b = jax.tree.map(lambda _: P(axis), _state_structure(spec))
 
-    fn = shard_map(vstep, mesh=mesh, in_specs=(spec_b,), out_specs=spec_b,
-                   check_rep=False)
-    return jax.jit(fn)
+    if not kin_colliders:
+        vstep = jax.vmap(
+            lambda s: _lattice.multi_step_fn(s, spec, cfg, dt, n_steps))
+        fn = shard_map(vstep, mesh=mesh, in_specs=(spec_b,),
+                       out_specs=spec_b, check_rep=False)
+        return jax.jit(fn)
+
+    def local(st, cset):
+        return jax.vmap(lambda s: _lattice.multi_step_fn(
+            s.replace(colliders=cset), spec, cfg, dt, n_steps
+        ).replace(colliders=None))(st)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_b, P()),
+                   out_specs=spec_b, check_rep=False)
+
+    @jax.jit
+    def step(batched: SimState, colliders) -> SimState:
+        return fn(batched, colliders)
+
+    return step
+
+
+def pick_lattice_ensemble_backend(spec) -> str:
+    """Measured winner for a lattice ensemble's per-shard engine
+    (BENCH_SUITE_r04 ``ensemble64p`` pair): tiny bodies that lane-fold
+    multiple-per-128-lane-tile (res^2 < 128, e.g. the 1024 x res-4 farm)
+    run FASTER under the plain vmapped XLA stencil engine at long calls
+    (1.246e9 vs 9.55e8 ps/s same-run); bodies that fill the lane tiles
+    keep the fused ensemble kernel (the regime where the mesh farm twin
+    measures 9x vmap)."""
+    return "xla" if spec.res * spec.res < 128 else "pallas"
 
 
 def make_sharded_pallas_rollout(spec, cfg: SolverConfig, dt_sub: float,
                                 n_substeps: int, mesh: Mesh, n_bodies: int,
-                                axis: str = "dp", **kernel_kw):
-    """DP over chips x the fused ensemble Pallas kernel per shard.
+                                axis: str = "dp", backend: str = "auto",
+                                kin_colliders=None,
+                                **kernel_kw):
+    """DP over chips x a fused per-shard ensemble rollout.
 
-    Each chip runs ``kernels.lattice_pallas.make_pallas_substep_runner_
-    streamed(..., n_bodies=B_local)`` on its contiguous slab of bodies —
-    the whole multi-chip ensemble advances in ONE fused kernel per chip
-    with zero hot-loop collectives.  Raw substep semantics (no external
+    ``backend="auto"`` (default) picks each geometry's MEASURED winner
+    (``pick_lattice_ensemble_backend``): the fused ensemble Pallas kernel
+    (``kernels.lattice_pallas.make_pallas_substep_runner_streamed(...,
+    n_bodies=B_local)``) for lane-filling bodies, the vmapped XLA stencil
+    substep runner for tiny lane-folded bodies.  Either way each chip
+    advances its contiguous slab of bodies in one compiled program with
+    zero hot-loop collectives.  Raw substep semantics (no external
     forces), matching the single-chip runner; use the XLA
     ``make_sharded_lattice_step`` when the per-step force lifecycle is
     needed.  ``n_bodies`` is the GLOBAL body count and must divide by the
-    mesh size."""
-    from jax.experimental.shard_map import shard_map
+    mesh size.
 
-    from ..kernels import lattice_pallas as _pallas
+    ``kin_colliders=(S, B)``: the returned stepper takes ``(batched,
+    colliders)`` — ONE shared ``ColliderSet``, replicated to every chip
+    and acting on every body in the farm (traced poses; animation never
+    recompiles), on both the kernel and XLA routes."""
+    from jax.experimental.shard_map import shard_map
 
     n_shards = mesh.devices.size
     if n_bodies % n_shards:
         raise ValueError(f"n_bodies={n_bodies} must divide the "
                          f"{n_shards}-device mesh")
-    local = _pallas.make_pallas_substep_runner_streamed(
-        spec, cfg, dt_sub, n_substeps, n_bodies=n_bodies // n_shards,
-        **kernel_kw)
+    if backend == "auto":
+        backend = pick_lattice_ensemble_backend(spec)
+    kin = kin_colliders is not None
+    if backend == "xla":
+        runner = _lattice.make_substep_runner(spec, cfg, dt_sub, n_substeps)
+        if kin:
+            def local(st, cset):
+                return jax.vmap(lambda s: runner(
+                    s.replace(colliders=cset)
+                ).replace(colliders=None))(st)
+        else:
+            local = jax.vmap(runner)
+    elif backend == "pallas":
+        from ..kernels import lattice_pallas as _pallas
+
+        b_local = n_bodies // n_shards
+        runner = _pallas.make_pallas_substep_runner_streamed(
+            spec, cfg, dt_sub, n_substeps, n_bodies=b_local,
+            kin_colliders=kin_colliders, **kernel_kw)
+        if b_local == 1:
+            # one body per chip: the n_bodies=1 kernel speaks the
+            # single-body contract — bridge the slab's body axis
+            inner1 = runner
+
+            def runner(st):
+                return _add_body_axis(inner1(_drop_body_axis(st)))
+        if kin:
+            # the lane-folded ensemble kernel takes ONE shared collider
+            # block; install the replicated set on the local slab's state
+            def local(st, cset):
+                return runner(
+                    st.replace(colliders=cset)).replace(colliders=None)
+        else:
+            local = runner
+    else:
+        raise ValueError(f"backend={backend!r} (auto|pallas|xla)")
     spec_b = jax.tree.map(lambda _: P(axis), _state_structure(spec))
 
-    fn = shard_map(local, mesh=mesh, in_specs=(spec_b,), out_specs=spec_b,
-                   check_rep=False)
-    return jax.jit(fn)
+    if kin:
+        fn = shard_map(local, mesh=mesh, in_specs=(spec_b, P()),
+                       out_specs=spec_b, check_rep=False)
+
+        @jax.jit
+        def stepper(batched: SimState, colliders) -> SimState:
+            return fn(batched, colliders)
+    else:
+        fn = shard_map(local, mesh=mesh, in_specs=(spec_b,),
+                       out_specs=spec_b, check_rep=False)
+        stepper = jax.jit(fn)
+    stepper.ensemble_backend = backend   # introspectable routing decision
+    return stepper
 
 
 def make_sharded_mesh_pallas_rollout(topo, cfg: SolverConfig, dt_sub: float,

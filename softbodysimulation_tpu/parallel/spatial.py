@@ -226,7 +226,8 @@ def _sharded_tet_sweep(pred, w, lam_t, paths, valid, tdeg, rest6,
 def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                               dt: float, mesh: Mesh, n_steps: int = 1,
                               axis: str = "x", backend: str = "xla",
-                              interpret: bool = True):
+                              interpret: bool = True,
+                              kin_colliders=None):
     """Compile a sharded ``SimState -> SimState`` step for one large lattice
     split over ``mesh``'s devices along the lattice x-axis.
 
@@ -240,7 +241,18 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
     measure real ICI remote DMA, and the exchange still needs
     flow-control credits before hardware deployment (module docstring of
     ``kernels/spatial_pallas.py``) — the real-ICI measurement is
-    blocked-on-hardware, not on code."""
+    blocked-on-hardware, not on code.
+
+    ``kin_colliders=(S, B)``: the state's ``ColliderSet`` poses enter the
+    sharded program as small REPLICATED traced arrays (every chip sees the
+    full rigid world; only the soft body is spatially sharded), replacing
+    the config's rigid-world constants with the same formulas the
+    single-chip engines use — a collider can sweep across the whole
+    device mesh without recompiles (xla backend only)."""
+    if kin_colliders is not None and backend != "xla":
+        raise NotImplementedError(
+            "kinematic colliders on the spatial PALLAS backend are not "
+            "fused yet — use backend='xla' (same sharding, traced poses)")
     if backend == "pallas":
         from ..kernels import spatial_pallas
 
@@ -250,6 +262,9 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
     if backend != "xla":
         raise ValueError(f"backend must be 'xla' or 'pallas', got "
                          f"{backend!r}")
+    kin = kin_colliders is not None
+    kin_s, kin_b = (int(kin_colliders[0]), int(kin_colliders[1])) if kin \
+        else (0, 0)
     res = spec.res
     n_shards = mesh.devices.size
     if res % n_shards != 0:
@@ -274,7 +289,10 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
         tet_omega = cfg.omega if cfg.omega > 0 else 1.0
 
     def local_substep(x, v, w, f, lam, valid, par0, apply_ext,
-                      tvalid=None, tdeg=None):
+                      tvalid=None, tdeg=None, kc=None):
+        # kc — optional traced rigid world, replicated per chip:
+        # (spheres (S,4), boxes (B,6), ground (), sph_vel (S,3),
+        #  box_vel (B,3)); overrides the config constants when present
         # x,v,f: (P,res,res,3); w: (P,res,res); lam: (nfam,P,res,res) —
         # or (lam_dist, lam_tet) with lam_tet (6,P,res,res) for solid
         # lattices (same pytree shape returned)
@@ -339,20 +357,22 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                 pred, lam_t = _sharded_tet_sweep(
                     pred, w, lam_t, tet_paths, tvalid, tdeg, tet_rest6,
                     cfg, dt_sub, axis, n_shards, tet_omega)
+            sph, boxr, gh_tr, sphv, boxv = (
+                kc if kc is not None else (None,) * 5)
             if cfg.floor_mode == FloorMode.XPBD_INEQUALITY:
                 pf = _collision.floor_project_xpbd(
                     pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
-                    dt_sub, cfg)
+                    dt_sub, cfg, ground_height=gh_tr)
                 pred = pf.reshape(p, res, res, 3)
-            if cfg.sphere_colliders:
+            if (kin and kin_s > 0) or (not kin and cfg.sphere_colliders):
                 pf = _collision.sphere_sdf_project(
                     pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
-                    dt_sub, cfg)
+                    dt_sub, cfg, spheres=sph, sphere_velocities=sphv)
                 pred = pf.reshape(p, res, res, 3)
-            if cfg.box_colliders:
+            if (kin and kin_b > 0) or (not kin and cfg.box_colliders):
                 pf = _collision.box_sdf_project(
                     pred.reshape(-1, 3), x.reshape(-1, 3), w.reshape(-1),
-                    dt_sub, cfg)
+                    dt_sub, cfg, boxes=boxr, box_velocities=boxv)
                 pred = pf.reshape(p, res, res, 3)
             return pred, lam, lam_t
 
@@ -363,22 +383,24 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
             x.reshape(-1, 3), pred.reshape(-1, 3), w.reshape(-1), dt_sub)
         if cfg.floor_mode == FloorMode.VELOCITY_REFLECT:
             xf, vf = _collision.floor_velocity_reflect(
-                xf, vf, w.reshape(-1), dt_sub, cfg)
+                xf, vf, w.reshape(-1), dt_sub, cfg,
+                ground_height=None if kc is None else kc[2])
         lam_out = lam if lam_t is None else (lam, lam_t)
         return (xf.reshape(p, res, res, 3), vf.reshape(p, res, res, 3),
                 lam_out)
 
     dt_sub = dt / cfg.substeps
 
-    def local_fn(x, v, w, f, lam, valid, par0, tvalid=None, tdeg=None):
+    def local_fn(x, v, w, f, lam, valid, par0, tvalid=None, tdeg=None,
+                 kc=None):
         def one_step(x, v, lam, f, apply_ext):
             x, v, lam = local_substep(x, v, w, f, lam, valid, par0,
-                                      apply_ext, tvalid, tdeg)
+                                      apply_ext, tvalid, tdeg, kc)
             if cfg.substeps > 1:
                 def body(carry, _):
                     x, v, lam = carry
                     return local_substep(x, v, w, f, lam, valid, par0,
-                                         False, tvalid, tdeg), None
+                                         False, tvalid, tdeg, kc), None
 
                 (x, v, lam), _ = lax.scan(body, (x, v, lam), None,
                                           length=cfg.substeps - 1)
@@ -402,8 +424,21 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
                 P(None, axis)]
     if has_tets:
         in_specs += [sx, sx]   # tet anchor mask + degree plane
+    if kin:
+        in_specs += [P()]      # rigid-world pose tuple: replicated
+
+    def dispatch(*args):
+        base, rest = args[:7], args[7:]
+        tv = td = kc = None
+        if has_tets:
+            tv, td = rest[0], rest[1]
+            rest = rest[2:]
+        if kin:
+            kc = rest[0]
+        return local_fn(*base, tvalid=tv, tdeg=td, kc=kc)
+
     fn = shard_map(
-        local_fn, mesh=mesh,
+        dispatch, mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(sx, sx, P(None, axis)),
         check_rep=False)
@@ -421,16 +456,30 @@ def make_spatial_lattice_step(spec: LatticeSpec, cfg: SolverConfig,
         w = state.inv_mass.reshape(res, res, res)
         f = state.ext_force.reshape(res, res, res, 3)
         lam = state.lambda_dist.reshape(nfam, res, res, res)
+        extra = []
+        if kin:
+            c = state.colliders
+            if c is None:
+                raise ValueError(
+                    "spatial step built with kin_colliders needs a state "
+                    "carrying a ColliderSet (core.colliders.make_colliders)")
+            if c.n_spheres != kin_s or c.n_boxes != kin_b:
+                raise ValueError(
+                    f"state ColliderSet has ({c.n_spheres}, {c.n_boxes}) "
+                    f"colliders; step built for kin_colliders="
+                    f"({kin_s}, {kin_b})")
+            extra = [(c.spheres, c.boxes, c.ground_height,
+                      c.sphere_velocities, c.box_velocities)]
         if has_tets:
             if state.lambda_tet is None:
                 raise ValueError("enable_tet_volume needs a state built "
                                  "with tet_volume=True (make_lattice_state)")
             lam = (lam, state.lambda_tet.reshape(6, res, res, res))
             x, v, lam = jfn(x, v, w, f, lam, valid_dev, par0_dev,
-                            tvalid_dev, tdeg_dev)
+                            tvalid_dev, tdeg_dev, *extra)
             lam, lam_t = lam
         else:
-            x, v, lam = jfn(x, v, w, f, lam, valid_dev, par0_dev)
+            x, v, lam = jfn(x, v, w, f, lam, valid_dev, par0_dev, *extra)
             lam_t = None
         return state.replace(
             positions=x.reshape(-1, 3),
@@ -461,4 +510,8 @@ def shard_lattice_state(state: SimState, spec: LatticeSpec, mesh: Mesh,
         lambda_volume=jax.device_put(state.lambda_volume, rep),
         lambda_tet=(None if state.lambda_tet is None
                     else jax.device_put(state.lambda_tet, rep)),
+        # rigid-world poses are tiny and global: replicate to every chip
+        colliders=(None if state.colliders is None
+                   else jax.tree.map(lambda x: jax.device_put(x, rep),
+                                     state.colliders)),
     )

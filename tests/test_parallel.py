@@ -80,12 +80,39 @@ class TestSharded:
         sharded = pbatch.shard_batched_state(batched, mesh)
         n_sub = 3 * cfg.substeps
         with pltpu.force_tpu_interpret_mode():
+            # backend pinned: auto would (correctly) route this tiny
+            # lane-folded geometry to XLA — here we are testing the KERNEL
             out_s = pbatch.make_sharded_pallas_rollout(
-                spec, cfg, DT / cfg.substeps, n_sub, mesh, 16)(sharded)
+                spec, cfg, DT / cfg.substeps, n_sub, mesh, 16,
+                backend="pallas")(sharded)
             got = np.asarray(out_s.positions)
         ref = lat_engine.make_batched_step(spec, cfg, DT, 16,
                                            n_steps=3)(batched)
         assert np.allclose(got, np.asarray(ref.positions), atol=1e-5)
+
+    def test_ensemble_backend_auto_routing(self):
+        """The sharded rollout runs each geometry's MEASURED winner
+        (BENCH_SUITE_r04 ensemble64p: tiny lane-folded lattices -> vmap
+        XLA; lane-filling lattices -> the fused ensemble kernel)."""
+        assert pbatch.pick_lattice_ensemble_backend(
+            lattice.lattice_spec(4)) == "xla"        # 1024x64p geometry
+        assert pbatch.pick_lattice_ensemble_backend(
+            lattice.lattice_spec(12)) == "pallas"    # fills the 128 lanes
+
+        spec, batched = make_ensemble(16, res=4)
+        cfg = cfg_default(lambda_mode=LambdaMode.RESET)
+        mesh = pbatch.make_mesh(8)
+        step = pbatch.make_sharded_pallas_rollout(
+            spec, cfg, DT / cfg.substeps, 2 * cfg.substeps, mesh, 16)
+        assert step.ensemble_backend == "xla"
+        # the auto (XLA) route must still advance the sharded ensemble
+        # identically to the unsharded batched engine
+        sharded = pbatch.shard_batched_state(batched, mesh)
+        out = step(sharded)
+        ref = lat_engine.make_batched_step(spec, cfg, DT, 16,
+                                           n_steps=2)(batched)
+        assert np.allclose(np.asarray(out.positions),
+                           np.asarray(ref.positions), atol=1e-5)
 
     def test_sharded_ensemble_diagnostics(self):
         spec, batched = make_ensemble(16)
@@ -390,3 +417,54 @@ def test_differentiable_sharded_mesh_rollout_grads():
         np.testing.assert_allclose(gp, gr, rtol=2e-4, atol=1e-6,
                                    err_msg=name)
     assert np.abs(np.asarray(grads_r[1])).max() > 1e-4
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_rollout_shared_kinematic_colliders():
+    """Round-5 composition close (VERDICT r4 weak #4): DP-sharded farm
+    rollouts thread ONE shared traced ColliderSet to every chip — both
+    the vmapped-XLA route and the fused ensemble-kernel route — and the
+    result matches the per-body single-chip runner with the same poses."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu import make_colliders
+
+    spec, batched = make_ensemble(8, res=4)
+    cfg = cfg_default(lambda_mode=LambdaMode.RESET, ground_height=77.0)
+    coll = make_colliders(spheres=[(0.0, 0.6, 0.0, 0.45)],
+                          ground_height=0.0)
+    mesh = pbatch.make_mesh(8)
+    sharded = pbatch.shard_batched_state(batched, mesh)
+    n_sub = 2 * cfg.substeps
+
+    step = pbatch.make_sharded_pallas_rollout(
+        spec, cfg, DT / cfg.substeps, n_sub, mesh, 8, kin_colliders=(1, 0))
+    assert step.ensemble_backend == "xla"
+    out = step(sharded, coll)
+
+    runner = lat_engine.make_substep_runner(spec, cfg, DT / cfg.substeps,
+                                            n_sub)
+    for i in (0, 3, 7):
+        want = runner(pbatch.body_slice(batched, i).replace(colliders=coll))
+        got = np.asarray(pbatch.body_slice(out, i).positions)
+        assert np.allclose(got, np.asarray(want.positions),
+                           atol=1e-5), f"body {i}"
+
+    # the fused ensemble-kernel route honors the same shared world
+    with pltpu.force_tpu_interpret_mode():
+        stepk = pbatch.make_sharded_pallas_rollout(
+            spec, cfg, DT / cfg.substeps, n_sub, mesh, 8,
+            backend="pallas", kin_colliders=(1, 0))
+        outk = stepk(sharded, coll)
+    dk = np.abs(np.asarray(outk.positions)
+                - np.asarray(out.positions)).max()
+    assert dk < 1e-5, f"kernel-route shared colliders diverge: {dk}"
+
+    # the XLA sharded STEP factory takes the same (batched, colliders)
+    stepx = pbatch.make_sharded_lattice_step(spec, cfg, DT, mesh,
+                                             n_steps=2, kin_colliders=True)
+    outx = stepx(sharded, coll)
+    wantx = lat_engine.make_step(spec, cfg, DT, n_steps=2)(
+        pbatch.body_slice(batched, 5).replace(colliders=coll))
+    assert np.allclose(np.asarray(pbatch.body_slice(outx, 5).positions),
+                       np.asarray(wantx.positions), atol=1e-5)
