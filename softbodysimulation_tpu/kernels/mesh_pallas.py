@@ -913,10 +913,10 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 "mesh kernel self-collision: only the dense backend is "
                 "fused — route other backends through the general engine "
                 "or the hybrid cadence step")
-        if R > 1:
-            raise NotImplementedError(
-                "mesh kernel self-collision does not support n_bodies "
-                "ensembles (contact would pair across stacked bodies)")
+        # R > 1 (sublane ensembles): the dense pass runs BODY-LOCAL — one
+        # Gram sweep per body row, so contact never pairs across stacked
+        # bodies (matches the vmapped XLA dense backend; round-5 close of
+        # the ensemble-contact guard)
         # Row blocks are FIXED at 128 (Mosaic must statically prove every
         # dynamic lane offset is a multiple of 128 — i*128 qualifies,
         # i*64 does not).  VMEM pressure is relieved by chunking the
@@ -1400,80 +1400,95 @@ def make_mesh_substep_runner(topo: Topology, cfg: SolverConfig,
                 lane = lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
                 validf = jnp.where(lane < n, 1.0, 0.0)
                 inv_n = jnp.float32(1.0 / n)
-                for c in range(3):
-                    xc = pred[rows(c)]
-                    mc = jnp.sum(xc * validf) * inv_n
-                    scs[c:c + 1, :] = (xc - mc) * validf
-                scs[3:4, :] = (scs[0:1, :] * scs[0:1, :]
-                               + scs[1:2, :] * scs[1:2, :]
-                               + scs[2:3, :] * scs[2:3, :])
-                scs[4:5, :] = w
                 radius = cfg.particle_radius
                 col_id0 = lax.broadcasted_iota(jnp.int32, (sc_cb, sc_ck), 1)
                 one_cb = jnp.full((1, sc_cb), 1.0)
                 one_ck = jnp.full((1, sc_ck), 1.0)
 
-                def blk(i, carry):
-                    xi = scs[0:3, pl.dslice(i * sc_cb, sc_cb)]   # (3, CB)
-                    sqi = scs[3:4, pl.dslice(i * sc_cb, sc_cb)]
-                    wi = scs[4:5, pl.dslice(i * sc_cb, sc_cb)]
-                    li = jnp.concatenate([xi, sqi, one_cb], axis=0)
-                    l2 = jnp.concatenate([wi, one_cb], axis=0)
-                    row_id = i * sc_cb + lax.broadcasted_iota(
-                        jnp.int32, (sc_cb, sc_ck), 0)
+                def body_pass(r):
+                    """All-pairs pass for body row ``r`` (BODY-LOCAL: the
+                    5-row staging holds one body's centered coordinates,
+                    so pairs never cross stacked bodies).  Padded body
+                    rows compute inert zeros (x=0 -> dist<=1e-9 ->
+                    touch false) and their outputs are dropped at the
+                    output slice."""
+                    for c in range(3):
+                        xc = pred[c * R + r:c * R + r + 1]
+                        mc = jnp.sum(xc * validf) * inv_n
+                        scs[c:c + 1, :] = (xc - mc) * validf
+                    scs[3:4, :] = (scs[0:1, :] * scs[0:1, :]
+                                   + scs[1:2, :] * scs[1:2, :]
+                                   + scs[2:3, :] * scs[2:3, :])
+                    scs[4:5, :] = (w[r:r + 1] if per_body_mass else w)
 
-                    def chunk(j, acc):
-                        mx, msum = acc
-                        xj = scs[0:3, pl.dslice(j * sc_ck, sc_ck)]
-                        sqj = scs[3:4, pl.dslice(j * sc_ck, sc_ck)]
-                        wj = scs[4:5, pl.dslice(j * sc_ck, sc_ck)]
-                        # Gram trick, both norm terms folded in:
-                        # d2 = [x,y,z,sq,1]_i . [-2x,-2y,-2z,1,sq]_j
-                        rhs5 = jnp.concatenate([-2.0 * xj, one_ck, sqj],
-                                               axis=0)
-                        d2 = lax.dot_general(
-                            li, rhs5, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)  # (CB, CK)
-                        rhs2 = jnp.concatenate([one_ck, wj], axis=0)
-                        wsum = lax.dot_general(
-                            l2, rhs2, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-                        dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                        overlap = 2.0 * radius - dist
-                        col_id = j * sc_ck + col_id0
-                        touch = ((row_id != col_id) & (overlap > 0)
-                                 & (dist > 1e-9) & (wsum > 1e-12)
-                                 & (row_id < n) & (col_id < n))
-                        mm = jnp.where(
-                            touch,
-                            overlap / (jnp.maximum(dist, 1e-12)
-                                       * jnp.maximum(wsum, 1e-12)), 0.0)
-                        # corr_i = w_i * (x_i * sum_j m - m @ x), both
-                        # contractions landing in the (3, CB) orientation
-                        # and ACCUMULATED over column chunks
-                        mx = mx + lax.dot_general(
-                            xj, mm, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)  # (3, CB)
-                        msum = msum + lax.dot_general(
-                            one_ck, mm, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)  # (1, CB)
-                        return mx, msum
+                    def blk(i, carry):
+                        xi = scs[0:3, pl.dslice(i * sc_cb, sc_cb)]
+                        sqi = scs[3:4, pl.dslice(i * sc_cb, sc_cb)]
+                        wi = scs[4:5, pl.dslice(i * sc_cb, sc_cb)]
+                        li = jnp.concatenate([xi, sqi, one_cb], axis=0)
+                        l2 = jnp.concatenate([wi, one_cb], axis=0)
+                        row_id = i * sc_cb + lax.broadcasted_iota(
+                            jnp.int32, (sc_cb, sc_ck), 0)
 
-                    mx, msum = lax.fori_loop(
-                        0, sc_nk, chunk,
-                        (jnp.zeros((3, sc_cb), jnp.float32),
-                         jnp.zeros((1, sc_cb), jnp.float32)))
-                    xi = scs[0:3, pl.dslice(i * sc_cb, sc_cb)]
-                    wi = scs[4:5, pl.dslice(i * sc_cb, sc_cb)]
-                    delta[:, pl.dslice(i * sc_cb, sc_cb)] = (
-                        wi * (xi * msum - mx))
-                    return carry
+                        def chunk(j, acc):
+                            mx, msum = acc
+                            xj = scs[0:3, pl.dslice(j * sc_ck, sc_ck)]
+                            sqj = scs[3:4, pl.dslice(j * sc_ck, sc_ck)]
+                            wj = scs[4:5, pl.dslice(j * sc_ck, sc_ck)]
+                            # Gram trick, both norm terms folded in:
+                            # d2 = [x,y,z,sq,1]_i . [-2x,-2y,-2z,1,sq]_j
+                            rhs5 = jnp.concatenate(
+                                [-2.0 * xj, one_ck, sqj], axis=0)
+                            d2 = lax.dot_general(
+                                li, rhs5, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)  # (CB,CK)
+                            rhs2 = jnp.concatenate([one_ck, wj], axis=0)
+                            wsum = lax.dot_general(
+                                l2, rhs2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)
+                            dist = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                            overlap = 2.0 * radius - dist
+                            col_id = j * sc_ck + col_id0
+                            touch = ((row_id != col_id) & (overlap > 0)
+                                     & (dist > 1e-9) & (wsum > 1e-12)
+                                     & (row_id < n) & (col_id < n))
+                            mm = jnp.where(
+                                touch,
+                                overlap / (jnp.maximum(dist, 1e-12)
+                                           * jnp.maximum(wsum, 1e-12)),
+                                0.0)
+                            # corr_i = w_i * (x_i * sum_j m - m @ x), both
+                            # contractions landing in the (3, CB)
+                            # orientation and ACCUMULATED over col chunks
+                            mx = mx + lax.dot_general(
+                                xj, mm, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)  # (3,CB)
+                            msum = msum + lax.dot_general(
+                                one_ck, mm, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)  # (1,CB)
+                            return mx, msum
 
-                lax.fori_loop(0, sc_nb, blk, 0)
+                        mx, msum = lax.fori_loop(
+                            0, sc_nk, chunk,
+                            (jnp.zeros((3, sc_cb), jnp.float32),
+                             jnp.zeros((1, sc_cb), jnp.float32)))
+                        xi = scs[0:3, pl.dslice(i * sc_cb, sc_cb)]
+                        wi = scs[4:5, pl.dslice(i * sc_cb, sc_cb)]
+                        corr = wi * (xi * msum - mx)
+                        for c in range(3):
+                            delta[c * R + r:c * R + r + 1,
+                                  pl.dslice(i * sc_cb, sc_cb)] = (
+                                corr[c:c + 1])
+                        return carry
+
+                    lax.fori_loop(0, sc_nb, blk, 0)
+
+                for r in range(R):
+                    body_pass(r)
                 for c in range(3):
                     pred[rows(c)] += (cfg.self_collision_omega
                                       * delta[rows(c)])

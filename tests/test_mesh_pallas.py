@@ -928,3 +928,43 @@ def test_mesh_kernel_dense_contact_guards():
         mesh_pallas.make_mesh_pallas_step(
             topo, dataclasses.replace(cfg, self_collision_every=3),
             DT, n_steps=1)
+
+
+def test_mesh_ensemble_dense_contact_body_local():
+    """Round-5 ensemble contact: n_bodies > 1 with the in-kernel dense
+    pass running BODY-LOCAL — every body of a contact-enabled farm must
+    track its own single-body general-engine rollout (contact fires
+    within each body, never across stacked bodies)."""
+    m = mesh.icosphere(1)
+    n1 = m.vertices.shape[0]
+    verts = np.concatenate([m.vertices,
+                            m.vertices + np.array([0.1, 2.1, 0.0],
+                                                  np.float32)])
+    tris = np.concatenate([m.triangles, m.triangles + n1])
+    pos, topo = build.build_windowed_topology(
+        verts, unique_edges(tris), 1e-4, triangles=tris)
+    pos = pos + np.array([0, 1.3, 0], np.float32)
+    cfg = SolverConfig(substeps=2, iterations=2, damping=0.02,
+                       solve_mode=SolveMode.JACOBI, jacobi_rho=0.0,
+                       lambda_mode=LambdaMode.RESET,
+                       distance_backend="windowed",
+                       enable_self_collision=True, particle_radius=0.3,
+                       self_collision_backend="dense",
+                       ground_height=0.0, friction=0.3)
+    states = _make_body_states(pos, topo, 2, pins=(), poke=False)
+    n_steps = 2
+    ref_fn = general.make_step(topo, cfg, DT, n_steps=n_steps)
+    refs = [ref_fn(s) for s in states]
+    with pltpu.force_tpu_interpret_mode():
+        fn = mesh_pallas.make_mesh_substep_runner(
+            topo, cfg, DT / cfg.substeps, n_steps * cfg.substeps,
+            block_edges=128, with_ext=True, n_bodies=2)
+        out = fn(_batch(states))
+    _assert_bodies_close(out, refs, tol_pos=5e-5)
+    # the contact pass must actually fire per body
+    ref_off = general.make_step(
+        topo, cfg.replace(enable_self_collision=False), DT,
+        n_steps=n_steps)(states[0])
+    d_off = np.abs(np.asarray(refs[0].positions)
+                   - np.asarray(ref_off.positions)).max()
+    assert d_off > 1e-4, f"scene never makes contact (d={d_off})"
