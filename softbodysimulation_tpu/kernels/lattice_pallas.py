@@ -598,6 +598,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
     has_tets = cfg.enable_tet_volume
     tet_pad = 0
     tet_lean = False
+    tet_carry = False
     if has_tets:
         from ..solvers.lattice import _tet_fields
 
@@ -626,26 +627,32 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         # trick as stream_families_no_lambda_io).  DECAY and multi-
         # iteration configs read carried multipliers and keep the fat
         # spelling (res <= ~40; the stencil engine covers larger).
+        # CARRY spelling (round 5): when the lifecycle is NOT
+        # fresh-per-substep (DECAY, or multi-iteration where the substep's
+        # own accumulation must survive iteration boundaries), the 6
+        # resident tres slabs can still be dropped by STREAMING each
+        # path's multiplier plane through the slots staging — load from
+        # the lambda_tet output buffer at the top of the path's sweep,
+        # store the updated plane back after (lamto_hbm doubles as the
+        # carried state; seeded from lamt_hbm at kernel start).  Costs
+        # 2 plane DMAs per path per iteration instead of 6 resident
+        # planes — which is exactly what lets res 41-48 solids run
+        # in-kernel in EVERY lifecycle (ROADMAP §9 residual closed).
         lean_allowed = (cfg.iterations == 1
                         and cfg.lambda_mode != LambdaMode.DECAY)
+        tet_carry = False
         if tet_stream_lambda is None:
             tet_lean = (not tet_fat_ok) and lean_allowed
+            tet_carry = (not tet_fat_ok) and not lean_allowed
         elif tet_stream_lambda:
-            if not lean_allowed:
-                raise NotImplementedError(
-                    "tet_stream_lambda needs a fresh-per-substep tet "
-                    "lambda lifecycle (RESET/WARM_START, iterations=1)")
-            tet_lean = True
-        tet_pad = 20 if tet_lean else 26
-        if not tet_fat_ok and not tet_lean:
-            raise NotImplementedError(
-                "streamed tets exceed the VMEM budget at this res — "
-                "use the stencil engine (solvers/lattice), or RESET/"
-                "WARM_START x iterations=1 for the lean tet spelling")
-        if tet_lean and (11 + 24) * res * r2p * 4 > 15_500_000:
-            # lean floor: pred/xo/w/wt/slots + tg + stack (res <= ~48;
-            # res 64 planes are 1 MB each and the stencil engine covers
-            # that scale)
+            tet_lean = lean_allowed
+            tet_carry = not lean_allowed
+        tet_pad = 20 if (tet_lean or tet_carry) else 26
+        if (tet_lean or tet_carry) \
+                and (11 + 24) * res * r2p * 4 > 15_500_000:
+            # lean/carry floor: pred/xo/w/wt/slots + tg + stack (res <=
+            # ~48; res 64 planes are 1 MB each and the stencil engine
+            # covers that scale)
             raise NotImplementedError(
                 "streamed tets exceed the VMEM budget at this res even "
                 "with streamed tet lambdas — use the stencil engine "
@@ -832,7 +839,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             cp_v.wait()
             cp_l.wait()
             if has_tets:
-                if not tet_lean:
+                if not (tet_lean or tet_carry):
                     # carried tet multipliers (only DECAY actually reads
                     # them; the other modes refresh per substep).  The
                     # lean spelling never reads them: every sweep starts
@@ -840,6 +847,19 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                     cp_t = pltpu.make_async_copy(lamt_hbm, tres, sem.at[0])
                     cp_t.start()
                     cp_t.wait()
+                elif tet_carry:
+                    # carry spelling: lamto_hbm is the revolving carried
+                    # state — seed it from the input multipliers, one
+                    # path plane at a time through the slots staging
+                    for _pi in range(6):
+                        cp_in = pltpu.make_async_copy(
+                            lamt_hbm.at[_pi], slots.at[2], sem.at[0])
+                        cp_in.start()
+                        cp_in.wait()
+                        cp_out = pltpu.make_async_copy(
+                            slots.at[2], lamto_hbm.at[_pi], sem.at[0])
+                        cp_out.start()
+                        cp_out.wait()
                 # interior-cell mask is static geometry — materialize it
                 # ONCE as an f32 plane (tg[15]) so the per-iteration sweep
                 # doesn't keep 6 iota/mask planes live across its loop
@@ -1230,6 +1250,24 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                     # fresh per substep at iterations=1:
                                     # the carried multiplier is never read
                                     lam_f = jnp.float32(0.0)
+                                elif tet_carry:
+                                    # stream the path's multiplier plane
+                                    # in from the revolving HBM buffer
+                                    # (slots idle during the tet sweep)
+                                    cp_ld = pltpu.make_async_copy(
+                                        lamto_hbm.at[pi], slots.at[2],
+                                        sem.at[0])
+                                    cp_ld.start()
+                                    cp_ld.wait()
+                                    lam_f = slots[2]
+                                    if cfg.lambda_mode == LambdaMode.DECAY:
+                                        lam_f = jnp.where(
+                                            it == 0,
+                                            lam_f * cfg.lambda_decay,
+                                            lam_f)
+                                    else:
+                                        lam_f = jnp.where(it == 0, 0.0,
+                                                          lam_f)
                                 elif cfg.lambda_mode == LambdaMode.DECAY:
                                     lam_f = tres[pi]
                                     lam_f = jnp.where(
@@ -1269,6 +1307,17 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                                             sem.at[0])
                                         st.start()
                                         st.wait()
+                                elif tet_carry:
+                                    # stream the updated plane back: the
+                                    # HBM buffer carries it to the next
+                                    # iteration/substep (and IS the
+                                    # lambda_tet output at the end)
+                                    slots[2] = lam_f + dl
+                                    cp_st = pltpu.make_async_copy(
+                                        slots.at[2], lamto_hbm.at[pi],
+                                        sem.at[0])
+                                    cp_st.start()
+                                    cp_st.wait()
                                 else:
                                     tres[pi] = lam_f + dl
                                 for c in range(3):
@@ -1470,7 +1519,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
                 cp_lout = pltpu.make_async_copy(lres, lamo_hbm, sem.at[1])
                 cp_lout.start()
                 cp_lout.wait()
-            if has_tets and not tet_lean:
+            if has_tets and not (tet_lean or tet_carry):
                 cp_tout = pltpu.make_async_copy(tres, lamto_hbm, sem.at[2])
                 cp_tout.start()
                 cp_tout.wait()
@@ -1481,12 +1530,13 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
             pred=pltpu.VMEM((3, res, r2p), jnp.float32),
             sem=pltpu.SemaphoreType.DMA((3,)),
         )
-        if not (v_resident and lam_resident) or tet_lean:
+        if not (v_resident and lam_resident) or tet_lean or tet_carry:
             # lambda-slab / velocity-plane staging; dead weight when both
             # are resident, so only allocated for the streaming paths —
-            # and for the lean tet spelling, whose last-substep dl store
-            # stages through slots[0] (idle during the tet sweep: the
-            # distance passes' predicated stores are waited inline)
+            # and for the lean/carry tet spellings, whose multiplier
+            # stores stage through slots[0]/slots[2] (idle during the tet
+            # sweep: the distance passes' predicated stores are waited
+            # inline)
             scratch["slots"] = pltpu.VMEM((3, res, r2p), jnp.float32)
         if v_resident:
             scratch["vres"] = pltpu.VMEM((3, res, r2p), jnp.float32)
@@ -1499,7 +1549,7 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         if denom_cached:
             scratch["dres"] = pltpu.VMEM((nfam, res, r2p), jnp.float32)
         if has_tets:
-            if not tet_lean:
+            if not (tet_lean or tet_carry):
                 scratch["tres"] = pltpu.VMEM((6, res, r2p), jnp.float32)
             # tet sweep staging: g0..g3 (12 planes) + delta (3) + the
             # static interior-cell mask (1) — see the stack-vs-scratch

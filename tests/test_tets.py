@@ -891,18 +891,61 @@ def test_streamed_tets_lean_matches_stencil_engine():
     assert dlam < 1e-5, f"lean tets lambda_tet mismatch {dlam}"
 
 
-def test_streamed_tets_lean_gates():
-    """Lean refuses carried-lambda lifecycles (DECAY, iterations>1); the
-    auto gate keeps the fat spelling at small res."""
+# ------------------------- carry tet spelling (round 5, verdict #6)
+@pytest.mark.parametrize("mode,iters", [
+    (LambdaMode.DECAY, 1),        # carried across substeps
+    (LambdaMode.RESET, 2),        # carried across iterations
+    (LambdaMode.DECAY, 2),        # both
+    (LambdaMode.WARM_START, 2),
+])
+def test_streamed_tets_carry_matches_fat_bitwise(mode, iters):
+    """The CARRY (tres-free) tet spelling — per-path multiplier planes
+    streamed through the slots staging and carried in the lambda_tet HBM
+    buffer — must be BITWISE equal to the fat spelling in every carried
+    lifecycle (DECAY and/or multi-iteration), which is what lifts the
+    res-41..48 streamed-solid cap for those configs (round-4 verdict
+    item 6)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     from softbodysimulation_tpu.kernels import lattice_pallas as lp
 
-    spec, cfg, _ = _streamed_tet_setup(
-        iterations=1, lambda_mode=LambdaMode.DECAY)
-    with pytest.raises(NotImplementedError, match="tet_stream_lambda"):
-        lp.make_pallas_substep_runner_streamed(
-            spec, cfg, 1 / 480., 4, tet_stream_lambda=True)
-    spec, cfg, _ = _streamed_tet_setup(iterations=2,
-                                       lambda_mode=LambdaMode.RESET)
-    with pytest.raises(NotImplementedError, match="tet_stream_lambda"):
-        lp.make_pallas_substep_runner_streamed(
-            spec, cfg, 1 / 480., 4, tet_stream_lambda=True)
+    spec, cfg, st = _streamed_tet_setup(
+        iterations=iters, lambda_mode=mode, warm_start_fraction=0.5)
+    # non-trivial carried multipliers: start from a stepped state
+    with pltpu.force_tpu_interpret_mode():
+        st = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 2, tet_stream_lambda=False)(st)
+        fat = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 6, tet_stream_lambda=False)(st)
+        carry = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 6, tet_stream_lambda=True)(st)
+    assert np.abs(np.asarray(st.lambda_tet)).max() > 0  # carried state real
+    np.testing.assert_array_equal(np.asarray(carry.positions),
+                                  np.asarray(fat.positions))
+    np.testing.assert_array_equal(np.asarray(carry.velocities),
+                                  np.asarray(fat.velocities))
+    np.testing.assert_array_equal(np.asarray(carry.lambda_tet),
+                                  np.asarray(fat.lambda_tet))
+
+
+def test_streamed_tets_carry_matches_stencil_engine():
+    """Forced-carry kernel tracks solvers/lattice through the full substep
+    loop in the DECAY x multi-iteration lifecycle (the regime the round-4
+    lean spelling refused)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from softbodysimulation_tpu.kernels import lattice_pallas as lp
+    from softbodysimulation_tpu.solvers import lattice as lat
+
+    spec, cfg, st = _streamed_tet_setup(
+        iterations=2, lambda_mode=LambdaMode.DECAY, lambda_decay=0.98)
+    ref = lat.make_substep_runner(spec, cfg, 1 / 480., 10)(st)
+    with pltpu.force_tpu_interpret_mode():
+        out = lp.make_pallas_substep_runner_streamed(
+            spec, cfg, 1 / 480., 10, tet_stream_lambda=True)(st)
+    dpos = np.abs(np.asarray(out.positions)
+                  - np.asarray(ref.positions)).max()
+    dlam = np.abs(np.asarray(out.lambda_tet)
+                  - np.asarray(ref.lambda_tet)).max()
+    assert dpos < 1e-5, f"carry tets position mismatch {dpos}"
+    assert dlam < 1e-5, f"carry tets lambda_tet mismatch {dlam}"
