@@ -188,14 +188,36 @@ def main():
     emit(row=f"fitloop{FITLOOP_STEPS}_xla",
          particle_substeps_per_s=float(f"{rate:.4g}"))
 
-    mat_runner = kdiff.make_differentiable_material_runner(
-        topo, cfg, DT_SUB, GRAD_SUBSTEPS)
-    vg_m = jax.jit(jax.value_and_grad(
-        lambda mats: jnp.sum(mat_runner(st, mats).positions ** 2)))
+    # --- material gradients: fused (in-kernel rest/compliance cotangents,
+    # round 5) vs the XLA-engine VJP, same run (config10's workload) ---
     mats0 = {"rest_lengths": topo.rest_lengths,
              "compliance": topo.compliance}
-    rate = measure_scalar(vg_m, mats0, n * GRAD_SUBSTEPS)
-    emit(row="grad_materials", particle_substeps_per_s=float(f"{rate:.4g}"))
+    for bkw in ("fused", "xla"):
+        mat_runner = kdiff.make_differentiable_material_runner(
+            topo, cfg, DT_SUB, GRAD_SUBSTEPS, backward=bkw)
+        vg_m = jax.jit(jax.value_and_grad(
+            lambda mats: jnp.sum(mat_runner(st, mats).positions ** 2)))
+        rate = measure_scalar(vg_m, mats0, n * GRAD_SUBSTEPS)
+        emit(row=f"grad_materials_{bkw}",
+             particle_substeps_per_s=float(f"{rate:.4g}"))
+
+    # --- collider-pose gradients: the contact-control workload (config11)
+    # — fused in-kernel pose cotangents vs the engine VJP, same run ---
+    from softbodysimulation_tpu import make_colliders
+
+    coll0 = make_colliders(spheres=[(0.0, 0.8, 0.0, 0.3)],
+                           ground_height=0.0)
+    stc = st.replace(colliders=coll0)
+    for bkw in ("fused", "xla"):
+        kin_run = kdiff.make_differentiable_mesh_runner(
+            topo, cfg, DT_SUB, GRAD_SUBSTEPS, backward=bkw,
+            kin_colliders=(1, 0))
+        vg_c = jax.jit(jax.value_and_grad(
+            lambda c: jnp.sum(kin_run(stc.replace(colliders=c)
+                                      ).positions ** 2)))
+        rate = measure_scalar(vg_c, coll0, n * GRAD_SUBSTEPS)
+        emit(row=f"grad_collider_{bkw}",
+             particle_substeps_per_s=float(f"{rate:.4g}"))
 
     # --- population material farm: B candidates/gradients per call ---
     nb = int(os.environ.get("BENCH_FARM_BODIES", "16"))

@@ -285,6 +285,58 @@ def main():
                 emit(row=f"tet_farm_x{FARM}_kernel_{tag}", ok=False,
                      err=f"{type(e).__name__}: {str(e)[:200]}")
 
+    # --- round-5 CARRY tet spelling: res-48 DECAY x 2-iteration solid —
+    # the carried lifecycle the round-4 lean spelling refused at res > 40
+    # — streamed kernel (carry: per-path multiplier planes revolve
+    # through HBM) vs the stencil engine same-run (verdict item 6's
+    # done-criterion row)
+    res_c = int(os.environ.get("BENCH_TET_CARRY_RES", "48"))
+    spec_c = lattice_mod.lattice_spec(res_c, braced=True)
+    from softbodysimulation_tpu.core.config import LambdaMode  # noqa: E402
+
+    cfg_c = SolverConfig(substeps=8, iterations=2, damping=0.02,
+                         solve_mode=SolveMode.JACOBI,
+                         lambda_mode=LambdaMode.DECAY, lambda_decay=0.98,
+                         gravity_is_acceleration=True, fast_math=True,
+                         enable_tet_volume=True,
+                         ground_height=0.0, friction=0.3)
+    st_c = lat_engine.make_lattice_state(spec_c, center=(0, 0.55, 0),
+                                         mass=0.001, tet_volume=True)
+    n_c = spec_c.n_particles
+    Lc = 200
+    try:
+        fn_cs = lat_engine.make_substep_runner(spec_c, cfg_c, 1 / 480., Lc)
+        rate_cs, _ = measure(fn_cs, st_c, n_c, Lc, repeats=3)
+        emit(row=f"lattice{res_c}_decay2_stencil",
+             particle_substeps_per_s=float(f"{rate_cs:.4g}"))
+        # validation: short-horizon drift + volume conservation
+        ref_c = np.asarray(lat_engine.make_substep_runner(
+            spec_c, cfg_c, 1 / 480., 40)(st_c).positions)
+        tt_c = T.cube_lattice_tets(res_c)
+        v0_c = float(T.tet_volumes6(
+            np.asarray(st_c.positions, np.float64), tt_c).sum())
+        fn_cv = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec_c, cfg_c, 1 / 480., 40)
+        sp_c = np.asarray(fn_cv(st_c).positions)
+        drift_c = float(np.abs(sp_c - ref_c).max())
+        if not np.isfinite(sp_c).all() or drift_c >= 1e-3:
+            raise RuntimeError(f"carry-tet drift {drift_c} vs stencil")
+        v_c = float(T.tet_volumes6(np.asarray(sp_c, np.float64),
+                                   tt_c).sum())
+        if abs(v_c / v0_c - 1.0) > 0.02:
+            raise RuntimeError(f"volume ratio {v_c / v0_c} off by > 2%")
+        fn_ck = lattice_pallas.make_pallas_substep_runner_streamed(
+            spec_c, cfg_c, 1 / 480., Lc)
+        rate_ck, _ = measure(fn_ck, st_c, n_c, Lc, repeats=3)
+        emit(row=f"lattice{res_c}_decay2_streamed_carry",
+             particle_substeps_per_s=float(f"{rate_ck:.4g}"),
+             drift_vs_stencil_40sub=float(f"{drift_c:.3g}"),
+             vol_ratio=float(f"{v_c / v0_c:.5g}"),
+             speedup_vs_stencil=float(f"{rate_ck / rate_cs:.3g}"))
+    except Exception as e:  # noqa: BLE001
+        emit(row=f"lattice{res_c}_decay2_streamed_carry", ok=False,
+             err=f"{type(e).__name__}: {str(e)[:300]}")
+
 
 if __name__ == "__main__":
     main()

@@ -27,11 +27,19 @@ from ..topology.edges import unique_edges
 
 def run(subdiv: int = 1, n_substeps: int = 6, dt_sub: float = 1 / 240,
         perturb: float = 0.08, opt_iters: int = 8, seed: int = 0,
-        verbose: bool = True, interpret: bool = None):
+        verbose: bool = True, interpret: bool = None,
+        backward: str = None):
     """Returns ``(initial_loss, final_loss, err0, err1)`` — the fit must
-    shrink both the trajectory loss and the mean rest-length error."""
+    shrink both the trajectory loss and the mean rest-length error.
+
+    ``backward``: ``"fused"`` runs the hand-written Mosaic material
+    backward (in-kernel rest/compliance cotangents, round 5); ``"xla"``
+    differentiates the XLA engine; default picks fused on TPU and xla
+    elsewhere (interpret-mode Pallas is too slow for the fit loop)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if backward is None:
+        backward = "xla" if interpret else "fused"
     m = mesh.icosphere(subdiv)
     pos, topo = build.build_windowed_topology(
         m.vertices, unique_edges(m.triangles), 1e-4, triangles=m.triangles)
@@ -42,7 +50,8 @@ def run(subdiv: int = 1, n_substeps: int = 6, dt_sub: float = 1 / 240,
 
     def _build():
         return make_differentiable_material_runner(
-            topo, cfg, dt_sub, n_substeps, block_edges=128)
+            topo, cfg, dt_sub, n_substeps, block_edges=128,
+            backward=backward)
 
     if interpret:
         from jax.experimental.pallas import tpu as pltpu

@@ -190,9 +190,11 @@ def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
       (``kernels.mesh_diff_pallas``): replay + cotangent sweeps run as
       fused chunk kernels, ~4x the XLA backward's device throughput on
       the bunny (BENCHMARKS.md "Differentiable performance").  Restricted
-      envelope (JACOBI, RESET/DECAY, distance + floor only) and zero
-      inv_mass/ext_force cotangents; raises NotImplementedError outside
-      it.  ``remat_chunk`` maps to the backward's chunk size.
+      envelope (JACOBI, RESET/DECAY/WARM_START, distance + floor +
+      sphere colliders — incl. ``kin_colliders`` traced poses WITH pose
+      cotangents) and zero inv_mass/ext_force cotangents; raises
+      NotImplementedError outside it.  ``remat_chunk`` maps to the
+      backward's chunk size.
     * ``"auto"`` — ``"fused"`` when the envelope fits, else ``"xla"``."""
     if backward not in ("xla", "fused", "auto"):
         raise ValueError(f"backward must be xla|fused|auto, got {backward}")
@@ -206,7 +208,7 @@ def make_differentiable_mesh_runner(topo, cfg, dt_sub: float,
                 chunk_substeps=(remat_chunk if remat_chunk
                                 and 0 < remat_chunk < n_substeps else None),
                 **{k: v for k, v in pallas_kw.items()
-                   if k in ("block_edges", "synth_gd")})
+                   if k in ("block_edges", "synth_gd", "kin_colliders")})
         except NotImplementedError:
             if backward == "fused":
                 raise
@@ -269,20 +271,42 @@ def make_differentiable_mesh_step(topo, cfg, dt: float, n_steps: int = 1,
 
 def make_differentiable_material_runner(topo, cfg, dt_sub: float,
                                         n_substeps: int,
-                                        remat_chunk: int = 0, **pallas_kw):
+                                        remat_chunk: int = 0,
+                                        backward: str = "auto",
+                                        **pallas_kw):
     """Differentiable-in-MATERIALS mesh rollout: returns
     ``fn(state, materials) -> SimState`` with
     ``materials = {"rest_lengths": (E,), "compliance": (E,)}`` (topo edge
     order).  Forward runs the fused mesh kernel with the material slabs
-    rebuilt from the traced vectors; backward differentiates the XLA
-    general engine at ``topo.replace(rest_lengths=..., compliance=...)``
-    — gradients reach the state leaves AND both material vectors.  The
-    material-fitting workload (estimate stiffness / rest shape from
-    observed trajectories) with the fused kernel carrying the many
-    forward evaluations; the reference has no analog (its solver is not
-    differentiable at all)."""
+    rebuilt from the traced vectors — gradients reach the state leaves
+    AND both material vectors.  The material-fitting workload (estimate
+    stiffness / rest shape from observed trajectories) with the fused
+    kernel carrying the many forward evaluations; the reference has no
+    analog (its solver is not differentiable at all).
+
+    ``backward``: ``"fused"`` runs the hand-written Mosaic backward with
+    in-kernel material cotangents (``mesh_diff_pallas.
+    make_fused_differentiable_material_runner``; restricted envelope —
+    raises outside it); ``"xla"`` differentiates the XLA general engine
+    at ``topo.replace(rest_lengths=..., compliance=...)``; ``"auto"``
+    (default) prefers fused, falling back to xla."""
+    if backward not in ("xla", "fused", "auto"):
+        raise ValueError(f"backward must be xla|fused|auto, got {backward}")
     _guard_exact_forward(pallas_kw)
     _check_chunk(n_substeps, remat_chunk)
+    if backward != "xla":
+        from . import mesh_diff_pallas as mdp
+
+        try:
+            return mdp.make_fused_differentiable_material_runner(
+                topo, cfg, dt_sub, n_substeps,
+                chunk_substeps=(remat_chunk if remat_chunk
+                                and 0 < remat_chunk < n_substeps else None),
+                **{k: v for k, v in pallas_kw.items()
+                   if k in ("block_edges", "synth_gd")})
+        except NotImplementedError:
+            if backward == "fused":
+                raise
     from ..solvers import general
     from . import mesh_pallas
 

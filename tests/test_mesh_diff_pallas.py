@@ -194,7 +194,9 @@ def test_fused_backward_envelope_guards():
         _cfg(enable_volume=True),
         _cfg(enable_self_collision=True, self_collision_backend="dense"),
         _cfg(floor_mode=FloorMode.VELOCITY_REFLECT),
-        _cfg(sphere_colliders=((0.0, 0.2, 0.0, 0.1),)),
+        # round 5: sphere colliders JOINED the envelope (static + kin);
+        # boxes remain outside it
+        _cfg(box_colliders=((0.0, 0.2, 0.0, 0.1, 0.1, 0.1),)),
     ]
     for cfg in st_cfgs:
         with pytest.raises(NotImplementedError):
@@ -272,3 +274,134 @@ def test_fused_backward_warm_start_lambda_chain(clamp, fraction):
     np.testing.assert_allclose(np.asarray(gp) / sc, np.asarray(gr) / sc,
                                atol=1.2e-2)
     assert np.abs(np.asarray(gr)).max() > 1e-6
+
+
+def test_fused_backward_static_sphere_collider_grads():
+    """Round-5 envelope widening: static config sphere colliders are
+    covered in-kernel (projection + moving-frame-less friction VJP) —
+    state gradients must still match the XLA engine."""
+    pos, topo = _scene()
+    # sphere poking into the ball's resting path so the contact fires
+    cfg = _cfg(sphere_colliders=((0.0, 0.1, 0.0, 0.3),))
+    st = state_from_topology(topo, pos)
+    _compare(topo, cfg, st, n_sub=5)
+
+
+@pytest.mark.parametrize("n_sub,iters,rho,atol", [
+    # single-sweep regime: the hand VJP is essentially exact vs the
+    # engine's AD (measured 1e-7 with the contact active)
+    (1, 1, 0.0, 1e-4),
+    # multi-substep contact-rich, bitwise-equal forwards: the two
+    # DIFFERENT backward arithmetics (engine autodiff vs hand chain)
+    # accumulate fp noise through the contact cancellations (measured
+    # 4e-4; same scale the engine's own VJP shows against an x64 replica
+    # on materials)
+    (3, 2, 0.0, 5e-3),
+    # deep Chebyshev + contact-rich regime: kernel and engine FORWARDS
+    # diverge at ulp level (different op associations), and the contact
+    # gates are discontinuous — a boundary particle flipping between the
+    # two linearization points moves the gradients apart by its finite
+    # contribution (~2% here).  Both are exact gradients of their own
+    # trajectory; the loose band pins that they stay the same gradient
+    # up to that documented forward divergence.
+    (5, 4, 0.9, 5e-2),
+])
+def test_fused_backward_kinematic_collider_pose_grads(n_sub, iters, rho,
+                                                      atol):
+    """Traced ColliderSet poses in the fused backward: gradients w.r.t.
+    the sphere center/radius/velocity AND the ground height must match
+    differentiating the XLA engine through the state's collider leaf —
+    the contact-control workload (config11) fully fused."""
+    from softbodysimulation_tpu import make_colliders
+
+    pos, topo = _scene()
+    cfg = _cfg(ground_height=123.0,     # bogus on purpose: traced wins
+               iterations=iters, jacobi_rho=rho)
+    st = state_from_topology(topo, pos)
+    # sphere overlapping the ball's +x shell so the contact fires from
+    # the FIRST substep (an interior sphere never touches the surface
+    # particles at short horizons — zero gradients prove nothing)
+    coll = make_colliders(spheres=[(0.6, 0.45, 0.0, 0.2)],
+                          sphere_velocities=[(0.4, 0.0, 0.1)],
+                          ground_height=0.0)
+    st = st.replace(colliders=coll)
+    # RANDOM-weighted loss: the scene is near-symmetric, so a symmetric
+    # loss makes several pose cotangents cancel to ~0 and a per-leaf
+    # normalized comparison would amplify that noise into fake mismatches
+    wts = jnp.asarray(np.random.RandomState(3).randn(*pos.shape),
+                      jnp.float32)
+
+    def xla_loss(c):
+        s = st.replace(colliders=c)
+
+        def body(cst, _):
+            return general._substep(cst, topo, cfg, DT,
+                                    apply_ext=False), None
+
+        out, _ = lax.scan(body, s, None, length=n_sub)
+        return jnp.sum(wts * out.positions)
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = mdp.make_fused_differentiable_mesh_runner(
+            topo, cfg, DT, n_sub, kin_colliders=(1, 0))
+
+        def pal_loss(c):
+            out = fused(st.replace(colliders=c))
+            return jnp.sum(wts * out.positions)
+
+        val_p, g_p = jax.value_and_grad(pal_loss)(coll)
+    val_r, g_r = jax.value_and_grad(xla_loss)(coll)
+    assert abs(float(val_p) - float(val_r)) < 1e-3 * max(
+        1.0, abs(float(val_r)))
+    # one GLOBAL scale across all pose leaves: a leaf whose true gradient
+    # is tiny relative to the others must not have its fp noise promoted
+    # to O(1) by per-leaf normalization
+    scale = max(max(np.abs(np.asarray(getattr(g_r, nm))).max()
+                    for nm in ("spheres", "sphere_velocities",
+                               "ground_height")), 1e-12)
+    for name in ("spheres", "sphere_velocities", "ground_height"):
+        gp = np.asarray(getattr(g_p, name))
+        gr = np.asarray(getattr(g_r, name))
+        np.testing.assert_allclose(gp / scale, gr / scale, atol=atol,
+                                   err_msg=name)
+    # the contact actually fired: pose gradients are non-trivial
+    assert np.abs(np.asarray(g_r.spheres)).max() > 1e-3
+
+
+def test_fused_backward_kin_multi_chunk_pose_grads_sum():
+    """Chunked backward: pose cotangents must SUM across chunks (the pose
+    is constant over the rollout) — chunked == flat."""
+    from softbodysimulation_tpu import make_colliders
+
+    pos, topo = _scene()
+    cfg = _cfg(lambda_mode=LambdaMode.DECAY, ground_height=55.0)
+    st = state_from_topology(topo, pos)
+    coll = make_colliders(spheres=[(0.6, 0.45, 0.0, 0.2)],  # touching
+                          ground_height=0.0)
+    st = st.replace(colliders=coll)
+    grads = {}
+    with pltpu.force_tpu_interpret_mode():
+        for chunk in (None, 2):
+            fused = mdp.make_fused_differentiable_mesh_runner(
+                topo, cfg, DT, 6, chunk_substeps=chunk,
+                kin_colliders=(1, 0))
+
+            def loss(c):
+                out = fused(st.replace(colliders=c))
+                return jnp.sum(out.positions ** 2)
+
+            grads[chunk] = jax.grad(loss)(coll)
+    for name in ("spheres", "sphere_velocities", "ground_height"):
+        np.testing.assert_allclose(np.asarray(getattr(grads[None], name)),
+                                   np.asarray(getattr(grads[2], name)),
+                                   rtol=1e-5, atol=1e-8, err_msg=name)
+
+
+def test_fused_backward_kin_box_rejected():
+    from softbodysimulation_tpu import make_colliders  # noqa: F401
+
+    pos, topo = _scene()
+    cfg = _cfg()
+    with pytest.raises(NotImplementedError, match="box"):
+        mdp.make_fused_differentiable_mesh_runner(
+            topo, cfg, DT, 4, kin_colliders=(1, 1))
