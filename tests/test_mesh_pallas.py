@@ -912,8 +912,10 @@ def test_mesh_kernel_dense_contact_cadence():
 
 
 def test_mesh_kernel_dense_contact_guards():
-    """Non-dense backends and ensembles stay routed to the general engine
-    with actionable errors; misaligned cadence is rejected."""
+    """Non-dense backends stay routed to the general engine with
+    actionable errors (single-body AND ensembles — the round-5 body-local
+    pass lifted the dense-ensemble guard, so n_bodies>1 now only rejects
+    non-dense backends); misaligned cadence is rejected."""
     import dataclasses
 
     st, topo, cfg, nc = _contact_scene()
@@ -921,9 +923,14 @@ def test_mesh_kernel_dense_contact_guards():
         mesh_pallas.make_mesh_substep_runner(
             topo, dataclasses.replace(cfg, self_collision_backend="hash"),
             DT / cfg.substeps, cfg.substeps)
-    with pytest.raises(NotImplementedError, match="ensemble"):
+    with pytest.raises(NotImplementedError, match="dense"):
         mesh_pallas.make_mesh_substep_runner(
-            topo, cfg, DT / cfg.substeps, cfg.substeps, n_bodies=2)
+            topo, dataclasses.replace(cfg, self_collision_backend="hash"),
+            DT / cfg.substeps, cfg.substeps, n_bodies=2)
+    # ensembles with the dense backend CONSTRUCT (behavior pinned in
+    # test_mesh_ensemble_dense_contact_body_local)
+    mesh_pallas.make_mesh_substep_runner(
+        topo, cfg, DT / cfg.substeps, cfg.substeps, n_bodies=2)
     with pytest.raises(NotImplementedError, match="cadence"):
         mesh_pallas.make_mesh_pallas_step(
             topo, dataclasses.replace(cfg, self_collision_every=3),
