@@ -85,7 +85,9 @@ def scaled_ball_on_cloth(cloth_res=CLOTH_RES, cloth_size=2.5,
                        enable_tet_volume=True, tet_pressure=1.05,
                        enable_self_collision=True,
                        self_collision_backend="blocked",
-                       collision_block_size=256, block_neighbors=3,
+                       collision_block_size=256,
+                       block_neighbors=int(os.environ.get(
+                           "BENCH_BLOCK_NEIGHBORS", "6")),
                        self_collision_every=CADENCE,
                        particle_radius=particle_radius,
                        ground_height=0.0, friction=0.3)

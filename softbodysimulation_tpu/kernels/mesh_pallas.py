@@ -2144,21 +2144,28 @@ def make_mesh_hybrid_contact_step(topo: Topology, cfg: SolverConfig,
     cfg_free = cfg.replace(enable_self_collision=False)
     inner = make_mesh_substep_runner(topo, cfg_free, dt_sub, every - 1)
     groups = cfg.substeps // every
+    # topology as a traced argument, not a closure: the contact substep's
+    # windowed matrices would otherwise inline as HLO constants and blow
+    # the remote-compile payload at scale (general.make_step's fix)
+    topo_d = jax.device_put(topo)
 
     @jax.jit
-    def fn(state: SimState) -> SimState:
+    def fn2(state: SimState, t: Topology) -> SimState:
         f0 = state.ext_force
 
         def one_step(carry, step_idx):
             st = carry.replace(
                 ext_force=jnp.where(step_idx == 0, 1.0, 0.0) * f0)
             for g in range(groups):
-                st = _gen._substep(st, topo, cfg, dt_sub,
+                st = _gen._substep(st, t, cfg, dt_sub,
                                    apply_ext=(g == 0), contact_on=True)
                 st = inner(st)
             return st, None
 
         state, _ = lax.scan(one_step, state, jnp.arange(n_steps))
         return state.replace(ext_force=jnp.zeros_like(state.ext_force))
+
+    def fn(state: SimState) -> SimState:
+        return fn2(state, topo_d)
 
     return fn

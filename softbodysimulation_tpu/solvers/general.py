@@ -750,9 +750,21 @@ def step(state: SimState, topo: Topology, cfg: SolverConfig,
 
 
 def make_step(topo: Topology, cfg: SolverConfig, dt: float, n_steps: int = 1):
-    """Build a jitted ``state -> state`` advancing ``n_steps`` steps."""
+    """Build a jitted ``state -> state`` advancing ``n_steps`` steps.
+
+    The topology rides as a TRACED argument (device buffers), not a jit
+    closure: closed-over arrays are inlined as HLO constants, and at scale
+    the windowed one-hot matrices dominate the serialized program (a 32k-
+    edge mesh embeds ~33 MB of window blocks — past the remote-compile
+    relay's request limit, HTTP 413).  Passing them as arguments keeps the
+    program small and the buffers resident across calls."""
+    topo_d = jax.device_put(topo)
+
     @jax.jit
+    def fn2(state: SimState, t: Topology) -> SimState:
+        return multi_step_fn(state, t, cfg, dt, n_steps)
+
     def fn(state: SimState) -> SimState:
-        return multi_step_fn(state, topo, cfg, dt, n_steps)
+        return fn2(state, topo_d)
 
     return fn
