@@ -8,7 +8,7 @@ The dense in-kernel pass is O(N^2) and VMEM-bounded (~16k particles); the
 scale path is the Morton-BLOCKED exact backend, which the mesh kernel
 reaches through ``make_mesh_hybrid_contact_step`` (``make_mesh_pallas_step``
 routes self-colliding cadence configs there).  Exactness is preserved:
-the ``blocked_overflow`` diagnostic must read 0 dropped pairs on the
+the pair-accurate ``blocked_dropped_pairs`` diagnostic must read 0 on the
 measured trajectory, and the hybrid's arithmetic equivalence with the
 engine's cadence is pinned in interpret mode
 (tests/test_mesh_pallas.py::test_mesh_hybrid_contact_step_matches_engine_cadence,
@@ -31,7 +31,8 @@ from softbodysimulation_tpu import (  # noqa: E402
     SolverConfig,
     state_from_topology,
 )
-from softbodysimulation_tpu.diag.diagnostics import blocked_overflow  # noqa: E402
+from softbodysimulation_tpu.diag.diagnostics import (  # noqa: E402
+    blocked_dropped_pairs, blocked_overflow)
 from softbodysimulation_tpu.interact import forces as _forces  # noqa: E402
 from softbodysimulation_tpu.kernels import mesh_pallas  # noqa: E402
 from softbodysimulation_tpu.solvers import general  # noqa: E402
@@ -41,7 +42,9 @@ from softbodysimulation_tpu.topology import mesh as _mesh  # noqa: E402
 from softbodysimulation_tpu.topology import tets as _tets  # noqa: E402
 
 FRAMES_PER_CALL = int(os.environ.get("BENCH_FRAMES_PER_CALL", "30"))
-CLOTH_RES = int(os.environ.get("BENCH_CLOTH_RES", "100"))
+CLOTH_RES = int(os.environ.get("BENCH_CLOTH_RES", "140"))
+CLOTH_SIZE = float(os.environ.get("BENCH_CLOTH_SIZE", "3.5"))
+BALL_RADIUS = float(os.environ.get("BENCH_BALL_RADIUS", "0.3"))
 CADENCE = int(os.environ.get("BENCH_CONTACT_EVERY", "3"))
 
 
@@ -49,8 +52,8 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def scaled_ball_on_cloth(cloth_res=CLOTH_RES, cloth_size=2.5,
-                         ball_subdiv=3, ball_radius=0.45, dt=1 / 60):
+def scaled_ball_on_cloth(cloth_res=CLOTH_RES, cloth_size=CLOTH_SIZE,
+                         ball_subdiv=3, ball_radius=BALL_RADIUS, dt=1 / 60):
     """ball_on_cloth at >=10k particles: the cloth scales in SIZE with its
     resolution so the grid spacing (and hence the derived contact radius)
     stays above the per-substep tunneling floor (core/scenes.py
@@ -87,7 +90,7 @@ def scaled_ball_on_cloth(cloth_res=CLOTH_RES, cloth_size=2.5,
                        self_collision_backend="blocked",
                        collision_block_size=256,
                        block_neighbors=int(os.environ.get(
-                           "BENCH_BLOCK_NEIGHBORS", "6")),
+                           "BENCH_BLOCK_NEIGHBORS", "10")),
                        self_collision_every=CADENCE,
                        particle_radius=particle_radius,
                        ground_height=0.0, friction=0.3)
@@ -122,31 +125,49 @@ def main():
          frames_per_call=FRAMES_PER_CALL)
     assert n >= 10_000, n
 
-    # warm to a contact-rich state so both engines time the same workload
+    # warm to a contact-rich state so both engines time the same workload.
+    # Exactness gate: the PAIR-ACCURATE dropped-contributions check (0 =>
+    # coverage-identical to the dense backend at this state); the
+    # conservative AABB worst-touch bound is reported alongside — flat
+    # cloth sheets exceed it vacuously (blocks AABB-touch in the thin
+    # axis with every pair beyond 2r).
     warm = general.make_step(topo, cfg, dt, n_steps=30)(state)
     ovf = int(blocked_overflow(warm, cfg))
-    emit(row="warm", overflow_pairs=ovf,
+    dropped = int(blocked_dropped_pairs(warm, cfg))
+    emit(row="warm", aabb_overflow_blocks=ovf, dropped_pairs=dropped,
          finite=bool(np.isfinite(np.asarray(warm.positions)).all()))
-    assert ovf == 0, "blocked backend dropped pairs — raise block_neighbors"
+    assert dropped == 0, \
+        "blocked backend dropped real pairs — raise block_neighbors"
 
     work = n * FRAMES_PER_CALL * cfg.substeps
-    fn_x = general.make_step(topo, cfg, dt, n_steps=FRAMES_PER_CALL)
-    rate_x, out_x = measure(fn_x, warm, work)
-    emit(row="xla_blocked_cadence",
-         particle_substeps_per_s=float(f"{rate_x:.4g}"))
+    rows = {}
+    for backend in ("blocked", "blocked_pallas"):
+        cfg_b = cfg.replace(self_collision_backend=backend)
+        fn_x = general.make_step(topo, cfg_b, dt, n_steps=FRAMES_PER_CALL)
+        rate_x, out_x = measure(fn_x, warm, work)
+        emit(row=f"xla_{backend}_cadence",
+             particle_substeps_per_s=float(f"{rate_x:.4g}"))
 
-    fn_h = mesh_pallas.make_mesh_pallas_step(topo, cfg, dt,
-                                             n_steps=FRAMES_PER_CALL)
-    rate_h, out_h = measure(fn_h, warm, work)
-    emit(row="hybrid_blocked_cadence",
-         particle_substeps_per_s=float(f"{rate_h:.4g}"),
-         speedup_vs_xla=float(f"{rate_h / rate_x:.3f}"))
+        fn_h = mesh_pallas.make_mesh_pallas_step(topo, cfg_b, dt,
+                                                 n_steps=FRAMES_PER_CALL)
+        rate_h, out_h = measure(fn_h, warm, work)
+        emit(row=f"hybrid_{backend}_cadence",
+             particle_substeps_per_s=float(f"{rate_h:.4g}"),
+             speedup_vs_xla=float(f"{rate_h / rate_x:.3f}"))
+        rows[backend] = (rate_x, rate_h, out_x, out_h)
 
-    for tag, out in (("xla", out_x), ("hybrid", out_h)):
-        p = np.asarray(out.positions)
-        emit(row=f"health_{tag}", finite=bool(np.isfinite(p).all()),
-             overflow_pairs=int(blocked_overflow(out, cfg)),
-             ymin=float(p[:, 1].min()), ymax=float(p[:, 1].max()))
+    for backend, (rate_x, rate_h, out_x, out_h) in rows.items():
+        for tag, out in (("xla", out_x), ("hybrid", out_h)):
+            p = np.asarray(out.positions)
+            emit(row=f"health_{tag}_{backend}",
+                 finite=bool(np.isfinite(p).all()),
+                 dropped_pairs=int(blocked_dropped_pairs(out, cfg)),
+                 ymin=float(p[:, 1].min()), ymax=float(p[:, 1].max()))
+    best_x = max(r[0] for r in rows.values())
+    best_h = max(r[1] for r in rows.values())
+    emit(row="claim", best_xla=float(f"{best_x:.4g}"),
+         best_hybrid=float(f"{best_h:.4g}"),
+         speedup=float(f"{best_h / best_x:.3f}"))
 
 
 if __name__ == "__main__":

@@ -63,9 +63,32 @@ def blocked_overflow(state: SimState, cfg: SolverConfig) -> int:
     is exact here).  The production-visible surface for the exactness
     precondition of ``ops.spatial_hash.self_collision_project_blocked`` —
     long runs should sample this (the CLI's ``--log-every`` does) and raise
-    ``block_neighbors`` if it ever goes positive.
+    ``block_neighbors`` if it ever goes positive.  Conservative: see
+    ``blocked_dropped_pairs`` for the pair-accurate check.
     """
     return int(_blocked_overflow_impl(state.positions, state.inv_mass, cfg))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _blocked_dropped_impl(positions, inv_mass, cfg):
+    from ..ops import spatial_hash as _sh
+
+    order = _sh.morton_order(positions, cfg)
+    return _sh.self_collision_blocked_dropped_pairs(
+        positions, inv_mass, order, cfg)
+
+
+def blocked_dropped_pairs(state: SimState, cfg: SolverConfig) -> int:
+    """Pair-accurate exactness check for the 'blocked' backend at the
+    CURRENT positions: the number of real contact contributions (directed
+    particle pairs within the contact diameter) the top-M candidate
+    selection would MISS.  0 => the blocked pass's coverage here is
+    identical to the dense backend's, even when the conservative AABB
+    bound (``blocked_overflow``) is exceeded — e.g. flat sheets whose
+    blocks all AABB-touch in the thin axis while every pair sits beyond
+    2r.  O(N^2 / block) work, blockwise under scan — cheap enough for
+    gate points and sampled logging, not for every substep."""
+    return int(_blocked_dropped_impl(state.positions, state.inv_mass, cfg))
 
 
 def format_diagnostics(d: Dict[str, jax.Array]) -> str:

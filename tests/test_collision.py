@@ -295,3 +295,73 @@ def test_box_collider_engines_agree():
     out_g = general.make_step(topo, cfg, DT, n_steps=200)(state_g)
     d = np.abs(pl - np.asarray(out_g.positions)).max()
     assert d < 1e-3, f"box-collider engine divergence {d}"
+
+
+def test_hilbert_code_bijective_and_continuous():
+    """The round-5 space-filling curve upgrade: Skilling-transform Hilbert
+    codes must be a bijection on the cell cube and step between
+    face-adjacent cells (the locality property the blocked backend's
+    worst-touch bound rides on; Morton's quadrant seams broke it)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    b = 3
+    g = 1 << b
+    coords = np.array(list(itertools.product(range(g), repeat=3)),
+                      dtype=np.int32)
+    code = np.asarray(spatial_hash._hilbert_code(
+        jnp.asarray(coords), b=b))
+    assert len(np.unique(code)) == g ** 3
+    walk = coords[np.argsort(code)]
+    steps = np.abs(np.diff(walk.astype(int), axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+
+def test_blocked_dropped_pairs_pair_accurate_gate():
+    """The pair-accurate exactness check: on a scene where the
+    conservative AABB worst-touch bound overflows but no real pair is
+    missed, dropped_pairs must read 0 and the blocked projection must
+    match dense to boundary noise; shrinking M until real pairs drop
+    must flip both."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    clump = rng.normal(0, 0.02, (600, 3)).astype(np.float32)
+    clump2 = clump + np.array([0.03, 0, 0], np.float32)
+    gx, gz = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
+    sheet = np.stack([gx.ravel() * 0.05 + 1.0, np.zeros(1600),
+                      gz.ravel() * 0.05], 1).astype(np.float32)
+    pos = np.concatenate([clump, clump2, sheet]).astype(np.float32)
+    n = pos.shape[0]
+    cfg = SolverConfig(substeps=1, iterations=1,
+                       solve_mode=SolveMode.JACOBI,
+                       enable_self_collision=True,
+                       self_collision_backend="blocked",
+                       collision_block_size=128, block_neighbors=12,
+                       particle_radius=0.01, ground_height=0.0)
+    p = jnp.asarray(pos)
+    w = jnp.asarray(np.ones(n, np.float32))
+    order = spatial_hash.morton_order(p, cfg)
+    dense = np.asarray(spatial_hash.self_collision_project_dense(p, w, cfg))
+
+    # M=12: AABB bound overflows (flat sheet blocks all touch in the thin
+    # axis) yet no real pair is dropped -> coverage-identical to dense
+    ovf = int(spatial_hash.self_collision_blocked_overflow(p, w, order, cfg))
+    dropped = int(spatial_hash.self_collision_blocked_dropped_pairs(
+        p, w, order, cfg))
+    assert ovf > 0, "scene should exceed the conservative bound"
+    assert dropped == 0
+    out = np.asarray(spatial_hash.self_collision_project_blocked(
+        p, w, order, cfg))
+    assert np.abs(out - dense).max() < 5e-5  # Gram-boundary noise only
+
+    # M=3: really drops contact pairs -> diagnostic fires and the
+    # projection visibly diverges from dense
+    cfg3 = cfg.replace(block_neighbors=3)
+    dropped3 = int(spatial_hash.self_collision_blocked_dropped_pairs(
+        p, w, order, cfg3))
+    assert dropped3 > 0
+    out3 = np.asarray(spatial_hash.self_collision_project_blocked(
+        p, w, order, cfg3))
+    assert np.abs(out3 - dense).max() > 1e-3
