@@ -90,7 +90,7 @@ def scaled_ball_on_cloth(cloth_res=CLOTH_RES, cloth_size=CLOTH_SIZE,
                        self_collision_backend="blocked",
                        collision_block_size=256,
                        block_neighbors=int(os.environ.get(
-                           "BENCH_BLOCK_NEIGHBORS", "10")),
+                           "BENCH_BLOCK_NEIGHBORS", "18")),
                        self_collision_every=CADENCE,
                        particle_radius=particle_radius,
                        ground_height=0.0, friction=0.3)
@@ -141,8 +141,18 @@ def main():
 
     work = n * FRAMES_PER_CALL * cfg.substeps
     rows = {}
+    # the fused contact kernel's scoped-VMEM budget wants B=128 at this
+    # scale (its (B, M*B) temporaries); its own cfg re-gates exactness
+    m_pallas = int(os.environ.get("BENCH_BLOCK_NEIGHBORS_PALLAS", "24"))
+    cfg_pk = cfg.replace(self_collision_backend="blocked_pallas",
+                         collision_block_size=128,
+                         block_neighbors=m_pallas)
+    dropped_pk = int(blocked_dropped_pairs(warm, cfg_pk))
+    emit(row="warm_pallas_cfg", block=128, m=m_pallas,
+         dropped_pairs=dropped_pk)
+    assert dropped_pk == 0, "raise BENCH_BLOCK_NEIGHBORS_PALLAS"
     for backend in ("blocked", "blocked_pallas"):
-        cfg_b = cfg.replace(self_collision_backend=backend)
+        cfg_b = (cfg if backend == "blocked" else cfg_pk)
         fn_x = general.make_step(topo, cfg_b, dt, n_steps=FRAMES_PER_CALL)
         rate_x, out_x = measure(fn_x, warm, work)
         emit(row=f"xla_{backend}_cadence",
@@ -157,11 +167,12 @@ def main():
         rows[backend] = (rate_x, rate_h, out_x, out_h)
 
     for backend, (rate_x, rate_h, out_x, out_h) in rows.items():
+        cfg_gate = cfg if backend == "blocked" else cfg_pk
         for tag, out in (("xla", out_x), ("hybrid", out_h)):
             p = np.asarray(out.positions)
             emit(row=f"health_{tag}_{backend}",
                  finite=bool(np.isfinite(p).all()),
-                 dropped_pairs=int(blocked_dropped_pairs(out, cfg)),
+                 dropped_pairs=int(blocked_dropped_pairs(out, cfg_gate)),
                  ymin=float(p[:, 1].min()), ymax=float(p[:, 1].max()))
     best_x = max(r[0] for r in rows.values())
     best_h = max(r[1] for r in rows.values())

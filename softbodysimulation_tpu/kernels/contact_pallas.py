@@ -147,6 +147,18 @@ def self_collision_project_blocked_pallas(pred, inv_mass, order,
             "blocked_pallas needs collision_block_size % 128 == 0")
     m_nbr = min(cfg.block_neighbors, nb)
     npad = nb * block
+    # Scoped-VMEM guard: the kernel keeps ~4 (B, M*B) f32 temporaries live
+    # (d2 / wsum / mask / coefficient chain — measured 19.34M scoped at
+    # B=256, M=18, i.e. ~4.1 planes) plus the 5 resident (.., npad)
+    # planes.  Past the 16M limit Mosaic fails with a stack OOM at
+    # compile time; raise the actionable error instead.
+    scoped = 4.5 * block * m_nbr * block * 4 + 5 * npad * 4
+    if scoped > 15_500_000:
+        raise NotImplementedError(
+            "blocked_pallas contact kernel exceeds the scoped-VMEM budget "
+            f"at collision_block_size={block} x block_neighbors={m_nbr} "
+            f"(~{scoped / 1e6:.1f}M of 16M) — use collision_block_size="
+            "128, fewer block_neighbors, or the XLA 'blocked' backend")
 
     key = jnp.where(touch, -d2ab, -jnp.inf)
     _, nbr_idx = jax.lax.top_k(key, m_nbr)                  # (nb, M)
