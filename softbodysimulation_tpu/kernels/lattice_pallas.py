@@ -1576,11 +1576,21 @@ def make_pallas_substep_runner_streamed(spec: LatticeSpec, cfg: SolverConfig,
         out_specs.append(aspec)
     if kin:
         in_specs.append(vspec)       # packed kinematic collider poses
+    # The streamed-tet spellings run within ~1M of Mosaic's default 16M
+    # scoped-VMEM cap (res-48 DECAY carry measured 16.43M on hardware —
+    # the 35-plane model underestimates the compiler's stack by ~1M).
+    # Raising the cap is strictly admissive: it cannot change the code
+    # the compiler generates for configs that already fit, it only lets
+    # near-limit ones compile (v5e VMEM is 128M; 18M leaves the usual
+    # data slabs untouched).
+    _params = (pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
+               if has_tets and (tet_lean or tet_carry) else None)
     call = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
+        **({"compiler_params": _params} if _params is not None else {}),
     )
 
     def to_wide(arr_bn3):
