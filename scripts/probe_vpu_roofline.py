@@ -126,6 +126,56 @@ def make_roll():
     ), 1   # one roll per rep
 
 
+def _make_ilp(op, units_per_stream):
+    """4 independent streams of ``op`` per rep — THROUGHPUT variant.
+
+    The single-stream kernels above chain each rep on the previous one,
+    so they measure dependent-op LATENCY; a solver pass has abundant
+    instruction-level parallelism (3 coordinate planes, independent
+    guard/coefficient subexpressions), so its ceiling is set by
+    throughput.  4 live streams is enough to keep the VPU pipes busy at
+    this plane size without spilling vregs."""
+    def kernel(x_ref, o_ref):
+        def body(i, carry):
+            return tuple(op(a) for a in carry)
+        s0 = x_ref[:]
+        streams = (s0, s0 * 1.0001, s0 + 0.01, s0 * 0.999)
+        out = lax.fori_loop(0, REPS, body, streams)
+        o_ref[:] = out[0] + out[1] + out[2] + out[3]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((RES, R2P), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    ), 4 * units_per_stream
+
+
+def make_elem_ilp():
+    def op(a):
+        a = a * 1.0001 + 0.3
+        a = a - 0.1
+        a = jnp.where(a > 0.5, a * 0.999, a)
+        a = a * a
+        a = jnp.minimum(a, 3.0)
+        a = a + 0.01
+        return a
+    return _make_ilp(op, 8)
+
+
+def make_sqrtdiv_ilp():
+    def op(a):
+        s = jnp.sqrt(jnp.maximum(a, 1e-24))
+        return (a + 0.13) / jnp.maximum(s, 1e-30)
+    return _make_ilp(op, 1)
+
+
+def make_roll_ilp():
+    def op(a):
+        return pltpu.roll(a, 40, axis=1) + 1e-7
+    return _make_ilp(op, 1)
+
+
 def main():
     x = jnp.asarray(np.random.RandomState(0).rand(RES, R2P), jnp.float32)
     emit(row="probe_scene", res=RES, r2p=R2P, reps=REPS,
@@ -134,24 +184,51 @@ def main():
     rates = {}
     for name, (call, units) in (("elem", make_elem()),
                                 ("sqrtdiv", make_sqrtdiv()),
-                                ("roll", make_roll())):
+                                ("roll", make_roll()),
+                                ("elem_ilp", make_elem_ilp()),
+                                ("sqrtdiv_ilp", make_sqrtdiv_ilp()),
+                                ("roll_ilp", make_roll_ilp())):
         rates[name] = _time(jax.jit(call), x, units)
         emit(row=f"vpu_{name}", lane_ops_per_s=float(f"{rates[name]:.4g}"))
 
-    # per-PARTICLE per-substep budget: each plane op touches 3 coordinate
-    # planes per particle? No — one lane IS one particle; the pass's op
-    # counts above are already per-lane totals across the 3 coordinate
-    # planes.  Ceiling = 1 / sum_i(count_i / rate_i) particles/s.
-    per_pass_s_per_lane = (PASS_ELEM / rates["elem"]
-                           + PASS_SQRT / rates["sqrtdiv"]
-                           + PASS_ROLL_CALLS * ROLLS_PER_CALL
-                           / rates["roll"])
-    per_substep = per_pass_s_per_lane * PASSES_PER_SUBSTEP
-    ceiling = 1.0 / per_substep
-    emit(row="faithful_roofline",
-         ceiling_particle_substeps_per_s=float(f"{ceiling:.4g}"),
-         measured=FAITHFUL_MEASURED,
-         fraction_of_roofline=float(f"{FAITHFUL_MEASURED / ceiling:.3f}"))
+    # one lane IS one particle; the pass's op counts are per-lane totals
+    # across the 3 coordinate planes.  Ceiling = 1 / sum_i(count_i /
+    # rate_i) particles/s, from the THROUGHPUT (ILP) rates — the
+    # dependent-chain rates are a latency floor, not a ceiling (the r5
+    # first cut used them and computed a "ceiling" 24x BELOW the
+    # measured kernel, which only proves the pass has ILP).
+    for tag, suffix in (("latency_floor", ""), ("roofline", "_ilp")):
+        per_pass = (PASS_ELEM / rates["elem" + suffix]
+                    + PASS_SQRT / rates["sqrtdiv" + suffix]
+                    + PASS_ROLL_CALLS * ROLLS_PER_CALL
+                    / rates["roll" + suffix])
+        ceiling = 1.0 / (per_pass * PASSES_PER_SUBSTEP)
+        emit(row=f"faithful_{tag}",
+             ceiling_particle_substeps_per_s=float(f"{ceiling:.4g}"),
+             measured=FAITHFUL_MEASURED,
+             measured_over_ceiling=float(
+                 f"{FAITHFUL_MEASURED / ceiling:.3f}"))
+
+    # The decisive arithmetic: the MEASURED faithful rate times the
+    # pass's static op census gives the lane-op throughput the real
+    # kernel sustains; against the v5e VPU's paper f32 peak (4 SIMD
+    # slots x (8x128) lanes x ~0.94 GHz ~= 3.85e12 lane-ops/s) that IS
+    # the roofline fraction — no micro-benchmark proxy needed.  (That
+    # even the 4-stream ILP microkernels above reach only ~20% of the
+    # paper peak says the probe kernels are latency-bound, not that the
+    # hardware is slower; the fused pass has far more ILP than 4
+    # streams.)
+    ops_per_particle_substep = PASSES_PER_SUBSTEP * (
+        PASS_ELEM + PASS_SQRT + PASS_DIV
+        + PASS_ROLL_CALLS * ROLLS_PER_CALL)
+    implied = FAITHFUL_MEASURED * ops_per_particle_substep
+    v5e_vpu_peak = 3.85e12
+    emit(row="faithful_implied_utilization",
+         lane_ops_per_particle_substep=float(
+             f"{ops_per_particle_substep:.4g}"),
+         implied_lane_ops_per_s=float(f"{implied:.4g}"),
+         v5e_vpu_paper_peak=v5e_vpu_peak,
+         fraction_of_paper_peak=float(f"{implied / v5e_vpu_peak:.3f}"))
 
 
 if __name__ == "__main__":
