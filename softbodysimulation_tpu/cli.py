@@ -327,16 +327,23 @@ def main(argv=None):
                 extra = ""
                 cfgl = info.get("config")
                 if (cfgl is not None and cfgl.enable_self_collision
-                        and cfgl.self_collision_backend == "blocked"):
-                    # exactness precondition of the blocked contact backend:
-                    # overflow > 0 means dropped pairs — raise block_neighbors
-                    from .diag.diagnostics import blocked_overflow
+                        and cfgl.self_collision_backend in
+                        ("blocked", "blocked_pallas")):
+                    # exactness sampling for the blocked contact backends:
+                    # the AABB bound is conservative (flat sheets exceed it
+                    # vacuously), so warn on the PAIR-ACCURATE check —
+                    # dropped > 0 means real contact contributions were
+                    # missed at this state; raise block_neighbors
+                    from .diag.diagnostics import (blocked_dropped_pairs,
+                                                   blocked_overflow)
 
                     ovf = blocked_overflow(state, cfgl)
-                    extra = f" contact_overflow={ovf}"
-                    if ovf:
-                        print(f"WARNING: blocked self-collision overflow {ovf} "
-                              "(dropped pairs) — raise "
+                    dropped = blocked_dropped_pairs(state, cfgl)
+                    extra = (f" contact_overflow={ovf}"
+                             f" dropped_pairs={dropped}")
+                    if dropped:
+                        print("WARNING: blocked self-collision dropped "
+                              f"{dropped} real pair contributions — raise "
                               "SolverConfig.block_neighbors", file=sys.stderr)
                 print(f"step {i + 1:6d}  ymin={p[:, 1].min():+.4f} "
                       f"ymean={p[:, 1].mean():+.4f} "
