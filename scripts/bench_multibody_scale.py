@@ -143,7 +143,7 @@ def main():
     rows = {}
     # the fused contact kernel's scoped-VMEM budget wants B=128 at this
     # scale (its (B, M*B) temporaries); its own cfg re-gates exactness
-    m_pallas = int(os.environ.get("BENCH_BLOCK_NEIGHBORS_PALLAS", "24"))
+    m_pallas = int(os.environ.get("BENCH_BLOCK_NEIGHBORS_PALLAS", "32"))
     cfg_pk = cfg.replace(self_collision_backend="blocked_pallas",
                          collision_block_size=128,
                          block_neighbors=m_pallas)
