@@ -156,3 +156,16 @@ def test_cli_run_pallas_engine_kinematic_scene(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "done: 2 steps" in r.stdout
     assert os.path.exists(ckpt)
+
+
+def test_cli_log_every_samples_blocked_exactness():
+    """--log-every on a blocked-backend scene prints BOTH contact
+    diagnostics: the conservative AABB overflow and the round-5
+    pair-accurate dropped_pairs count (the warning signal)."""
+    r = _run_cli("run", "ball_on_cloth", "--steps", "2", "--platform",
+                 "cpu", "--log-every", "2",
+                 "--set", "self_collision_backend=blocked",
+                 "--set", "block_neighbors=8")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "contact_overflow=" in r.stdout
+    assert "dropped_pairs=" in r.stdout
